@@ -1,0 +1,61 @@
+"""Engine configuration.
+
+Mirrors the tunables of the reference config (reference
+src/rifflux/config.py:22-45) plus the physical-index knobs the Spark
+rebuild adds (block size, salt range, bucket count). Env overrides use the
+``RIFFLUX_SPARK_`` prefix, matching the reference's ``RIFFLUX_`` pattern
+(reference src/rifflux/config.py:9-10).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+def _env(name: str, default: str) -> str:
+    return os.getenv(f"RIFFLUX_SPARK_{name}", default)
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # --- retrieval semantics (reference parity) ---
+    max_chunk_chars: int = 2000          # reference config.py:24
+    min_chunk_chars: int = 120           # reference config.py:25
+    rrf_k: int = 60                      # reference config.py:26
+    embedding_dim: int = 384             # reference config.py:28
+    embedding_backend: str = "hash"      # deterministic CI default
+    bm25_k1: float = 1.2                 # FTS5 bm25() constants
+    bm25_b: float = 0.75
+    candidate_multiplier: int = 2        # top_k*2 per modality (search.py:34-54)
+
+    # --- physical index layout (Spark rebuild) ---
+    # postings are encoded in blocks of this many docs; each block stores
+    # delta+varbyte doc gaps, tfs, dls and an exact block-max impact score
+    block_size: int = 128
+    # salt range: docs [i*R, (i+1)*R) form one contiguous run per term, so
+    # per-(term, salt) groups are bounded (skew defeat) and runs concatenate
+    # in doc order without a decode-merge. At cluster scale set R ~ 2**20.
+    salt_range: int = 1 << 20
+    # postings/chunks are written partitioned by pmod(xxhash64(term), n)
+    # so query-time term filters prune partitions at the source.
+    n_term_buckets: int = 32
+    # shards (groups of term buckets) per build job — the lineage/resume unit
+    n_build_shards: int = 4
+
+    @classmethod
+    def from_env(cls) -> "EngineConfig":
+        return cls(
+            max_chunk_chars=int(_env("MAX_CHUNK_CHARS", "2000")),
+            min_chunk_chars=int(_env("MIN_CHUNK_CHARS", "120")),
+            rrf_k=int(_env("RRF_K", "60")),
+            embedding_dim=int(_env("EMBEDDING_DIM", "384")),
+            embedding_backend=_env("EMBEDDING_BACKEND", "hash"),
+            block_size=int(_env("BLOCK_SIZE", "128")),
+            salt_range=int(_env("SALT_RANGE", str(1 << 20))),
+            n_term_buckets=int(_env("N_TERM_BUCKETS", "32")),
+            n_build_shards=int(_env("N_BUILD_SHARDS", "4")),
+        )
+
+
+DEFAULT_CONFIG = EngineConfig()

@@ -1,0 +1,214 @@
+"""Heading-aware markdown chunker.
+
+Re-implements the reference chunking semantics (reference
+src/rifflux/indexing/chunker.py:37-108) without its mistune dependency:
+block-level markdown is parsed into the same event stream the reference
+walks (headings, fenced code blocks, text blocks), inline markup is reduced
+to its raw text exactly like the reference's ``_extract_text`` (reference
+chunker.py:28-34, which concatenates ``raw`` leaves with no separator), and
+sections are greedily packed into chunks between ``min_chunk_chars`` and
+``max_chunk_chars`` with ``" > "``-joined heading breadcrumbs.
+
+Chunk identity matches reference chunker.py:19-25:
+``sha256(normalized_path::chunk_index)[:16]``.
+
+The Spark surface is :func:`chunk_udf` — an Arrow-batched pandas UDF
+returning ``array<struct<...>>`` to be ``explode``d, i.e. the chunker acts
+as a UDTF over the pages table (SURVEY.md §2.F).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass
+
+import pandas as pd
+
+_HEADING_RE = re.compile(r"^(#{1,6})\s+(.*?)\s*#*\s*$")
+_FENCE_RE = re.compile(r"^(```+|~~~+)\s*(.*)$")
+_THEMATIC_RE = re.compile(r"^ {0,3}((\*\s*){3,}|(-\s*){3,}|(_\s*){3,})$")
+# inline constructs reduced to raw text, mirroring mistune's AST leaves:
+_IMAGE_RE = re.compile(r"!\[([^\]]*)\]\([^)]*\)")
+_LINK_RE = re.compile(r"\[([^\]]*)\]\([^)]*\)")
+_CODESPAN_RE = re.compile(r"`([^`]*)`")
+_STRONG_RE = re.compile(r"\*\*([^*]+)\*\*|__([^_]+)__")
+_EM_RE = re.compile(r"\*([^*]+)\*|\b_([^_]+)_\b")
+
+
+@dataclass(slots=True)
+class Chunk:
+    chunk_id: str
+    chunk_index: int
+    heading_path: str
+    content: str
+    token_count: int
+
+
+def normalize_path(path: str) -> str:
+    """Reference chunker.py:19-20."""
+    return path.replace("\\", "/").lstrip("/")
+
+
+def make_chunk_id(path: str, chunk_index: int) -> str:
+    """Reference chunker.py:23-25."""
+    raw = f"{normalize_path(path)}::{chunk_index}".encode()
+    return hashlib.sha256(raw).hexdigest()[:16]
+
+
+def _inline_text(text: str) -> str:
+    """Reduce inline markdown to raw text (mistune ``_extract_text``)."""
+    out = _IMAGE_RE.sub(r"\1", text)
+    out = _LINK_RE.sub(r"\1", out)
+    out = _CODESPAN_RE.sub(r"\1", out)
+    out = _STRONG_RE.sub(lambda m: m.group(1) or m.group(2) or "", out)
+    out = _EM_RE.sub(lambda m: m.group(1) or m.group(2) or "", out)
+    return out
+
+
+def _paragraph_text(lines: list[str]) -> str:
+    """mistune joins a paragraph's line fragments with '' (softbreak nodes
+    carry no raw text), after stripping each line's surrounding space."""
+    return "".join(_inline_text(line.strip()) for line in lines)
+
+
+def _parse_blocks(markdown_text: str):
+    """Yield ('heading', level, text) | ('block_code', info, body) |
+    ('text', text) events — the same stream the reference walks over the
+    mistune AST (reference chunker.py:49-70)."""
+    lines = markdown_text.split("\n")
+    i, n = 0, len(lines)
+    para: list[str] = []
+
+    def flush_para():
+        nonlocal para
+        if para:
+            text = _paragraph_text(para)
+            para = []
+            if text.strip():
+                yield ("text", text.strip())
+
+    while i < n:
+        line = lines[i]
+        stripped = line.strip()
+        if not stripped:
+            yield from flush_para()
+            i += 1
+            continue
+        fence = _FENCE_RE.match(stripped)
+        if fence and not para:
+            marker, info = fence.group(1), fence.group(2).strip()
+            body_lines: list[str] = []
+            i += 1
+            while i < n and not lines[i].strip().startswith(marker[0] * 3):
+                body_lines.append(lines[i])
+                i += 1
+            i += 1  # closing fence (or EOF)
+            yield ("block_code", info, "\n".join(body_lines))
+            continue
+        heading = _HEADING_RE.match(line)
+        if heading:
+            yield from flush_para()
+            yield ("heading", len(heading.group(1)), _inline_text(heading.group(2)).strip())
+            i += 1
+            continue
+        if _THEMATIC_RE.match(line) and not para:
+            i += 1
+            continue
+        para.append(line)
+        i += 1
+    yield from flush_para()
+
+
+def chunk_markdown(
+    markdown_text: str,
+    relative_path: str,
+    *,
+    max_chunk_chars: int = 2000,
+    min_chunk_chars: int = 120,
+) -> list[Chunk]:
+    """Reference chunker.py:37-108 semantics: section grouping under a
+    heading stack, greedy packing up to max_chunk_chars with a
+    min_chunk_chars floor, whitespace-token counts."""
+    heading_stack: list[tuple[int, str]] = []
+    sections: list[tuple[str, list[str]]] = [("", [])]
+
+    for event in _parse_blocks(markdown_text):
+        kind = event[0]
+        if kind == "heading":
+            _, level, text = event
+            heading_stack = [h for h in heading_stack if h[0] < level]
+            heading_stack.append((level, text))
+            heading_path = " > ".join(part for _, part in heading_stack if part)
+            sections.append((heading_path, []))
+        elif kind == "block_code":
+            _, info, body = event
+            sections[-1][1].append(f"```{info}\n{body}\n```".strip())
+        else:
+            sections[-1][1].append(event[1])
+
+    chunks: list[Chunk] = []
+    chunk_index = 0
+
+    def emit(heading_path: str, current: str) -> None:
+        nonlocal chunk_index
+        chunks.append(
+            Chunk(
+                chunk_id=make_chunk_id(relative_path, chunk_index),
+                chunk_index=chunk_index,
+                heading_path=heading_path,
+                content=current.strip(),
+                token_count=len(re.findall(r"\S+", current)),
+            )
+        )
+        chunk_index += 1
+
+    for heading_path, parts in sections:
+        if not parts:
+            continue
+        current = ""
+        for part in parts:
+            proposal = part if not current else f"{current}\n\n{part}"
+            if len(proposal) <= max_chunk_chars:
+                current = proposal
+                continue
+            if len(current) >= min_chunk_chars:
+                emit(heading_path, current)
+            current = part
+        if len(current.strip()) >= min_chunk_chars:
+            emit(heading_path, current)
+
+    return chunks
+
+
+def chunk_rows(
+    urls: pd.Series,
+    texts: pd.Series,
+    *,
+    max_chunk_chars: int = 2000,
+    min_chunk_chars: int = 120,
+) -> pd.Series:
+    """Arrow-batch body for the chunker UDF: per url/text, a list of chunk
+    dicts matching ``CHUNK_STRUCT``. Runs inside executors; pure Python per
+    document but batched via Arrow (no per-row Python UDF overhead)."""
+    out = []
+    for url, text in zip(urls, texts):
+        cs = chunk_markdown(
+            text or "",
+            url or "",
+            max_chunk_chars=max_chunk_chars,
+            min_chunk_chars=min_chunk_chars,
+        )
+        out.append(
+            [
+                {
+                    "chunk_id": c.chunk_id,
+                    "chunk_index": c.chunk_index,
+                    "heading_path": c.heading_path,
+                    "content": c.content,
+                    "token_count": c.token_count,
+                }
+                for c in cs
+            ]
+        )
+    return pd.Series(out)

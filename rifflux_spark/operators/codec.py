@@ -1,0 +1,133 @@
+"""Delta + varbyte posting-block codec with exact block-max impact scores.
+
+The reference stores its inverted index inside SQLite FTS5 (reference
+src/rifflux/db/schema.sql:21-28), whose C internals delta+varint-encode
+posting lists per term. The rebuild materializes the same physical idea as
+data: each posting block packs up to ``block_size`` postings as
+
+- ``gaps``: varbyte(delta(doc_ord))  — first value is the gap from the
+  block's predecessor context (we store absolute first_doc separately and
+  encode the first gap relative to it, i.e. gaps[0] == 0);
+- ``tfs``:  varbyte(tf per posting);
+- ``dls``:  varbyte(total token length of the doc, content+heading — FTS5's
+  bm25 D with unit column weights);
+- ``block_max_wtf``: exact max over the block of the BM25 tf-normalization
+  ``tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))`` — multiplied by idf at query
+  time this upper-bounds any doc's contribution from the block (block-max
+  WAND, SURVEY.md §2 C4/Q3).
+
+Storing ``dl`` inline trades bytes for locality: query-time scoring never
+joins a 10^12-row doc-length table — only the scalars N and avgdl ship
+with the query.
+
+Varbyte here is the classic LEB128 little-endian 7-bit group encoding.
+Encode/decode are numpy-vectorized (no per-int Python loop on decode hot
+path beyond byte-group scans).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MASK = np.uint64(0x7F)
+
+
+def encode_varbyte(values: np.ndarray) -> bytes:
+    """LEB128-encode a non-negative int array."""
+    vals = np.asarray(values, dtype=np.uint64)
+    if vals.size == 0:
+        return b""
+    # byte length per value: ceil(bitlen/7), min 1
+    bitlen = np.zeros(vals.shape, dtype=np.int64)
+    tmp = vals.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        bitlen[nz] += 1
+        tmp = tmp >> np.uint64(7)
+    bitlen[bitlen == 0] = 1
+    total = int(bitlen.sum())
+    out = np.empty(total, dtype=np.uint8)
+    # positions of each value's first byte
+    starts = np.zeros(vals.shape, dtype=np.int64)
+    starts[1:] = np.cumsum(bitlen)[:-1]
+    maxlen = int(bitlen.max())
+    rem = vals.copy()
+    for k in range(maxlen):
+        active = bitlen > k
+        idx = starts[active] + k
+        byte = (rem[active] & _MASK).astype(np.uint8)
+        more = (bitlen[active] > k + 1).astype(np.uint8) << 7
+        out[idx] = byte | more
+        rem = rem >> np.uint64(7)
+    return out.tobytes()
+
+
+def decode_varbyte(data: bytes, n: int | None = None) -> np.ndarray:
+    """Decode LEB128 bytes back to uint64 (vectorized)."""
+    if not data:
+        return np.empty(0, dtype=np.uint64)
+    raw = np.frombuffer(data, dtype=np.uint8)
+    is_last = (raw & 0x80) == 0
+    # value index for each byte: cumsum of previous terminators
+    val_idx = np.zeros(raw.shape, dtype=np.int64)
+    val_idx[1:] = np.cumsum(is_last[:-1])
+    n_vals = int(is_last.sum())
+    # byte position within its value
+    starts = np.flatnonzero(np.concatenate(([True], is_last[:-1])))
+    byte_pos = np.arange(raw.shape[0], dtype=np.int64) - starts[val_idx]
+    out = np.zeros(n_vals, dtype=np.uint64)
+    np.bitwise_or.at(
+        out,
+        val_idx,
+        (raw & 0x7F).astype(np.uint64) << (byte_pos.astype(np.uint64) * np.uint64(7)),
+    )
+    if n is not None and n_vals != n:
+        raise ValueError(f"decoded {n_vals} values, expected {n}")
+    return out
+
+
+def bm25_wtf(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: float) -> np.ndarray:
+    """BM25 tf normalization (the per-term factor multiplied by idf)."""
+    tf = tf.astype(np.float64)
+    dl = dl.astype(np.float64)
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def encode_block(
+    doc_ords: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> dict:
+    """Encode one sorted run of ≤block_size postings into a block row."""
+    doc_ords = np.asarray(doc_ords, dtype=np.int64)
+    assert doc_ords.size > 0
+    gaps = np.empty_like(doc_ords)
+    gaps[0] = 0
+    gaps[1:] = np.diff(doc_ords)
+    if (gaps[1:] <= 0).any():
+        raise ValueError("doc_ords must be strictly increasing within a block")
+    wtf = bm25_wtf(np.asarray(tfs), np.asarray(dls), avgdl, k1, b)
+    return {
+        "n_docs": int(doc_ords.size),
+        "first_doc": int(doc_ords[0]),
+        "last_doc": int(doc_ords[-1]),
+        "gaps": encode_varbyte(gaps),
+        "tfs": encode_varbyte(np.asarray(tfs)),
+        "dls": encode_varbyte(np.asarray(dls)),
+        "block_max_wtf": float(wtf.max()),
+    }
+
+
+def decode_block(block: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of :func:`encode_block` → (doc_ords, tfs, dls)."""
+    n = int(block["n_docs"])
+    gaps = decode_varbyte(block["gaps"], n).astype(np.int64)
+    doc_ords = np.cumsum(gaps) + int(block["first_doc"])
+    tfs = decode_varbyte(block["tfs"], n).astype(np.int64)
+    dls = decode_varbyte(block["dls"], n).astype(np.int64)
+    return doc_ords, tfs, dls
