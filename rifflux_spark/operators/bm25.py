@@ -1,0 +1,227 @@
+"""BM25 top-k over the block-compressed posting index, with optional
+block-max pruning.
+
+Reproduces FTS5 bm25 exactly (verified against SQLite in
+tests/test_bm25_rank_identity.py; reference sqlite_store.py:150-182):
+
+    idf(t)  = ln((N - df_t + 0.5) / (df_t + 0.5)), clamped to 1e-6 if <= 0
+    wtf     = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),  k1=1.2 b=0.75
+    score   = Σ_t idf(t) * wtf          (returned negated, FTS5 convention)
+
+``dl`` is the summed token length of both indexed columns (content +
+heading_path, unit weights) — stored inline in the blocks, so scoring
+needs **no join against a doc-length table**: only the scalars N and
+avgdl ship with the query. Ranking ties break on ``doc_ord`` ascending =
+SQLite rowid order (SURVEY.md §4).
+
+Block-max pruning (SURVEY.md §2 Q3): per-term per-block upper bounds
+``UB(B_t) = idf_t * block_max_wtf(B_t)``. For a disjunctive query any
+doc touching block ``B_t`` has total score ≤ UB(B_t) + Σ_{t'≠t}
+max_B UB(B_t'). If that bound is below a threshold θ that itself lower-
+bounds the true k-th best score, every doc in the block is globally out
+of the top-k — so skipped blocks cannot affect membership *or* the exact
+scores of survivors. θ comes from fully scoring the highest-impact blocks
+per term. Pruning on/off is correctness-invariant (tested).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rifflux_spark.config import EngineConfig
+from rifflux_spark.functions.tokenizer import compile_query
+from rifflux_spark.operators.codec import bm25_wtf, decode_varbyte
+from rifflux_spark.sources.tables import IndexStore
+
+_SCORE_ROW = T.StructType(
+    [
+        T.StructField("doc_ord", T.LongType(), False),
+        T.StructField("partial", T.DoubleType(), False),
+    ]
+)
+
+
+def idf_for_terms(store: IndexStore, terms: list[str], n_docs: int) -> dict[str, float]:
+    """FTS5 ln-idf with the observed 1e-6 clamp; terms absent from the
+    index simply contribute nothing (df lookup returns no row)."""
+    if not terms:
+        return {}
+    stats = (
+        store.term_stats()
+        .filter(F.col("term").isin(terms))
+        .select("term", "df_docs")
+        .collect()
+    )
+    out: dict[str, float] = {}
+    for row in stats:
+        df_t = int(row["df_docs"])
+        idf = math.log((n_docs - df_t + 0.5) / (df_t + 0.5))
+        out[row["term"]] = idf if idf > 0 else 1e-6
+    return out
+
+
+def _score_blocks(blocks: DataFrame, idf: dict[str, float], avgdl: float, k1: float, b: float) -> DataFrame:
+    """Decode blocks → per-(doc, term) partial scores, pre-aggregated per
+    Arrow batch to shrink the shuffle."""
+    idf_b = dict(idf)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            docs_all: list[np.ndarray] = []
+            partial_all: list[np.ndarray] = []
+            for term, gaps, tfs, dls, n, first in zip(
+                pdf["term"], pdf["gaps"], pdf["tfs"], pdf["dls"], pdf["n_docs"], pdf["first_doc"]
+            ):
+                n = int(n)
+                doc_ords = decode_varbyte(bytes(gaps), n).astype(np.int64).cumsum() + int(first)
+                tf = decode_varbyte(bytes(tfs), n)
+                dl = decode_varbyte(bytes(dls), n)
+                wtf = bm25_wtf(tf, dl, avgdl, k1, b)
+                docs_all.append(doc_ords)
+                partial_all.append(wtf * idf_b[term])
+            docs = np.concatenate(docs_all)
+            partials = np.concatenate(partial_all)
+            agg = pd.DataFrame({"doc_ord": docs, "partial": partials}).groupby(
+                "doc_ord", as_index=False
+            )["partial"].sum()
+            yield agg
+
+    cols = ["term", "gaps", "tfs", "dls", "n_docs", "first_doc"]
+    return blocks.select(*cols).mapInPandas(score, schema=_SCORE_ROW)
+
+
+def bm25_topk(
+    spark,
+    store: IndexStore,
+    query: str,
+    top_k: int = 10,
+    config: EngineConfig | None = None,
+    prune: bool = True,
+) -> DataFrame:
+    """Top-k lexical search → (doc_ord, bm25_score) with FTS5's negated
+    score convention, best first.
+
+    Physical shape: posting scan (partition+rowgroup pruned by term) →
+    decode/score mapInPandas → groupBy(doc_ord).sum → TakeOrderedAndProject.
+    """
+    config = config or EngineConfig()
+    terms = compile_query(query)
+    if not terms:
+        return spark.createDataFrame(
+            [], "doc_ord long, bm25_score double"
+        )
+    cstats = store.corpus_stats()
+    n_docs, avgdl = int(cstats["n_docs"]), float(cstats["avgdl"])
+    idf = idf_for_terms(store, sorted(set(terms)), n_docs)
+    # FTS5 scores every phrase instance: a term repeated in the query
+    # contributes once per occurrence (observed vs the oracle), so weight
+    # idf by query-term multiplicity.
+    mult: dict[str, int] = {}
+    for t in terms:
+        mult[t] = mult.get(t, 0) + 1
+    idf = {t: v * mult[t] for t, v in idf.items()}
+    terms = sorted(idf)
+    if not terms:
+        return spark.createDataFrame([], "doc_ord long, bm25_score double")
+
+    blocks = store.postings_for_terms(terms)
+
+    if prune:
+        blocks = _prune_blocks(blocks, idf, top_k, avgdl, config)
+
+    scored = _score_blocks(blocks, idf, avgdl, config.bm25_k1, config.bm25_b)
+    topk = (
+        scored.groupBy("doc_ord")
+        .agg(F.sum("partial").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_ord"))
+        .limit(top_k)
+    )
+    return topk.select("doc_ord", (-F.col("score")).alias("bm25_score"))
+
+
+def _prune_blocks(
+    blocks: DataFrame,
+    idf: dict[str, float],
+    top_k: int,
+    avgdl: float,
+    config: EngineConfig,
+) -> DataFrame:
+    """Drop blocks that provably cannot host any top-k doc.
+
+    Driver-side on block *metadata* only (one row per block for the query's
+    terms — tiny even at web scale). Falls back to no-op when there are
+    fewer blocks than needed to establish a threshold.
+    """
+    meta = blocks.select("term", "salt", "block_seq", "n_docs", "block_max_wtf").collect()
+    if not meta:
+        return blocks
+    ub = [
+        (r["term"], int(r["salt"]), int(r["block_seq"]), int(r["n_docs"]),
+         idf[r["term"]] * float(r["block_max_wtf"]))
+        for r in meta
+    ]
+    max_ub_per_term: dict[str, float] = {}
+    for term, _, _, _, u in ub:
+        max_ub_per_term[term] = max(max_ub_per_term.get(term, 0.0), u)
+    total_other = {t: sum(v for s, v in max_ub_per_term.items() if s != t) for t in max_ub_per_term}
+
+    # θ: fully score the top-impact blocks per term (enough to cover k docs)
+    per_term_sorted: dict[str, list[tuple]] = {}
+    for row in ub:
+        per_term_sorted.setdefault(row[0], []).append(row)
+    seed_keys: set[tuple] = set()
+    for term, rows in per_term_sorted.items():
+        rows.sort(key=lambda r: -r[4])
+        covered = 0
+        for r in rows:
+            seed_keys.add((r[0], r[1], r[2]))
+            covered += r[3]
+            if covered >= top_k:
+                break
+    # if the seed set is everything, skip the extra pass
+    if len(seed_keys) >= len(ub):
+        return blocks
+
+    seed_blocks = blocks.filter(
+        F.concat_ws("\x00", "term", F.col("salt").cast("string"), F.col("block_seq").cast("string")).isin(
+            ["\x00".join((t, str(s), str(q))) for t, s, q in seed_keys]
+        )
+    )
+    seed_scores = (
+        _score_blocks(seed_blocks, idf, avgdl, config.bm25_k1, config.bm25_b)
+        .groupBy("doc_ord")
+        .agg(F.sum("partial").alias("score"))
+        .orderBy(F.desc("score"))
+        .limit(top_k)
+        .collect()
+    )
+    if len(seed_scores) < top_k:
+        return blocks  # not enough docs to justify pruning
+    theta = float(seed_scores[-1]["score"])
+
+    keep_keys = [
+        "\x00".join((t, str(s), str(q)))
+        for t, s, q, _, u in ub
+        if (u + total_other[t]) >= theta or (t, s, q) in seed_keys
+    ]
+    return blocks.filter(
+        F.concat_ws("\x00", "term", F.col("salt").cast("string"), F.col("block_seq").cast("string")).isin(keep_keys)
+    )
+
+
+def rehydrate(topk: DataFrame, store: IndexStore) -> DataFrame:
+    """Join-back of the tiny top-k against chunks (SURVEY.md §2 Q4).
+
+    The doc_ord set is ≤ top_k, so Catalyst broadcast-joins it; the chunks
+    scan prunes row groups on the sorted doc_ord column.
+    """
+    return topk.join(store.chunks(), on="doc_ord", how="inner")

@@ -1,0 +1,171 @@
+"""Posting-list construction: tokenize → explode → tf → salted sorted runs
+→ delta+varbyte blocks.
+
+Replaces the FTS5 insert-trigger index build (reference
+src/rifflux/db/schema.sql:44-59, C internals) with explicit DataFrame
+stages (SURVEY.md §2 C3-C5):
+
+1. tokenize ``content`` and ``heading_path`` with the FTS5-parity
+   tokenizer (Arrow-batched pandas UDF); doc length ``dl`` = both columns'
+   token counts summed — exactly FTS5 bm25's ``D`` with unit weights;
+2. ``explode`` to ``(term, doc_ord, dl)`` and ``groupBy(term, doc_ord)``
+   for tf — Catalyst plans a partial (map-side) aggregation before the
+   shuffle, so the wire carries one row per distinct (term, doc) per task;
+3. **skew defeat**: group by ``(term, salt)`` with
+   ``salt = doc_ord // salt_range``. A stopword's postings split into
+   bounded groups of ≤ salt_range docs; because salt ranges are contiguous
+   and disjoint in doc space, each group encodes an independent sorted run
+   and runs concatenate in doc order with **no decode-merge stage** —
+   ``(salt, block_seq)`` is already the global block order;
+4. each group is block-encoded (codec.py) with exact block-max scores.
+
+Nothing here collects to the driver; every stage is a shuffle-bounded
+DataFrame op sized by ``salt_range``/``block_size``, independent of corpus
+row count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+from rifflux_spark.config import EngineConfig
+from rifflux_spark.functions.chunker import chunk_rows
+from rifflux_spark.functions.tokenizer import tokenize_series
+from rifflux_spark.operators.codec import encode_block
+from rifflux_spark.sources.tables import POSTINGS_SCHEMA
+
+CHUNK_STRUCT = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("chunk_id", T.StringType()),
+            T.StructField("chunk_index", T.IntegerType()),
+            T.StructField("heading_path", T.StringType()),
+            T.StructField("content", T.StringType()),
+            T.StructField("token_count", T.IntegerType()),
+        ]
+    )
+)
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_udf(texts: pd.Series) -> pd.Series:
+    return tokenize_series(texts)
+
+
+def make_chunk_udf(max_chunk_chars: int, min_chunk_chars: int):
+    @pandas_udf(CHUNK_STRUCT)
+    def chunk_udf(urls: pd.Series, texts: pd.Series) -> pd.Series:
+        return chunk_rows(
+            urls,
+            texts,
+            max_chunk_chars=max_chunk_chars,
+            min_chunk_chars=min_chunk_chars,
+        )
+
+    return chunk_udf
+
+
+def chunk_pages(pages: DataFrame, config: EngineConfig) -> DataFrame:
+    """pages(url, text, ...) → one row per chunk (no doc_ord yet).
+
+    The chunker UDF is the engine's UDTF surface (SURVEY.md §2.F): pandas
+    UDF returning array<struct> + explode.
+    """
+    chunk_udf = make_chunk_udf(config.max_chunk_chars, config.min_chunk_chars)
+    return (
+        pages.select("url", F.explode(chunk_udf("url", "text")).alias("c"))
+        .select(
+            "url",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.chunk_index").alias("chunk_index"),
+            F.col("c.heading_path").alias("heading_path"),
+            F.col("c.content").alias("content"),
+            F.col("c.token_count").alias("token_count"),
+        )
+    )
+
+
+def with_tokens(chunks: DataFrame) -> DataFrame:
+    """Add content/heading token arrays and the combined FTS5 doc length."""
+    return (
+        chunks.withColumn("content_tokens", tokenize_udf("content"))
+        .withColumn("heading_tokens", tokenize_udf(F.coalesce("heading_path", F.lit(""))))
+        .withColumn(
+            "dl",
+            (F.size("content_tokens") + F.size("heading_tokens")).cast("int"),
+        )
+    )
+
+
+def term_frequencies(tokenized: DataFrame) -> DataFrame:
+    """(term, doc_ord, dl, tf) — partial agg happens map-side before the
+    term/doc shuffle. dl rides along (functionally dependent on doc_ord)
+    so scoring data stays join-free."""
+    exploded = tokenized.select(
+        "doc_ord",
+        "dl",
+        F.explode(F.concat("content_tokens", "heading_tokens")).alias("term"),
+    )
+    return exploded.groupBy("term", "doc_ord", "dl").agg(F.count("*").alias("tf"))
+
+
+def encode_postings(tf: DataFrame, avgdl: float, config: EngineConfig) -> DataFrame:
+    """Salted-run block encoding. Each (term, salt) pandas group holds at
+    most ``salt_range`` postings — bounded memory regardless of term skew."""
+    block_size = config.block_size
+    k1, b = config.bm25_k1, config.bm25_b
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_ord")
+        term = pdf["term"].iloc[0]
+        salt = int(pdf["salt"].iloc[0])
+        docs = pdf["doc_ord"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        dls = pdf["dl"].to_numpy(dtype=np.int64)
+        rows = []
+        for seq, start in enumerate(range(0, len(docs), block_size)):
+            sl = slice(start, start + block_size)
+            blk = encode_block(docs[sl], tfs[sl], dls[sl], avgdl, k1, b)
+            rows.append(
+                {
+                    "term": term,
+                    "salt": salt,
+                    "block_seq": seq,
+                    "n_docs": blk["n_docs"],
+                    "first_doc": blk["first_doc"],
+                    "last_doc": blk["last_doc"],
+                    "gaps": blk["gaps"],
+                    "tfs": blk["tfs"],
+                    "dls": blk["dls"],
+                    "block_max_wtf": blk["block_max_wtf"],
+                }
+            )
+        return pd.DataFrame(rows)
+
+    salted = tf.withColumn(
+        "salt", (F.col("doc_ord") / F.lit(config.salt_range)).cast("long")
+    )
+    return salted.groupBy("term", "salt").applyInPandas(encode_group, schema=POSTINGS_SCHEMA)
+
+
+def term_stats(tf: DataFrame) -> DataFrame:
+    """(term, df_docs, cf) — document and collection frequency per term."""
+    return tf.groupBy("term").agg(
+        F.count("*").alias("df_docs"), F.sum("tf").alias("cf")
+    )
+
+
+def corpus_stats(tokenized_chunks: DataFrame) -> DataFrame:
+    """Single-row (n_docs, total_tokens, avgdl) — FTS5's internal stats."""
+    return tokenized_chunks.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )

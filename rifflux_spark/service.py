@@ -1,0 +1,194 @@
+"""Search service — the reference's API surface over the Spark index.
+
+Mirrors reference src/rifflux/retrieval/search.py:30-100 and the store
+lookups (sqlite_store.py:202-229):
+
+- ``search(query, top_k, mode)`` with modes lexical/semantic/hybrid,
+  top_k*2 candidates per modality, RRF fusion (k=60), per-mode
+  ``score_breakdown`` keys (``bm25`` / ``cosine`` / ``rrf`` +
+  ``lexical_rank``/``semantic_rank`` nullable), hybrid rehydration
+  preferring the semantic row instance (reference search.py:81);
+- punctuation-only queries return ``[]`` without error (reference
+  tests/test_search_modes.py:146-156);
+- ``get_chunk`` / ``get_file`` / ``index_status`` point lookups.
+
+Only the final ≤top_k rows are collected; everything upstream is a
+DataFrame plan.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from rifflux_spark.config import EngineConfig
+from rifflux_spark.functions.embedder import hash_embed
+from rifflux_spark.operators.bm25 import bm25_topk
+from rifflux_spark.operators.fusion import rrf_fuse
+from rifflux_spark.operators.semantic import semantic_topk
+from rifflux_spark.sources.tables import IndexStore
+
+
+class SearchService:
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        config: EngineConfig | None = None,
+        embed_query=None,
+    ) -> None:
+        self.spark = spark
+        self.config = config or EngineConfig()
+        self.store = IndexStore(spark, index_dir, self.config.n_term_buckets)
+        self.embed_query = embed_query or (
+            lambda q: hash_embed(q, dim=self.config.embedding_dim)
+        )
+
+    # --- modality primitives ---
+
+    def lexical(self, query: str, top_k: int, prune: bool = True) -> list[dict[str, Any]]:
+        topk = bm25_topk(self.spark, self.store, query, top_k, self.config, prune=prune)
+        rows = (
+            topk.join(self.store.chunks(), on="doc_ord", how="inner")
+            .select("chunk_id", "url", "heading_path", "chunk_index", "content", "bm25_score", "doc_ord")
+            .orderBy(F.asc("bm25_score"), F.asc("doc_ord"))
+            .collect()
+        )
+        return [
+            {
+                "chunk_id": r["chunk_id"],
+                "path": r["url"],
+                "heading_path": r["heading_path"],
+                "chunk_index": r["chunk_index"],
+                "content": r["content"],
+                "bm25_score": r["bm25_score"],
+            }
+            for r in rows
+        ]
+
+    def semantic(self, query_vector, top_k: int) -> list[dict[str, Any]]:
+        if query_vector is None:
+            return []
+        topk = semantic_topk(self.store.embeddings(), query_vector, top_k)
+        rows = (
+            topk.join(self.store.chunks(), on="doc_ord", how="inner")
+            .select("chunk_id", "url", "heading_path", "chunk_index", "content", "cosine", "doc_ord")
+            .orderBy(F.desc("cosine"), F.asc("doc_ord"))
+            .collect()
+        )
+        return [
+            {
+                "chunk_id": r["chunk_id"],
+                "path": r["url"],
+                "heading_path": r["heading_path"],
+                "chunk_index": r["chunk_index"],
+                "content": r["content"],
+                "cosine": r["cosine"],
+            }
+            for r in rows
+        ]
+
+    # --- the reference search orchestration (search.py:30-100) ---
+
+    def search(self, query: str, *, top_k: int = 10, mode: str = "hybrid") -> list[dict[str, Any]]:
+        cand = top_k * self.config.candidate_multiplier
+        lexical = self.lexical(query, cand) if mode in {"hybrid", "lexical"} else []
+        query_vec = (
+            self.embed_query(query) if mode in {"hybrid", "semantic"} else None
+        )
+        semantic = self.semantic(query_vec, cand) if mode in {"hybrid", "semantic"} else []
+
+        if mode == "lexical":
+            return [
+                {**row, "score_breakdown": {"bm25": row["bm25_score"]}}
+                for row in lexical[:top_k]
+            ]
+        if mode == "semantic":
+            return [
+                {**row, "score_breakdown": {"cosine": row["cosine"]}}
+                for row in semantic[:top_k]
+            ]
+
+        lexical_ids = [row["chunk_id"] for row in lexical]
+        semantic_ids = [row["chunk_id"] for row in semantic]
+        fused = rrf_fuse(
+            {"lexical": lexical_ids, "semantic": semantic_ids}, k=self.config.rrf_k
+        )
+        lexical_map = {row["chunk_id"]: row for row in lexical}
+        semantic_map = {row["chunk_id"]: row for row in semantic}
+
+        output: list[dict[str, Any]] = []
+        for chunk_id, score in list(fused.items())[:top_k]:
+            base = semantic_map.get(chunk_id) or lexical_map.get(chunk_id)
+            if base is None:
+                continue
+            lexical_rank = lexical_ids.index(chunk_id) + 1 if chunk_id in lexical_map else None
+            semantic_rank = semantic_ids.index(chunk_id) + 1 if chunk_id in semantic_map else None
+            output.append(
+                {
+                    "chunk_id": chunk_id,
+                    "path": base["path"],
+                    "heading_path": base["heading_path"],
+                    "chunk_index": base["chunk_index"],
+                    "content": base["content"],
+                    "score_breakdown": {
+                        "rrf": score,
+                        "lexical_rank": lexical_rank,
+                        "semantic_rank": semantic_rank,
+                    },
+                }
+            )
+        return output
+
+    # --- lookups (sqlite_store.py:202-229) ---
+
+    def get_chunk(self, chunk_id: str) -> dict[str, Any] | None:
+        rows = (
+            self.store.chunks()
+            .filter(F.col("chunk_id") == chunk_id)
+            .select("chunk_id", "url", "heading_path", "chunk_index", "content")
+            .collect()
+        )
+        if not rows:
+            return None
+        r = rows[0]
+        return {
+            "chunk_id": r["chunk_id"],
+            "path": r["url"],
+            "heading_path": r["heading_path"],
+            "chunk_index": r["chunk_index"],
+            "content": r["content"],
+        }
+
+    def get_file(self, path: str) -> dict[str, Any] | None:
+        rows = (
+            self.store.chunks()
+            .filter(F.col("url") == path)
+            .orderBy(F.asc("chunk_index"))
+            .select("chunk_id", "heading_path", "chunk_index", "content")
+            .collect()
+        )
+        if not rows:
+            return None
+        return {
+            "path": path,
+            "chunks": [
+                {
+                    "chunk_id": r["chunk_id"],
+                    "heading_path": r["heading_path"],
+                    "chunk_index": r["chunk_index"],
+                    "content": r["content"],
+                }
+                for r in rows
+            ],
+        }
+
+    def index_status(self) -> dict[str, int]:
+        files = self.store.catalog().count() if self.store.exists("catalog") else 0
+        chunks = self.store.chunks().count()
+        embeddings = (
+            self.store.embeddings().count() if self.store.exists("embeddings") else 0
+        )
+        return {"files": int(files), "chunks": int(chunks), "embeddings": int(embeddings)}

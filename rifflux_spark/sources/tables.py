@@ -1,0 +1,231 @@
+"""Index table IO seam.
+
+The reference persists everything in one SQLite file (reference
+src/rifflux/db/schema.sql); the rebuild persists columnar tables under an
+index root directory. In the sandbox this is parquet-by-path; on a cluster
+the same calls target Iceberg (``df.writeTo(table)``) — the seam isolates
+that choice. Explicit StructType schemas everywhere; no inference on the
+hot path (SURVEY.md §1.2).
+
+Physical layout decisions that matter at 10^12 docs:
+
+- ``postings`` is partitioned by ``term_bucket = pmod(xxhash64(term), NB)``
+  and each partition is written sorted by ``(term, salt, block_seq)`` so a
+  query-time ``term IN (...)`` prunes partitions *and* parquet row groups;
+- ``chunks`` is written sorted by ``doc_ord`` so top-k rehydration
+  (``doc_ord IN (...)``) prunes row groups;
+- small tables (``corpus_stats``, ``term_stats`` for query terms,
+  ``lineage``) are read driver-side or broadcast.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CHUNKS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_ord", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("chunk_id", T.StringType(), False),
+        T.StructField("chunk_index", T.IntegerType(), False),
+        T.StructField("heading_path", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("token_count", T.IntegerType(), True),
+        T.StructField("dl", T.IntegerType(), True),  # FTS5 doc length (both cols)
+    ]
+)
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("salt", T.LongType(), False),
+        T.StructField("block_seq", T.LongType(), False),
+        T.StructField("n_docs", T.IntegerType(), False),
+        T.StructField("first_doc", T.LongType(), False),
+        T.StructField("last_doc", T.LongType(), False),
+        T.StructField("gaps", T.BinaryType(), False),
+        T.StructField("tfs", T.BinaryType(), False),
+        T.StructField("dls", T.BinaryType(), False),
+        T.StructField("block_max_wtf", T.DoubleType(), False),
+    ]
+)
+
+TERM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("df_docs", T.LongType(), False),
+        T.StructField("cf", T.LongType(), False),
+    ]
+)
+
+CORPUS_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("n_docs", T.LongType(), False),
+        T.StructField("total_tokens", T.LongType(), False),
+        T.StructField("avgdl", T.DoubleType(), False),
+    ]
+)
+
+EMBEDDINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_ord", T.LongType(), False),
+        T.StructField("chunk_id", T.StringType(), False),
+        T.StructField("model", T.StringType(), False),
+        T.StructField("dim", T.IntegerType(), False),
+        T.StructField("vec", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+CATALOG_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("size_bytes", T.LongType(), True),
+        T.StructField("sha256", T.StringType(), False),
+        T.StructField("n_chunks", T.IntegerType(), False),
+    ]
+)
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("build_id", T.StringType(), False),
+        T.StructField("stage", T.StringType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("rows", T.LongType(), True),
+        T.StructField("bytes", T.LongType(), True),
+        T.StructField("detail", T.StringType(), True),
+        T.StructField("finished_at", T.TimestampType(), True),
+    ]
+)
+
+TOMBSTONES_SCHEMA = T.StructType([T.StructField("doc_ord", T.LongType(), False)])
+
+
+class IndexStore:
+    """Directory-backed index tables (parquet seam for Iceberg tables)."""
+
+    def __init__(self, spark: SparkSession, root: str, n_term_buckets: int = 32) -> None:
+        self.spark = spark
+        self.root = str(root)
+        self.n_term_buckets = n_term_buckets
+
+    def path(self, name: str) -> str:
+        return str(Path(self.root) / name)
+
+    def exists(self, name: str) -> bool:
+        p = Path(self.path(name))
+        return p.exists() and (any(p.glob("*.parquet")) or any(p.glob("*/*.parquet")) or any(p.glob("_SUCCESS")))
+
+    # --- writers ---
+
+    def write_chunks(self, df: DataFrame) -> None:
+        (
+            df.select([f.name for f in CHUNKS_SCHEMA.fields])
+            .repartitionByRange(max(1, self.n_term_buckets // 2), "doc_ord")
+            .sortWithinPartitions("doc_ord")
+            .write.mode("overwrite")
+            .parquet(self.path("chunks"))
+        )
+
+    def write_postings(self, df: DataFrame, mode: str = "overwrite") -> None:
+        with_bucket = df.withColumn(
+            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(self.n_term_buckets))
+        )
+        (
+            with_bucket.repartition(self.n_term_buckets, "term_bucket")
+            .sortWithinPartitions("term", "salt", "block_seq")
+            .write.mode(mode)
+            .partitionBy("term_bucket")
+            .parquet(self.path("postings"))
+        )
+
+    def write_small(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
+        df.coalesce(1).write.mode(mode).parquet(self.path(name))
+
+    def write_term_stats(self, df: DataFrame) -> None:
+        with_bucket = df.withColumn(
+            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(self.n_term_buckets))
+        )
+        (
+            with_bucket.repartition(max(1, self.n_term_buckets // 4), "term_bucket")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(self.path("term_stats"))
+        )
+
+    def write_embeddings(self, df: DataFrame) -> None:
+        (
+            df.select([f.name for f in EMBEDDINGS_SCHEMA.fields])
+            .repartitionByRange(max(1, self.n_term_buckets // 2), "doc_ord")
+            .sortWithinPartitions("doc_ord")
+            .write.mode("overwrite")
+            .parquet(self.path("embeddings"))
+        )
+
+    def append_lineage(self, rows: list[dict]) -> None:
+        df = self.spark.createDataFrame(
+            [
+                (
+                    r["build_id"],
+                    r["stage"],
+                    r["status"],
+                    r.get("rows"),
+                    r.get("bytes"),
+                    r.get("detail"),
+                    r.get("finished_at"),
+                )
+                for r in rows
+            ],
+            schema=LINEAGE_SCHEMA,
+        )
+        df.coalesce(1).write.mode("append").parquet(self.path("lineage"))
+
+    # --- readers ---
+
+    def chunks(self) -> DataFrame:
+        return self.spark.read.schema(CHUNKS_SCHEMA).parquet(self.path("chunks"))
+
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(self.path("postings"))
+
+    def postings_for_terms(self, terms: list[str]) -> DataFrame:
+        """Bucket + term filter — both push into the parquet scan."""
+        if not terms:
+            return self.postings().limit(0)
+        buckets = sorted(
+            {
+                int(b["b"])
+                for b in self.spark.createDataFrame([(t,) for t in terms], "term string")
+                .select(F.pmod(F.xxhash64("term"), F.lit(self.n_term_buckets)).alias("b"))
+                .collect()
+            }
+        )
+        return self.postings().filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+
+    def term_stats(self) -> DataFrame:
+        return self.spark.read.parquet(self.path("term_stats"))
+
+    def corpus_stats(self) -> dict:
+        row = self.spark.read.schema(CORPUS_STATS_SCHEMA).parquet(self.path("corpus_stats")).first()
+        return {"n_docs": row["n_docs"], "total_tokens": row["total_tokens"], "avgdl": row["avgdl"]}
+
+    def embeddings(self) -> DataFrame:
+        return self.spark.read.schema(EMBEDDINGS_SCHEMA).parquet(self.path("embeddings"))
+
+    def catalog(self) -> DataFrame:
+        return self.spark.read.schema(CATALOG_SCHEMA).parquet(self.path("catalog"))
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.path("lineage"))
+
+    def tombstones(self) -> DataFrame:
+        if not self.exists("tombstones"):
+            return self.spark.createDataFrame([], schema=TOMBSTONES_SCHEMA)
+        return self.spark.read.schema(TOMBSTONES_SCHEMA).parquet(self.path("tombstones"))
