@@ -100,6 +100,47 @@ def resolve_embedder(
     return _hash_bundle(dim)
 
 
+# per-(process, dim) memo of token -> (bucket index, signed weight): web
+# text is Zipf-distributed, so across an Arrow batch almost every token is
+# a cache hit and the sha256 cost amortizes to ~0. Executor-local, bounded.
+_TOKEN_CACHE: dict[int, dict[str, tuple[int, float]]] = {}
+_TOKEN_CACHE_MAX = 1 << 20
+
+
+def _token_params(token: str, dim: int) -> tuple[int, float]:
+    cache = _TOKEN_CACHE.setdefault(dim, {})
+    hit = cache.get(token)
+    if hit is None:
+        digest = hashlib.sha256(token.encode("utf-8")).digest()
+        index = int.from_bytes(digest[:4], "big") % dim
+        sign = -1.0 if digest[4] & 1 else 1.0
+        weight = float(np.float32(sign * (1.0 + digest[5] / 255.0)))
+        hit = (index, weight)
+        if len(cache) < _TOKEN_CACHE_MAX:
+            cache[token] = hit
+    return hit
+
+
+def _hash_embed_cached(text: str, dim: int) -> list[float]:
+    vec = np.zeros(dim, dtype=np.float32)
+    tokens = TOKEN_RE.findall(text.lower())
+    if not tokens:
+        return vec.tolist()
+    idx = np.empty(len(tokens), dtype=np.int64)
+    w = np.empty(len(tokens), dtype=np.float32)
+    for i, token in enumerate(tokens):
+        idx[i], w[i] = _token_params(token, dim)
+    np.add.at(vec, idx, w)
+    norm = np.linalg.norm(vec)
+    if norm > 0:
+        vec = (vec / norm).astype(np.float32)
+    return vec.tolist()
+
+
 def embed_series(texts: pd.Series, dim: int = 384) -> pd.Series:
-    """Arrow-batch pandas UDF body: text -> list[float] (len == dim)."""
-    return texts.map(lambda t: hash_embed(t if isinstance(t, str) else "", dim).tolist())
+    """Arrow-batch pandas UDF body: text -> list[float] (len == dim).
+
+    Bit-equivalent to :func:`hash_embed` (same float32 accumulate order);
+    the token-parameter memo only skips recomputing sha256 digests.
+    """
+    return texts.map(lambda t: _hash_embed_cached(t if isinstance(t, str) else "", dim))

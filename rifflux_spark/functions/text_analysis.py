@@ -1,0 +1,88 @@
+"""Text-analysis column builders for training-data pipelines.
+
+Language-ID heuristics, quality scoring, token counting and document
+fingerprinting over a text column — all pure Catalyst expressions
+(split/filter/transform/aggregate on arrays + hash functions), so they
+stay inside whole-stage codegen with no Python on the hot path, and each
+has a 1:1 ANSI-SQL twin for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small fixed English stopword list for ratio features (deterministic)
+EN_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "for", "on", "with"]
+
+
+def ascii_tokens(text: Column) -> Column:
+    """lowercase [0-9a-z]+ runs — the ASCII projection of the FTS5
+    tokenizer, as a native expression (split on non-alnum, drop empties)."""
+    return F.filter(
+        F.split(F.lower(text), "[^0-9a-z]+"),
+        lambda t: t != F.lit(""),
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(ascii_tokens(text)).cast("long")
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Reference chunker token_count semantics (\\S+ runs)."""
+    return F.size(F.filter(F.split(text, "\\s+"), lambda t: t != F.lit(""))).cast("long")
+
+
+def mean_word_len(text: Column) -> Column:
+    toks = ascii_tokens(text)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    stopwords = stopwords or EN_STOPWORDS
+    toks = ascii_tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(stopwords)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not [0-9a-z ] after lowering."""
+    lowered = F.lower(text)
+    clean = F.regexp_replace(lowered, "[0-9a-z ]", "")
+    return F.when(F.length(text) > 0, F.length(clean) / F.length(text)).otherwise(F.lit(0.0))
+
+
+def lang_guess(text: Column, threshold: float = 0.01) -> Column:
+    """N-gram-free heuristic language ID: English if the en-stopword ratio
+    clears a threshold. (Decode-free stand-in for a real LID model; the
+    plumbing — pure-expression feature + threshold — is the deliverable.)"""
+    return F.when(stopword_ratio(text) >= threshold, F.lit("en")).otherwise(F.lit("und"))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality: length band + low punctuation + plausible
+    word length. Deterministic, expression-only."""
+    tc = token_count(text)
+    len_ok = F.when((tc >= 20) & (tc <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(text) <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    mwl = mean_word_len(text)
+    mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (len_ok + punct_ok + mwl_ok) / F.lit(3.0)
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as strings."""
+    toks = ascii_tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(grams)
+
+
+def fingerprint(text: Column, n: int = 5) -> Column:
+    """Min-hash document fingerprint: lexicographic min of md5(shingle) —
+    robust to reordering-free edits, cheap to compare (winnowing k=1)."""
+    grams = shingles(text, n)
+    hashed = F.transform(grams, lambda g: F.md5(g))
+    return F.when(F.size(grams) > 0, F.array_min(hashed)).otherwise(F.md5(F.coalesce(text, F.lit(""))))

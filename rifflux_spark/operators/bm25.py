@@ -106,6 +106,8 @@ def bm25_topk(
     top_k: int = 10,
     config: EngineConfig | None = None,
     prune: bool = True,
+    cstats: dict | None = None,
+    min_blocks_to_prune: int = 64,
 ) -> DataFrame:
     """Top-k lexical search → (doc_ord, bm25_score) with FTS5's negated
     score convention, best first.
@@ -119,7 +121,7 @@ def bm25_topk(
         return spark.createDataFrame(
             [], "doc_ord long, bm25_score double"
         )
-    cstats = store.corpus_stats()
+    cstats = cstats or store.corpus_stats()
     n_docs, avgdl = int(cstats["n_docs"]), float(cstats["avgdl"])
     idf = idf_for_terms(store, sorted(set(terms)), n_docs)
     # FTS5 scores every phrase instance: a term repeated in the query
@@ -136,7 +138,7 @@ def bm25_topk(
     blocks = store.postings_for_terms(terms)
 
     if prune:
-        blocks = _prune_blocks(blocks, idf, top_k, avgdl, config)
+        blocks = _prune_blocks(blocks, idf, top_k, avgdl, config, min_blocks_to_prune)
 
     scored = _score_blocks(blocks, idf, avgdl, config.bm25_k1, config.bm25_b)
     topk = (
@@ -154,15 +156,16 @@ def _prune_blocks(
     top_k: int,
     avgdl: float,
     config: EngineConfig,
+    min_blocks_to_prune: int = 64,
 ) -> DataFrame:
     """Drop blocks that provably cannot host any top-k doc.
 
     Driver-side on block *metadata* only (one row per block for the query's
     terms — tiny even at web scale). Falls back to no-op when there are
-    fewer blocks than needed to establish a threshold.
+    fewer blocks than the seed pass would cost to justify.
     """
     meta = blocks.select("term", "salt", "block_seq", "n_docs", "block_max_wtf").collect()
-    if not meta:
+    if len(meta) < min_blocks_to_prune:
         return blocks
     ub = [
         (r["term"], int(r["salt"]), int(r["block_seq"]), int(r["n_docs"]),

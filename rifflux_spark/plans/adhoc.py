@@ -1,0 +1,156 @@
+"""Ad-hoc (index-free) forms of the engine's logical operators.
+
+These run the same semantics as the physical posting-index path — same
+tokenizer, same BM25 conventions — directly over a corpus DataFrame with
+pure Catalyst ops. They exist for (a) the DuckDB correctness oracle in
+``__spark_entry__.py`` (each has an ANSI-SQL twin) and (b) one-shot
+queries where building the index isn't worth it. The physical index path
+is verified separately against SQLite FTS5 (tests/test_bm25_rank_identity).
+
+Scale note: the ad-hoc BM25 filters to the query's terms *before* the
+tf aggregation, so the shuffle carries only matching (doc, term) pairs —
+the same reduction the posting index gives, minus its persistence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rifflux_spark.functions.tokenizer import compile_query
+from rifflux_spark.operators.postings import tokenize_udf
+
+
+def tokenized_docs(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, tokens, dl) with the FTS5-parity tokenizer."""
+    return documents.select(
+        F.col(id_col),
+        tokenize_udf(F.col(text_col)).alias("tokens"),
+    ).withColumn("dl", F.size("tokens").cast("long"))
+
+
+def bm25_logical(
+    documents: DataFrame,
+    query: str,
+    top_k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """BM25 top-k as one declarative plan over a raw corpus table.
+
+    Output: (doc_id, bm25_score) — FTS5 negated convention, ties by id.
+    """
+    terms = compile_query(query)
+    spark = documents.sparkSession
+    if not terms:
+        return spark.createDataFrame([], f"{id_col} long, bm25_score double")
+    mult: dict[str, int] = {}
+    for t in terms:
+        mult[t] = mult.get(t, 0) + 1
+
+    toks = tokenized_docs(documents, id_col, text_col)
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), (F.sum("dl") / F.count("*")).alias("avgdl")
+    )
+
+    exploded = toks.select(id_col, "dl", F.explode("tokens").alias("term")).filter(
+        F.col("term").isin(list(mult))
+    )
+    tf = exploded.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    mult_df = spark.createDataFrame(list(mult.items()), "term string, mult int")
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(mult_df), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf_raw",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "idf", F.when(F.col("idf_raw") <= 0, F.lit(1e-6)).otherwise(F.col("idf_raw"))
+        )
+        .withColumn(
+            "contrib",
+            F.col("mult")
+            * F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    topk = (
+        scored.groupBy(id_col)
+        .agg(F.sum("contrib").alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(top_k)
+    )
+    out = topk.select(F.col(id_col), (-F.col("score")).alias("bm25_score"))
+    if round_to is not None:
+        out = out.select(id_col, F.round("bm25_score", round_to).alias("bm25_score"))
+    return out
+
+
+def bm25_oracle_sql(
+    query: str,
+    top_k: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 4,
+) -> str:
+    """The DuckDB twin of :func:`bm25_logical` (ASCII corpora: the FTS5
+    tokenizer reduces to lowercase [0-9a-z]+ runs)."""
+    terms = compile_query(query)
+    mult: dict[str, int] = {}
+    for t in terms:
+        mult[t] = mult.get(t, 0) + 1
+    terms_values = ", ".join(f"('{t}', {m})" for t, m in sorted(mult.items()))
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, u.t AS term
+  FROM {table}, unnest(string_split_regex(lower({text_col}), '[^0-9a-z]+')) AS u(t)
+  WHERE u.t <> ''
+),
+dl AS (
+  SELECT {id_col},
+         len(list_filter(string_split_regex(lower({text_col}), '[^0-9a-z]+'), x -> x <> '')) AS dl
+  FROM {table}
+),
+stats AS (
+  SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl
+),
+qterms(term, mult) AS (VALUES {terms_values}),
+tf AS (
+  SELECT toks.{id_col}, toks.term, count(*) AS tf
+  FROM toks JOIN qterms ON toks.term = qterms.term
+  GROUP BY 1, 2
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.{id_col},
+         sum(
+           qterms.mult *
+           (CASE WHEN ln((stats.n_docs - dft.df + 0.5) / (dft.df + 0.5)) <= 0
+                 THEN 1e-6
+                 ELSE ln((stats.n_docs - dft.df + 0.5) / (dft.df + 0.5)) END) *
+           (tf.tf * ({k1} + 1.0)) /
+           (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / stats.avgdl))
+         ) AS score
+  FROM tf
+  JOIN dft USING (term)
+  JOIN qterms ON tf.term = qterms.term
+  JOIN dl ON dl.{id_col} = tf.{id_col}
+  CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT {id_col}, round(-score, {round_to}) AS bm25_score
+FROM scored
+ORDER BY score DESC, {id_col} ASC
+LIMIT {top_k}
+""".strip()

@@ -14,6 +14,10 @@ idempotent. Task-level transient failures are Spark's own retries
 Posting shards: term buckets are processed in ``n_build_shards`` groups —
 each group is an independent job + lineage row, so a killed build resumes
 from the last completed shard (north_rule "resumable from checkpoint").
+
+Pipeline economics: the chunk/tokenize UDF output is persisted ONCE and
+feeds every downstream stage (chunk sink, corpus stats, tf, embeddings) —
+the expensive Python stages run exactly one pass over the corpus.
 """
 
 from __future__ import annotations
@@ -22,26 +26,24 @@ import datetime as dt
 import hashlib
 from pathlib import Path
 
+import pandas as pd
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
 
-import pandas as pd
-
 from rifflux_spark.config import EngineConfig
 from rifflux_spark.functions.embedder import embed_series
-from rifflux_spark.operators.doc_ids import assign_doc_ords
+from rifflux_spark.operators.doc_ids import sparse_ordinals
 from rifflux_spark.operators.postings import (
     chunk_pages,
-    corpus_stats,
     encode_postings,
     term_frequencies,
     term_stats,
     with_tokens,
 )
-from rifflux_spark.sources.tables import CORPUS_STATS_SCHEMA, IndexStore
+from rifflux_spark.sources.tables import IndexStore
 
 
 def _dir_bytes(path: str) -> int:
@@ -55,24 +57,39 @@ def make_build_id(pages: DataFrame, config: EngineConfig) -> str:
     """Deterministic id over the input fingerprint + physical config, so a
     re-run of the same build resumes rather than restarts."""
     n = pages.count()
-    sig = f"{n}:{config.block_size}:{config.salt_range}:{config.n_term_buckets}:{config.max_chunk_chars}:{config.min_chunk_chars}"
+    sig = (
+        f"{n}:{config.block_size}:{config.salt_range}:{config.n_term_buckets}:"
+        f"{config.max_chunk_chars}:{config.min_chunk_chars}"
+    )
     return hashlib.sha256(sig.encode()).hexdigest()[:16]
 
 
 def completed_stages(store: IndexStore, build_id: str) -> set[str]:
-    if not store.exists("lineage"):
-        return set()
-    rows = (
-        store.lineage()
-        .filter((F.col("build_id") == build_id) & (F.col("status") == "completed"))
-        .select("stage")
-        .collect()
-    )
-    return {r["stage"] for r in rows}
+    return {
+        r["stage"]
+        for r in store.read_lineage_rows()
+        if r.get("build_id") == build_id and r.get("status") == "completed"
+    }
 
 
 def _now() -> dt.datetime:
     return dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+
+
+def _mark(store: IndexStore, build_id: str, stage: str, rows: int | None, path: str, detail: str | None = None) -> None:
+    store.append_lineage(
+        [
+            {
+                "build_id": build_id,
+                "stage": stage,
+                "status": "completed",
+                "rows": rows,
+                "bytes": _dir_bytes(path),
+                "detail": detail,
+                "finished_at": _now(),
+            }
+        ]
+    )
 
 
 def build_index(
@@ -85,62 +102,64 @@ def build_index(
     with_embeddings: bool = True,
 ) -> dict:
     """Build the full index under ``index_dir``. Returns metrics."""
+    import time as _time
+
     config = config or EngineConfig()
     dim = embedding_dim or config.embedding_dim
     store = IndexStore(spark, index_dir, config.n_term_buckets)
     build_id = build_id or make_build_id(pages, config)
     done = completed_stages(store, build_id)
     metrics: dict = {"build_id": build_id, "skipped_stages": sorted(done)}
+    stage_sec: dict[str, float] = {}
+    metrics["stage_sec"] = stage_sec
+    _t = _time.perf_counter()
 
-    # --- stage: chunks (chunk UDF + explode + dense doc ordinals) ---
-    if "chunks" not in done:
-        chunks = chunk_pages(pages, config)
-        chunks = assign_doc_ords(chunks, ["url", "chunk_index"])
-        chunks = with_tokens(chunks).persist(StorageLevel.MEMORY_AND_DISK)
-        store.write_chunks(chunks)
-        n_chunks = store.chunks().count()
-        store.append_lineage(
-            [
-                {
-                    "build_id": build_id,
-                    "stage": "chunks",
-                    "status": "completed",
-                    "rows": n_chunks,
-                    "bytes": _dir_bytes(store.path("chunks")),
-                    "detail": None,
-                    "finished_at": _now(),
-                }
-            ]
-        )
-        chunks.unpersist()
-        metrics["n_chunks"] = n_chunks
+    def _lap(name: str) -> None:
+        nonlocal _t
+        now = _time.perf_counter()
+        stage_sec[name] = round(now - _t, 2)
+        _t = now
 
-    # re-derive tokenized chunks from the persisted table (cheap, columnar)
-    tokenized = with_tokens(store.chunks().select("doc_ord", "url", "chunk_id", "chunk_index", "heading_path", "content", "token_count"))
+    # --- tokenized chunks: ONE Python-UDF pass, staged to parquet ---
+    # Range-partition the PAGES by url (the sampling job prunes to one
+    # small column — never runs the chunk UDF), then chunk + tokenize +
+    # sort + sparse ordinals as one narrow stage written straight to a
+    # staging table. No DataFrame cache anywhere: caching array<string>
+    # columns pays heavy columnar-compression CPU under concurrency;
+    # parquet staging is cheaper and column-prunes for every consumer.
+    resuming_chunks = "chunks" in done
+    if not resuming_chunks:
+        n_part = spark.sparkContext.defaultParallelism
+        pages_parted = pages.repartitionByRange(n_part, "url")
+        chunks = chunk_pages(pages_parted, config).sortWithinPartitions("url", "chunk_index")
+        tokenized = sparse_ordinals(with_tokens(chunks))
+        store.write_chunks(tokenized, ordered=True)
+    _lap("chunks_udf_write")
+    staged = store.chunks()
 
-    # --- stage: corpus stats ---
+    # one cheap column-pruned agg: chunk count + token totals
+    agg = staged.agg(F.count("*").alias("n"), F.sum("dl").alias("sdl")).collect()[0]
+    n_chunks, total_tokens = int(agg["n"]), int(agg["sdl"] or 0)
+    _lap("stats_agg")
+    metrics["n_chunks"] = n_chunks
+    if not resuming_chunks:
+        _mark(store, build_id, "chunks", n_chunks, store.path("chunks"))
+
+    # --- corpus stats (driver-side) ---
     if "stats" not in done:
-        cs = corpus_stats(tokenized)
-        store.write_small(cs.select([f.name for f in CORPUS_STATS_SCHEMA.fields]), "corpus_stats")
-        store.append_lineage(
-            [
-                {
-                    "build_id": build_id,
-                    "stage": "stats",
-                    "status": "completed",
-                    "rows": 1,
-                    "bytes": _dir_bytes(store.path("corpus_stats")),
-                    "detail": None,
-                    "finished_at": _now(),
-                }
-            ]
-        )
+        avgdl = total_tokens / n_chunks if n_chunks else 0.0
+        store.write_corpus_stats(n_chunks, total_tokens, avgdl)
+        _mark(store, build_id, "stats", 1, store.path("corpus_stats"))
     avgdl = float(store.corpus_stats()["avgdl"])
+    tokenized = staged
 
-    # --- stages: posting shards (checkpoint unit) + term stats ---
-    tf = term_frequencies(tokenized).persist(StorageLevel.MEMORY_AND_DISK)
+    # --- posting shards (checkpoint/resume unit) + term stats ---
     shard_stages = [f"postings_shard_{s}" for s in range(config.n_build_shards)]
-    if any(st not in done for st in shard_stages):
+    need_tf = any(st not in done for st in shard_stages) or "term_stats" not in done
+    if need_tf:
+        # tf reads column-pruned (doc_ord, dl, tokens) from staging; the
+        # aggregated (term, doc, tf) frame is small enough to cache
+        tf = term_frequencies(tokenized).persist(StorageLevel.MEMORY_AND_DISK)
         for s, stage in enumerate(shard_stages):
             if stage in done:
                 continue
@@ -149,67 +168,37 @@ def build_index(
             )
             blocks = encode_postings(shard_tf, avgdl, config)
             store.write_postings(blocks, mode="overwrite")  # dynamic partition overwrite
-            store.append_lineage(
-                [
-                    {
-                        "build_id": build_id,
-                        "stage": stage,
-                        "status": "completed",
-                        "rows": None,
-                        "bytes": _dir_bytes(store.path("postings")),
-                        "detail": f"shard {s}/{config.n_build_shards}",
-                        "finished_at": _now(),
-                    }
-                ]
+            _lap(f"postings_{s}")
+            _mark(
+                store, build_id, stage, None, store.path("postings"),
+                detail=f"shard {s}/{config.n_build_shards}",
             )
+        if "term_stats" not in done:
+            store.write_term_stats(term_stats(tf))
+            _lap("term_stats")
+            _mark(store, build_id, "term_stats", None, store.path("term_stats"))
+        tf.unpersist()
 
-    if "term_stats" not in done:
-        store.write_term_stats(term_stats(tf))
-        store.append_lineage(
-            [
-                {
-                    "build_id": build_id,
-                    "stage": "term_stats",
-                    "status": "completed",
-                    "rows": None,
-                    "bytes": _dir_bytes(store.path("term_stats")),
-                    "detail": None,
-                    "finished_at": _now(),
-                }
-            ]
-        )
-    tf.unpersist()
-
-    # --- stage: embeddings ---
+    # --- embeddings (reuses the cached content column) ---
     if with_embeddings and "embeddings" not in done:
         @pandas_udf(T.ArrayType(T.FloatType()))
         def embed_udf(texts: pd.Series) -> pd.Series:
             return embed_series(texts, dim=dim)
 
-        emb = store.chunks().select(
+        emb = tokenized.select(
             "doc_ord",
             "chunk_id",
             F.lit(f"hash-{dim}").alias("model"),
             F.lit(dim).alias("dim"),
             embed_udf("content").alias("vec"),
         )
-        store.write_embeddings(emb)
-        store.append_lineage(
-            [
-                {
-                    "build_id": build_id,
-                    "stage": "embeddings",
-                    "status": "completed",
-                    "rows": None,
-                    "bytes": _dir_bytes(store.path("embeddings")),
-                    "detail": f"hash-{dim}",
-                    "finished_at": _now(),
-                }
-            ]
-        )
+        store.write_embeddings(emb, ordered=True)
+        _lap("embeddings")
+        _mark(store, build_id, "embeddings", n_chunks, store.path("embeddings"), detail=f"hash-{dim}")
 
-    # --- stage: catalog (for incremental diffing) ---
+    # --- catalog (for incremental diffing) ---
     if "catalog" not in done:
+        per_url = tokenized.groupBy("url").agg(F.count("*").cast("int").alias("n_chunks"))
         cat = (
             pages.select(
                 "url",
@@ -217,27 +206,12 @@ def build_index(
                 F.length("text").cast("long").alias("size_bytes"),
                 F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("sha256"),
             )
-            .join(
-                store.chunks().groupBy("url").agg(F.count("*").cast("int").alias("n_chunks")),
-                on="url",
-                how="left",
-            )
+            .join(per_url, on="url", how="left")
             .withColumn("n_chunks", F.coalesce("n_chunks", F.lit(0)))
         )
         store.write_small(cat, "catalog")
-        store.append_lineage(
-            [
-                {
-                    "build_id": build_id,
-                    "stage": "catalog",
-                    "status": "completed",
-                    "rows": None,
-                    "bytes": _dir_bytes(store.path("catalog")),
-                    "detail": None,
-                    "finished_at": _now(),
-                }
-            ]
-        )
+        _lap("catalog")
+        _mark(store, build_id, "catalog", None, store.path("catalog"))
 
     metrics["n_docs"] = int(store.corpus_stats()["n_docs"])
     metrics["avgdl"] = avgdl

@@ -45,11 +45,20 @@ class SearchService:
         self.embed_query = embed_query or (
             lambda q: hash_embed(q, dim=self.config.embedding_dim)
         )
+        self._cstats: dict | None = None
+
+    def _corpus_stats(self) -> dict:
+        if self._cstats is None:
+            self._cstats = self.store.corpus_stats()
+        return self._cstats
 
     # --- modality primitives ---
 
     def lexical(self, query: str, top_k: int, prune: bool = True) -> list[dict[str, Any]]:
-        topk = bm25_topk(self.spark, self.store, query, top_k, self.config, prune=prune)
+        topk = bm25_topk(
+            self.spark, self.store, query, top_k, self.config,
+            prune=prune, cstats=self._corpus_stats(),
+        )
         rows = (
             topk.join(self.store.chunks(), on="doc_ord", how="inner")
             .select("chunk_id", "url", "heading_path", "chunk_index", "content", "bm25_score", "doc_ord")
@@ -71,7 +80,7 @@ class SearchService:
     def semantic(self, query_vector, top_k: int) -> list[dict[str, Any]]:
         if query_vector is None:
             return []
-        topk = semantic_topk(self.store.embeddings(), query_vector, top_k)
+        topk = semantic_topk(self.store.embeddings(), query_vector, top_k, id_cols=["doc_ord"])
         rows = (
             topk.join(self.store.chunks(), on="doc_ord", how="inner")
             .select("chunk_id", "url", "heading_path", "chunk_index", "content", "cosine", "doc_ord")

@@ -8,7 +8,23 @@ leave the 200/AQE default or size to cores).
 
 from __future__ import annotations
 
+import tempfile
+import zipfile
+from pathlib import Path
+
 from pyspark.sql import SparkSession
+
+
+def package_zip() -> str:
+    """Zip the rifflux_spark package for shipping to executors — the
+    ``spark-submit --py-files`` artifact (north_rule). Built lazily into
+    the session temp dir; cheap (~100KB)."""
+    pkg_root = Path(__file__).resolve().parent
+    out = Path(tempfile.gettempdir()) / "rifflux_spark_pyfiles.zip"
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for py in sorted(pkg_root.rglob("*.py")):
+            zf.write(py, f"rifflux_spark/{py.relative_to(pkg_root)}")
+    return str(out)
 
 
 def get_spark(
@@ -26,12 +42,14 @@ def get_spark(
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
-        # parquet writers: one sorted row group per ~16MB keeps term-range
-        # min/max stats tight for posting pruning
-        "spark.sql.parquet.compression.codec": "zstd",
+        # snappy: write stages pipeline a JVM writer thread against a
+        # Python UDF worker per slot — heavy codecs double CPU pressure
+        # at full parallelism for little size gain on this data
+        "spark.sql.parquet.compression.codec": "snappy",
         "spark.sql.sources.partitionOverwriteMode": "dynamic",
         "spark.ui.enabled": "false",
-        "spark.driver.memory": "8g",
+        "spark.driver.memory": "16g",
+        "spark.driver.maxResultSize": "4g",
     }
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
@@ -39,4 +57,8 @@ def get_spark(
         conf.update(extra_conf)
     for key, value in conf.items():
         builder = builder.config(key, value)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # ship the package to executor Python workers regardless of driver cwd
+    # (the spark-submit --py-files equivalent, applied programmatically)
+    spark.sparkContext.addPyFile(package_zip())
+    return spark

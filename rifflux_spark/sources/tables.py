@@ -20,11 +20,16 @@ Physical layout decisions that matter at 10^12 docs:
 
 from __future__ import annotations
 
+import datetime
+import json
+import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from rifflux_spark.functions.xxhash64 import term_bucket
 
 CHUNKS_SCHEMA = T.StructType(
     [
@@ -36,6 +41,11 @@ CHUNKS_SCHEMA = T.StructType(
         T.StructField("content", T.StringType(), True),
         T.StructField("token_count", T.IntegerType(), True),
         T.StructField("dl", T.IntegerType(), True),  # FTS5 doc length (both cols)
+        # pre-tokenized columns: written once by the build's single UDF
+        # pass and column-pruned away by every query-path reader; posting
+        # (re)builds and stats consume them without re-running Python
+        T.StructField("content_tokens", T.ArrayType(T.StringType()), True),
+        T.StructField("heading_tokens", T.ArrayType(T.StringType()), True),
     ]
 )
 
@@ -122,14 +132,16 @@ class IndexStore:
 
     # --- writers ---
 
-    def write_chunks(self, df: DataFrame) -> None:
-        (
-            df.select([f.name for f in CHUNKS_SCHEMA.fields])
-            .repartitionByRange(max(1, self.n_term_buckets // 2), "doc_ord")
-            .sortWithinPartitions("doc_ord")
-            .write.mode("overwrite")
-            .parquet(self.path("chunks"))
-        )
+    def write_chunks(self, df: DataFrame, ordered: bool = False) -> None:
+        """``ordered=True``: the frame is already globally ordered by
+        doc_ord (build plan) — write as-is, row-group stats stay tight
+        without paying another range shuffle."""
+        out = df.select([f.name for f in CHUNKS_SCHEMA.fields])
+        if not ordered:
+            out = out.repartitionByRange(
+                max(1, self.n_term_buckets // 2), "doc_ord"
+            ).sortWithinPartitions("doc_ord")
+        out.write.mode("overwrite").parquet(self.path("chunks"))
 
     def write_postings(self, df: DataFrame, mode: str = "overwrite") -> None:
         with_bucket = df.withColumn(
@@ -146,6 +158,24 @@ class IndexStore:
     def write_small(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
         df.coalesce(1).write.mode(mode).parquet(self.path(name))
 
+    def write_corpus_stats(self, n_docs: int, total_tokens: int, avgdl: float) -> None:
+        """One-row table: write driver-side via pyarrow — a Spark job for
+        one row costs ~0.5-1s of scheduler/committer overhead per build.
+        (Iceberg target: a snapshot-properties or stats-table append.)"""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        out = Path(self.path("corpus_stats"))
+        out.mkdir(parents=True, exist_ok=True)
+        table = pa.table(
+            {
+                "n_docs": pa.array([n_docs], pa.int64()),
+                "total_tokens": pa.array([total_tokens], pa.int64()),
+                "avgdl": pa.array([avgdl], pa.float64()),
+            }
+        )
+        pq.write_table(table, out / "part-0.parquet")
+
     def write_term_stats(self, df: DataFrame) -> None:
         with_bucket = df.withColumn(
             "term_bucket", F.pmod(F.xxhash64("term"), F.lit(self.n_term_buckets))
@@ -158,32 +188,43 @@ class IndexStore:
             .parquet(self.path("term_stats"))
         )
 
-    def write_embeddings(self, df: DataFrame) -> None:
-        (
-            df.select([f.name for f in EMBEDDINGS_SCHEMA.fields])
-            .repartitionByRange(max(1, self.n_term_buckets // 2), "doc_ord")
-            .sortWithinPartitions("doc_ord")
-            .write.mode("overwrite")
-            .parquet(self.path("embeddings"))
-        )
+    def write_embeddings(self, df: DataFrame, ordered: bool = False) -> None:
+        out = df.select([f.name for f in EMBEDDINGS_SCHEMA.fields])
+        if not ordered:
+            out = out.repartitionByRange(
+                max(1, self.n_term_buckets // 2), "doc_ord"
+            ).sortWithinPartitions("doc_ord")
+        out.write.mode("overwrite").parquet(self.path("embeddings"))
 
     def append_lineage(self, rows: list[dict]) -> None:
-        df = self.spark.createDataFrame(
-            [
-                (
-                    r["build_id"],
-                    r["stage"],
-                    r["status"],
-                    r.get("rows"),
-                    r.get("bytes"),
-                    r.get("detail"),
-                    r.get("finished_at"),
-                )
-                for r in rows
-            ],
-            schema=LINEAGE_SCHEMA,
-        )
-        df.coalesce(1).write.mode("append").parquet(self.path("lineage"))
+        """Lineage rows are driver-side metadata (a handful of rows per
+        build): write them as JSONL directly — a full Spark write job for
+        one row costs seconds of fixed overhead. On Iceberg this is a
+        metadata-table append; the seam keeps that swap local."""
+        lineage_dir = Path(self.path("lineage"))
+        lineage_dir.mkdir(parents=True, exist_ok=True)
+        payload = []
+        for r in rows:
+            r = dict(r)
+            ts = r.get("finished_at")
+            if ts is not None:
+                r["finished_at"] = ts.isoformat()
+            payload.append(json.dumps(r))
+        fname = f"lineage-{uuid.uuid4().hex}.jsonl"
+        tmp = lineage_dir / (fname + ".tmp")
+        tmp.write_text("\n".join(payload) + "\n", encoding="utf-8")
+        tmp.rename(lineage_dir / fname)
+
+    def read_lineage_rows(self) -> list[dict]:
+        lineage_dir = Path(self.path("lineage"))
+        out: list[dict] = []
+        if not lineage_dir.exists():
+            return out
+        for f in sorted(lineage_dir.glob("lineage-*.jsonl")):
+            for line in f.read_text(encoding="utf-8").splitlines():
+                if line.strip():
+                    out.append(json.loads(line))
+        return out
 
     # --- readers ---
 
@@ -197,14 +238,7 @@ class IndexStore:
         """Bucket + term filter — both push into the parquet scan."""
         if not terms:
             return self.postings().limit(0)
-        buckets = sorted(
-            {
-                int(b["b"])
-                for b in self.spark.createDataFrame([(t,) for t in terms], "term string")
-                .select(F.pmod(F.xxhash64("term"), F.lit(self.n_term_buckets)).alias("b"))
-                .collect()
-            }
-        )
+        buckets = sorted({term_bucket(t, self.n_term_buckets) for t in terms})
         return self.postings().filter(
             F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
         )
@@ -213,8 +247,16 @@ class IndexStore:
         return self.spark.read.parquet(self.path("term_stats"))
 
     def corpus_stats(self) -> dict:
-        row = self.spark.read.schema(CORPUS_STATS_SCHEMA).parquet(self.path("corpus_stats")).first()
-        return {"n_docs": row["n_docs"], "total_tokens": row["total_tokens"], "avgdl": row["avgdl"]}
+        import pyarrow.parquet as pq
+
+        files = sorted(Path(self.path("corpus_stats")).glob("*.parquet"))
+        table = pq.read_table(files[0])
+        row = table.to_pylist()[0]
+        return {
+            "n_docs": int(row["n_docs"]),
+            "total_tokens": int(row["total_tokens"]),
+            "avgdl": float(row["avgdl"]),
+        }
 
     def embeddings(self) -> DataFrame:
         return self.spark.read.schema(EMBEDDINGS_SCHEMA).parquet(self.path("embeddings"))
@@ -223,7 +265,20 @@ class IndexStore:
         return self.spark.read.schema(CATALOG_SCHEMA).parquet(self.path("catalog"))
 
     def lineage(self) -> DataFrame:
-        return self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.path("lineage"))
+        rows = self.read_lineage_rows()
+        data = [
+            (
+                r.get("build_id"),
+                r.get("stage"),
+                r.get("status"),
+                r.get("rows"),
+                r.get("bytes"),
+                r.get("detail"),
+                datetime.datetime.fromisoformat(r["finished_at"]) if r.get("finished_at") else None,
+            )
+            for r in rows
+        ]
+        return self.spark.createDataFrame(data, schema=LINEAGE_SCHEMA)
 
     def tombstones(self) -> DataFrame:
         if not self.exists("tombstones"):

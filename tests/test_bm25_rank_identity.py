@@ -56,8 +56,11 @@ def built_index(spark, tmp_path_factory):
         .select("doc_ord", "url", "chunk_id", "chunk_index", "heading_path", "content")
         .collect()
     )
-    # doc ords must be dense and ordered by (url, chunk_index)
-    assert [r["doc_ord"] for r in chunk_rows] == list(range(len(chunk_rows)))
+    # doc ords must be strictly increasing in (url, chunk_index) order —
+    # the rowid-parity invariant (values are sparse by design: stride gaps
+    # at partition boundaries)
+    ords = [r["doc_ord"] for r in chunk_rows]
+    assert all(a < b for a, b in zip(ords, ords[1:]))
     assert sorted(chunk_rows, key=lambda r: (r["url"], r["chunk_index"])) == chunk_rows
     oracle = SqliteOracle()
     oracle.seed([r.asDict() for r in chunk_rows])
