@@ -141,12 +141,12 @@ def bm25_topk(
         blocks = _prune_blocks(blocks, idf, top_k, avgdl, config, min_blocks_to_prune)
 
     scored = _score_blocks(blocks, idf, avgdl, config.bm25_k1, config.bm25_b)
-    topk = (
-        scored.groupBy("doc_ord")
-        .agg(F.sum("partial").alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_ord"))
-        .limit(top_k)
-    )
+    agg = scored.groupBy("doc_ord").agg(F.sum("partial").alias("score"))
+    # incremental deletes: drop tombstoned docs (set is small between
+    # compactions — broadcast anti-join; compaction clears it)
+    if store.exists("tombstones"):
+        agg = agg.join(F.broadcast(store.tombstones()), on="doc_ord", how="left_anti")
+    topk = agg.orderBy(F.desc("score"), F.asc("doc_ord")).limit(top_k)
     return topk.select("doc_ord", (-F.col("score")).alias("bm25_score"))
 
 
@@ -164,12 +164,28 @@ def _prune_blocks(
     terms — tiny even at web scale). Falls back to no-op when there are
     fewer blocks than the seed pass would cost to justify.
     """
-    meta = blocks.select("term", "salt", "block_seq", "n_docs", "block_max_wtf").collect()
+    meta = blocks.select(
+        "term", "salt", "block_seq", "n_docs", "block_max_tf", "block_min_dl"
+    ).collect()
     if len(meta) < min_blocks_to_prune:
         return blocks
     ub = [
-        (r["term"], int(r["salt"]), int(r["block_seq"]), int(r["n_docs"]),
-         idf[r["term"]] * float(r["block_max_wtf"]))
+        (
+            r["term"],
+            int(r["salt"]),
+            int(r["block_seq"]),
+            int(r["n_docs"]),
+            idf[r["term"]]
+            * float(
+                bm25_wtf(
+                    np.array([r["block_max_tf"]]),
+                    np.array([r["block_min_dl"]]),
+                    avgdl,
+                    config.bm25_k1,
+                    config.bm25_b,
+                )[0]
+            ),
+        )
         for r in meta
     ]
     max_ub_per_term: dict[str, float] = {}

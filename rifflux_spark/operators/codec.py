@@ -11,10 +11,13 @@ data: each posting block packs up to ``block_size`` postings as
 - ``tfs``:  varbyte(tf per posting);
 - ``dls``:  varbyte(total token length of the doc, content+heading — FTS5's
   bm25 D with unit column weights);
-- ``block_max_wtf``: exact max over the block of the BM25 tf-normalization
-  ``tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))`` — multiplied by idf at query
-  time this upper-bounds any doc's contribution from the block (block-max
-  WAND, SURVEY.md §2 C4/Q3).
+- ``block_max_tf`` / ``block_min_dl``: the block-max bound's raw inputs.
+  The BM25 tf-normalization ``wtf = tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))``
+  is monotone increasing in tf and decreasing in dl, so
+  ``wtf(max_tf, min_dl, avgdl_now)`` upper-bounds every posting in the
+  block *under the current corpus stats* — storing the raw ints instead
+  of a precomputed score keeps the bound valid when incremental updates
+  shift avgdl (block-max WAND, SURVEY.md §2 C4/Q3).
 
 Storing ``dl`` inline trades bytes for locality: query-time scoring never
 joins a 10^12-row doc-length table — only the scalars N and avgdl ship
@@ -99,9 +102,6 @@ def encode_block(
     doc_ords: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
-    avgdl: float,
-    k1: float = 1.2,
-    b: float = 0.75,
 ) -> dict:
     """Encode one sorted run of ≤block_size postings into a block row."""
     doc_ords = np.asarray(doc_ords, dtype=np.int64)
@@ -111,15 +111,17 @@ def encode_block(
     gaps[1:] = np.diff(doc_ords)
     if (gaps[1:] <= 0).any():
         raise ValueError("doc_ords must be strictly increasing within a block")
-    wtf = bm25_wtf(np.asarray(tfs), np.asarray(dls), avgdl, k1, b)
+    tfs = np.asarray(tfs)
+    dls = np.asarray(dls)
     return {
         "n_docs": int(doc_ords.size),
         "first_doc": int(doc_ords[0]),
         "last_doc": int(doc_ords[-1]),
         "gaps": encode_varbyte(gaps),
-        "tfs": encode_varbyte(np.asarray(tfs)),
-        "dls": encode_varbyte(np.asarray(dls)),
-        "block_max_wtf": float(wtf.max()),
+        "tfs": encode_varbyte(tfs),
+        "dls": encode_varbyte(dls),
+        "block_max_tf": int(tfs.max()),
+        "block_min_dl": int(dls.min()),
     }
 
 

@@ -116,11 +116,10 @@ def term_frequencies(tokenized: DataFrame) -> DataFrame:
     return exploded.groupBy("term", "doc_ord", "dl").agg(F.count("*").alias("tf"))
 
 
-def encode_postings(tf: DataFrame, avgdl: float, config: EngineConfig) -> DataFrame:
+def encode_postings(tf: DataFrame, config: EngineConfig) -> DataFrame:
     """Salted-run block encoding. Each (term, salt) pandas group holds at
     most ``salt_range`` postings — bounded memory regardless of term skew."""
     block_size = config.block_size
-    k1, b = config.bm25_k1, config.bm25_b
 
     def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_ord")
@@ -132,7 +131,7 @@ def encode_postings(tf: DataFrame, avgdl: float, config: EngineConfig) -> DataFr
         rows = []
         for seq, start in enumerate(range(0, len(docs), block_size)):
             sl = slice(start, start + block_size)
-            blk = encode_block(docs[sl], tfs[sl], dls[sl], avgdl, k1, b)
+            blk = encode_block(docs[sl], tfs[sl], dls[sl])
             rows.append(
                 {
                     "term": term,
@@ -144,7 +143,8 @@ def encode_postings(tf: DataFrame, avgdl: float, config: EngineConfig) -> DataFr
                     "gaps": blk["gaps"],
                     "tfs": blk["tfs"],
                     "dls": blk["dls"],
-                    "block_max_wtf": blk["block_max_wtf"],
+                    "block_max_tf": blk["block_max_tf"],
+                    "block_min_dl": blk["block_min_dl"],
                 }
             )
         return pd.DataFrame(rows)

@@ -166,7 +166,7 @@ def build_index(
             shard_tf = tf.filter(
                 F.pmod(F.xxhash64("term"), F.lit(config.n_term_buckets)) % config.n_build_shards == s
             )
-            blocks = encode_postings(shard_tf, avgdl, config)
+            blocks = encode_postings(shard_tf, config)
             store.write_postings(blocks, mode="overwrite")  # dynamic partition overwrite
             _lap(f"postings_{s}")
             _mark(

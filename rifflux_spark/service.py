@@ -80,7 +80,10 @@ class SearchService:
     def semantic(self, query_vector, top_k: int) -> list[dict[str, Any]]:
         if query_vector is None:
             return []
-        topk = semantic_topk(self.store.embeddings(), query_vector, top_k, id_cols=["doc_ord"])
+        emb = self.store.embeddings()
+        if self.store.exists("tombstones"):
+            emb = emb.join(F.broadcast(self.store.tombstones()), on="doc_ord", how="left_anti")
+        topk = semantic_topk(emb, query_vector, top_k, id_cols=["doc_ord"])
         rows = (
             topk.join(self.store.chunks(), on="doc_ord", how="inner")
             .select("chunk_id", "url", "heading_path", "chunk_index", "content", "cosine", "doc_ord")

@@ -60,7 +60,8 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("gaps", T.BinaryType(), False),
         T.StructField("tfs", T.BinaryType(), False),
         T.StructField("dls", T.BinaryType(), False),
-        T.StructField("block_max_wtf", T.DoubleType(), False),
+        T.StructField("block_max_tf", T.LongType(), False),
+        T.StructField("block_min_dl", T.LongType(), False),
     ]
 )
 
@@ -176,7 +177,7 @@ class IndexStore:
         )
         pq.write_table(table, out / "part-0.parquet")
 
-    def write_term_stats(self, df: DataFrame) -> None:
+    def write_term_stats(self, df: DataFrame, name: str = "term_stats") -> None:
         with_bucket = df.withColumn(
             "term_bucket", F.pmod(F.xxhash64("term"), F.lit(self.n_term_buckets))
         )
@@ -185,7 +186,7 @@ class IndexStore:
             .sortWithinPartitions("term")
             .write.mode("overwrite")
             .partitionBy("term_bucket")
-            .parquet(self.path("term_stats"))
+            .parquet(self.path(name))
         )
 
     def write_embeddings(self, df: DataFrame, ordered: bool = False) -> None:
@@ -207,7 +208,7 @@ class IndexStore:
         for r in rows:
             r = dict(r)
             ts = r.get("finished_at")
-            if ts is not None:
+            if ts is not None and not isinstance(ts, str):
                 r["finished_at"] = ts.isoformat()
             payload.append(json.dumps(r))
         fname = f"lineage-{uuid.uuid4().hex}.jsonl"

@@ -49,23 +49,29 @@ def test_block_roundtrip(postings: list[tuple[int, int, int]], base: int) -> Non
     doc_ords = base + np.cumsum(gaps)
     tfs = np.array([p[1] for p in postings], dtype=np.int64)
     dls = np.array([p[2] for p in postings], dtype=np.int64)
-    avgdl = float(dls.mean())
-    block = encode_block(doc_ords, tfs, dls, avgdl)
+    block = encode_block(doc_ords, tfs, dls)
     got_docs, got_tfs, got_dls = decode_block(block)
     assert got_docs.tolist() == doc_ords.tolist()
     assert got_tfs.tolist() == tfs.tolist()
     assert got_dls.tolist() == dls.tolist()
     assert block["first_doc"] == int(doc_ords[0])
     assert block["last_doc"] == int(doc_ords[-1])
-    # block max is the exact max of per-posting wtf
-    wtf = bm25_wtf(tfs, dls, avgdl, 1.2, 0.75)
-    assert abs(block["block_max_wtf"] - float(wtf.max())) < 1e-12
+    # (max_tf, min_dl) dominate every per-posting wtf at ANY avgdl —
+    # the avgdl-drift-proof block-max bound
+    for avgdl in (1.0, float(dls.mean()), 10_000.0):
+        wtf = bm25_wtf(tfs, dls, avgdl, 1.2, 0.75)
+        bound = bm25_wtf(
+            np.array([block["block_max_tf"]]),
+            np.array([block["block_min_dl"]]),
+            avgdl,
+            1.2,
+            0.75,
+        )[0]
+        assert bound >= float(wtf.max()) - 1e-12
 
 
 def test_block_rejects_unsorted() -> None:
     import pytest
 
     with pytest.raises(ValueError):
-        encode_block(
-            np.array([5, 3]), np.array([1, 1]), np.array([10, 10]), avgdl=10.0
-        )
+        encode_block(np.array([5, 3]), np.array([1, 1]), np.array([10, 10]))
