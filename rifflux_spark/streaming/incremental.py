@@ -1,0 +1,74 @@
+"""Structured-Streaming freshness surface.
+
+The reference's freshness machinery is a file watcher + background thread
+queue (reference src/rifflux/indexing/watcher.py:35-243,
+background.py:75-218) — operational glue, not dataflow (SURVEY.md §2.E).
+The Spark-native analog is a Structured Streaming file source with
+``Trigger.AvailableNow``: each activation drains newly-arrived page files
+and hands every micro-batch to the SAME batch incremental plan
+(plans/incremental.apply_incremental with ``full_snapshot=False`` —
+micro-batches are upserts, deletions come from full-snapshot runs) via
+``foreachBatch``. The streaming checkpoint gives exactly-once file pickup
+(the debounce/coalescing role of the watcher); deterministic chunk ids
+make replays idempotent anyway.
+
+Watermarks/stateful operators are intentionally absent: the reference has
+no event-time semantics to reproduce (SURVEY.md §2.E).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from rifflux_spark.config import EngineConfig
+from rifflux_spark.plans.incremental import apply_incremental
+from rifflux_spark.sources.tables import IndexStore
+
+PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def run_available_now(
+    spark: SparkSession,
+    pages_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    config: EngineConfig | None = None,
+    with_embeddings: bool = True,
+    max_files_per_trigger: int = 64,
+) -> list[dict]:
+    """Drain all unprocessed page files into the index; returns one
+    metrics dict per micro-batch. Re-invoking picks up only files added
+    since the last run (streaming checkpoint), mirroring the reference's
+    watcher→reindex loop as declarative streaming."""
+    config = config or EngineConfig()
+    store = IndexStore(spark, index_dir, config.n_term_buckets)
+    results: list[dict] = []
+
+    stream = (
+        spark.readStream.schema(PAGES_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_dir)
+    )
+
+    def handle(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        metrics = apply_incremental(
+            spark,
+            store,
+            batch_df,
+            config,
+            with_embeddings=with_embeddings,
+            full_snapshot=False,
+        )
+        metrics["batch_id"] = batch_id
+        results.append(metrics)
+
+    query = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return results
