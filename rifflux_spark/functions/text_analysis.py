@@ -73,11 +73,15 @@ def quality_score(text: Column) -> Column:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as strings."""
+    """Distinct word n-gram shingles as strings. NB: Spark's sequence()
+    descends for a negative end (unlike SQL range()), so short texts need
+    an explicit guard."""
     toks = ascii_tokens(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    return F.array_distinct(grams)
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def fingerprint(text: Column, n: int = 5) -> Column:

@@ -1,0 +1,82 @@
+"""Physical-plan audits: the properties that keep this engine fast at
+100 TB must be visible in ``explain`` output, not assumed.
+
+- term filters reach the postings parquet scan (partition pruning on
+  term_bucket + pushed term predicate);
+- chunk rehydration pushes the doc_ord predicate and prunes columns
+  (no token arrays read on the query path);
+- the rehydration join broadcasts the tiny top-k side;
+- scans participate in WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rifflux_spark.config import EngineConfig
+from rifflux_spark.operators.bm25 import bm25_topk
+from rifflux_spark.plans.build import build_index
+from rifflux_spark.sources.pages import synthetic_pages
+from rifflux_spark.sources.tables import IndexStore
+
+CONFIG = EngineConfig(
+    block_size=16, salt_range=64, n_term_buckets=8, n_build_shards=1, embedding_dim=16
+)
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("planidx"))
+    build_index(spark, synthetic_pages(spark, 80, seed=4), index_dir, CONFIG, with_embeddings=False)
+    return IndexStore(spark, index_dir, CONFIG.n_term_buckets)
+
+
+def explain_str(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_postings_scan_prunes_partitions_and_pushes_term(spark, store) -> None:
+    df = store.postings_for_terms(["cache", "ttl"])
+    plan = explain_str(df)
+    assert "PartitionFilters" in plan
+    assert "term_bucket" in plan
+    # the term IN predicate reaches the parquet reader
+    assert "PushedFilters" in plan and "term" in plan.split("PushedFilters", 1)[1][:400]
+    rows = df.collect()
+    assert rows and all(r["term"] in ("cache", "ttl") for r in rows)
+
+
+def test_chunks_rehydration_pushes_docord_and_prunes_columns(spark, store) -> None:
+    chunks = store.chunks().filter(F.col("doc_ord").isin([0, 1, 2])).select(
+        "doc_ord", "chunk_id", "content"
+    )
+    plan = explain_str(chunks)
+    pushed = plan.split("PushedFilters", 1)[1][:300]
+    assert "doc_ord" in pushed
+    schema_part = plan.split("ReadSchema", 1)[1][:400]
+    # token arrays must NOT be read on the query path
+    assert "content_tokens" not in schema_part
+    # '*'-starred operators / codegen ids mark whole-stage codegen spans
+    assert "codegen id" in plan
+
+
+def test_topk_rehydration_broadcasts_small_side(spark, store) -> None:
+    topk = bm25_topk(spark, store, "the data", top_k=5, config=CONFIG, prune=False)
+    joined = topk.join(store.chunks(), on="doc_ord", how="inner").select(
+        "doc_ord", "chunk_id", "bm25_score"
+    )
+    plan = explain_str(joined)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_topk_uses_take_ordered(spark, store) -> None:
+    topk = bm25_topk(spark, store, "the data", top_k=5, config=CONFIG, prune=False)
+    plan = explain_str(topk)
+    assert "TakeOrderedAndProject" in plan
