@@ -121,11 +121,11 @@ def _token_params(token: str, dim: int) -> tuple[int, float]:
     return hit
 
 
-def _hash_embed_cached(text: str, dim: int) -> list[float]:
+def _hash_embed_cached(text: str, dim: int) -> np.ndarray:
     vec = np.zeros(dim, dtype=np.float32)
     tokens = TOKEN_RE.findall(text.lower())
     if not tokens:
-        return vec.tolist()
+        return vec
     idx = np.empty(len(tokens), dtype=np.int64)
     w = np.empty(len(tokens), dtype=np.float32)
     for i, token in enumerate(tokens):
@@ -134,7 +134,7 @@ def _hash_embed_cached(text: str, dim: int) -> list[float]:
     norm = np.linalg.norm(vec)
     if norm > 0:
         vec = (vec / norm).astype(np.float32)
-    return vec.tolist()
+    return vec
 
 
 def embed_series(texts: pd.Series, dim: int = 384) -> pd.Series:
@@ -143,4 +143,19 @@ def embed_series(texts: pd.Series, dim: int = 384) -> pd.Series:
     Bit-equivalent to :func:`hash_embed` (same float32 accumulate order);
     the token-parameter memo only skips recomputing sha256 digests.
     """
-    return texts.map(lambda t: _hash_embed_cached(t if isinstance(t, str) else "", dim))
+    return texts.map(lambda t: _hash_embed_cached(t if isinstance(t, str) else "", dim).tolist())
+
+
+def embed_series_packed(texts: pd.Series, dim: int = 384) -> pd.Series:
+    """Like :func:`embed_series` but packs each vector as little-endian
+    float32 bytes — the reference's own storage format (reference
+    sqlite_store.py:81-94 ``np.ndarray.tobytes()`` BLOBs) and ~3× cheaper
+    through Arrow/parquet than a ``list<float>`` of 384 Python floats."""
+    return texts.map(lambda t: _hash_embed_cached(t if isinstance(t, str) else "", dim).tobytes())
+
+
+def unpack_vectors(packed: pd.Series, dim: int | None = None) -> np.ndarray:
+    """(n, dim) float32 matrix from a Series of packed-float32 bytes."""
+    if len(packed) == 0:
+        return np.zeros((0, dim or 0), dtype=np.float32)
+    return np.frombuffer(b"".join(packed), dtype=np.float32).reshape(len(packed), -1)

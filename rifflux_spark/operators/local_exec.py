@@ -1,0 +1,257 @@
+"""Coordinator-side short-circuit execution for selective top-k queries.
+
+The distributed plan (operators/bm25.py) is the scale path: posting scan →
+decode/score → shuffle-agg → TakeOrderedAndProject. But after term-bucket
+partition pruning and row-group pruning (postings are written sorted by
+``term`` inside each bucket), a single query's working set is a few MB —
+coordinator-sized at ANY corpus size, because it scales with the query's
+posting lists, not with the corpus. Scattering that through Spark pays a
+fixed multi-job scheduling floor (~0.5-1 s) the reference's in-process
+SQLite never pays (reference lexical mean 8 ms, BASELINE.md).
+
+This module runs the IDENTICAL decode + BM25 math driver-side with
+pyarrow + numpy, short-circuiting the scheduler: same blocks, same idf
+clamp, same tie-break, rank-identical results (tested against the Spark
+path and the FTS5 oracle). Real distributed engines do the same thing —
+coordinator-only execution for selective queries (e.g. single-node plans
+in Trino/Presto-style engines) — while bulk scans stay on the cluster.
+
+The SearchService picks the path per query (``engine="auto"``): local when
+the pruned posting bytes fit a small budget, Spark otherwise.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from rifflux_spark.config import EngineConfig
+from rifflux_spark.functions.tokenizer import compile_query
+from rifflux_spark.functions.xxhash64 import term_bucket
+from rifflux_spark.operators.codec import bm25_wtf, decode_varbyte
+from rifflux_spark.sources.tables import IndexStore
+
+
+def _bucket_files(store: IndexStore, table: str, buckets: set[int]) -> list[Path]:
+    root = Path(store.path(table))
+    out: list[Path] = []
+    for b in sorted(buckets):
+        out.extend(sorted((root / f"term_bucket={b}").glob("*.parquet")))
+    return out
+
+
+def _read_filtered(files: list[Path], columns: list[str], terms: list[str]):
+    """Row-group-pruned read of term-matching rows (files are sorted by
+    term, so parquet min/max stats skip non-matching row groups)."""
+    tables = []
+    tset = set(terms)
+    for f in files:
+        pf = pq.ParquetFile(f)
+        md = pf.metadata
+        col_idx = {md.row_group(0).column(i).path_in_schema: i for i in range(md.num_columns)} if md.num_row_groups else {}
+        groups = []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(col_idx["term"]).statistics
+            if st is None or st.min is None:
+                groups.append(g)
+                continue
+            if any(st.min <= t <= st.max for t in tset):
+                groups.append(g)
+        if not groups:
+            continue
+        t = pf.read_row_groups(groups, columns=columns)
+        mask = pc.is_in(t.column("term"), value_set=pa.array(terms))
+        t = t.filter(mask)
+        if t.num_rows:
+            tables.append(t)
+    if not tables:
+        return None
+    return pa.concat_tables(tables)
+
+
+def local_idf(store: IndexStore, terms: list[str], n_docs: int) -> dict[str, float]:
+    """FTS5 ln-idf from the term_stats table, read coordinator-side."""
+    if not terms:
+        return {}
+    # term_stats is partitioned by the same bucket function as postings
+    buckets = {term_bucket(t, store.n_term_buckets) for t in terms}
+    files = _bucket_files(store, "term_stats", buckets)
+    t = _read_filtered(files, ["term", "df_docs"], terms)
+    out: dict[str, float] = {}
+    if t is None:
+        return out
+    for term, df_t in zip(t.column("term").to_pylist(), t.column("df_docs").to_pylist()):
+        idf = math.log((n_docs - int(df_t) + 0.5) / (int(df_t) + 0.5))
+        out[term] = idf if idf > 0 else 1e-6
+    return out
+
+
+def pruned_posting_bytes(store: IndexStore, terms: list[str]) -> int:
+    """Upper bound on the query's posting working set: total bytes of the
+    term-bucket partitions it must touch (cheap fs metadata; the row-group
+    pruning inside will read less)."""
+    buckets = {term_bucket(t, store.n_term_buckets) for t in terms}
+    return sum(f.stat().st_size for f in _bucket_files(store, "postings", buckets))
+
+
+def local_tombstones(store: IndexStore) -> np.ndarray:
+    root = Path(store.path("tombstones"))
+    if not root.exists():
+        return np.empty(0, dtype=np.int64)
+    parts = [
+        pq.read_table(f, columns=["doc_ord"]).column("doc_ord").to_numpy()
+        for f in root.rglob("*.parquet")
+    ]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(parts).astype(np.int64)
+
+
+def bm25_topk_local(
+    store: IndexStore,
+    query: str,
+    top_k: int = 10,
+    config: EngineConfig | None = None,
+    cstats: dict | None = None,
+) -> list[tuple[int, float]]:
+    """Driver-side BM25 top-k: [(doc_ord, negated_score)], best first.
+
+    Exactly the semantics of operators/bm25.bm25_topk (same codec, same
+    constants, same (score desc, doc_ord asc) tie-break, same negation).
+    """
+    config = config or EngineConfig()
+    terms = compile_query(query)
+    if not terms:
+        return []
+    cstats = cstats or store.corpus_stats()
+    n_docs, avgdl = int(cstats["n_docs"]), float(cstats["avgdl"])
+    idf = local_idf(store, sorted(set(terms)), n_docs)
+    mult: dict[str, int] = {}
+    for t in terms:
+        mult[t] = mult.get(t, 0) + 1
+    idf = {t: v * mult[t] for t, v in idf.items()}
+    if not idf:
+        return []
+    qterms = sorted(idf)
+
+    buckets = {term_bucket(t, store.n_term_buckets) for t in qterms}
+    files = _bucket_files(store, "postings", buckets)
+    t = _read_filtered(files, ["term", "n_docs", "first_doc", "gaps", "tfs", "dls"], qterms)
+    if t is None:
+        return []
+
+    docs_parts: list[np.ndarray] = []
+    partial_parts: list[np.ndarray] = []
+    for term, n, first, gaps, tfs, dls in zip(
+        t.column("term").to_pylist(),
+        t.column("n_docs").to_pylist(),
+        t.column("first_doc").to_pylist(),
+        t.column("gaps").to_pylist(),
+        t.column("tfs").to_pylist(),
+        t.column("dls").to_pylist(),
+    ):
+        n = int(n)
+        doc_ords = decode_varbyte(bytes(gaps), n).astype(np.int64).cumsum() + int(first)
+        tf = decode_varbyte(bytes(tfs), n)
+        dl = decode_varbyte(bytes(dls), n)
+        docs_parts.append(doc_ords)
+        partial_parts.append(bm25_wtf(tf, dl, avgdl, config.bm25_k1, config.bm25_b) * idf[term])
+    docs = np.concatenate(docs_parts)
+    partials = np.concatenate(partial_parts)
+
+    # aggregate per doc (sorted reduce — no Python dict loop)
+    order = np.argsort(docs, kind="stable")
+    docs, partials = docs[order], partials[order]
+    uniq, starts = np.unique(docs, return_index=True)
+    sums = np.add.reduceat(partials, starts)
+
+    tombs = local_tombstones(store)
+    if tombs.size:
+        keep = ~np.isin(uniq, tombs)
+        uniq, sums = uniq[keep], sums[keep]
+    if uniq.size == 0:
+        return []
+
+    # top-k by (score desc, doc_ord asc): lexsort on (-score, doc)
+    order = np.lexsort((uniq, -sums))[:top_k]
+    return [(int(uniq[i]), float(-sums[i])) for i in order]
+
+
+def embeddings_bytes(store: IndexStore) -> int:
+    root = Path(store.path("embeddings"))
+    if not root.exists():
+        return 0
+    return sum(f.stat().st_size for f in root.rglob("*.parquet"))
+
+
+def semantic_topk_local(
+    store: IndexStore, query_vector, top_k: int
+) -> list[tuple[int, float]]:
+    """Driver-side brute-force cosine top-k: [(doc_ord, cosine)] best
+    first, reference semantics (zero-norm → 0.0). Only chosen by the
+    service when the embeddings table fits the local budget — a full
+    embedding scan is inherently corpus-sized and belongs on executors
+    otherwise."""
+    if query_vector is None:
+        return []
+    q = np.asarray(query_vector, dtype=np.float32)
+    qn = float(np.linalg.norm(q))
+    tombs = local_tombstones(store)
+    root = Path(store.path("embeddings"))
+    docs_all, cos_all = [], []
+    for f in sorted(root.rglob("*.parquet")):
+        t = pq.read_table(f, columns=["doc_ord", "vec"])
+        if t.num_rows == 0:
+            continue
+        docs = t.column("doc_ord").to_numpy()
+        packed = t.column("vec").to_pylist()
+        mat = np.frombuffer(b"".join(packed), dtype=np.float32).reshape(len(packed), -1)
+        if qn == 0.0:
+            cos = np.zeros(len(packed))
+        else:
+            norms = np.linalg.norm(mat, axis=1) * qn
+            dots = mat @ q
+            cos = np.where(norms == 0.0, 0.0, dots / np.where(norms == 0.0, 1.0, norms))
+        docs_all.append(docs)
+        cos_all.append(cos.astype(np.float64))
+    if not docs_all:
+        return []
+    docs = np.concatenate(docs_all)
+    cos = np.concatenate(cos_all)
+    if tombs.size:
+        keep = ~np.isin(docs, tombs)
+        docs, cos = docs[keep], cos[keep]
+    order = np.lexsort((docs, -cos))[:top_k]
+    return [(int(docs[i]), float(cos[i])) for i in order]
+
+
+def rehydrate_local(store: IndexStore, doc_ords: list[int]) -> dict[int, dict]:
+    """Row-group-pruned chunk lookup for ≤top_k doc ordinals (the chunks
+    table is written sorted by doc_ord)."""
+    want = set(doc_ords)
+    out: dict[int, dict] = {}
+    cols = ["doc_ord", "chunk_id", "url", "heading_path", "chunk_index", "content"]
+    for f in sorted(Path(store.path("chunks")).glob("*.parquet")):
+        pf = pq.ParquetFile(f)
+        md = pf.metadata
+        if md.num_row_groups == 0:
+            continue
+        col_idx = {md.row_group(0).column(i).path_in_schema: i for i in range(md.num_columns)}
+        groups = []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(col_idx["doc_ord"]).statistics
+            if st is None or any(st.min <= d <= st.max for d in want):
+                groups.append(g)
+        if not groups:
+            continue
+        t = pf.read_row_groups(groups, columns=cols)
+        mask = pc.is_in(t.column("doc_ord"), value_set=pa.array(sorted(want)))
+        t = t.filter(mask)
+        for row in t.to_pylist():
+            out[int(row["doc_ord"])] = row
+    return out

@@ -59,6 +59,31 @@ def tokenize_udf(texts: pd.Series) -> pd.Series:
     return tokenize_series(texts)
 
 
+TOKENS_STRUCT = T.StructType(
+    [
+        T.StructField("tokens", T.StringType()),
+        T.StructField("dl", T.IntegerType()),
+    ]
+)
+
+
+@pandas_udf(TOKENS_STRUCT)
+def tokenize_pair_udf(content: pd.Series, heading: pd.Series) -> pd.DataFrame:
+    """content+heading → (space-joined token stream, combined FTS5 dl).
+
+    One string per row through Arrow instead of a list<string>: tokens
+    cannot contain spaces (the tokenizer splits on every non-token char),
+    so the join is lossless and the downstream explode stays JVM-side via
+    ``F.split`` — parquet/Arrow encode one value per row, not per token.
+    """
+    ct = tokenize_series(content)
+    ht = tokenize_series(heading)
+    toks = [c + h for c, h in zip(ct, ht)]
+    return pd.DataFrame(
+        {"tokens": [" ".join(t) for t in toks], "dl": [len(t) for t in toks]}
+    )
+
+
 def make_chunk_udf(max_chunk_chars: int, min_chunk_chars: int):
     @pandas_udf(CHUNK_STRUCT)
     def chunk_udf(urls: pd.Series, texts: pd.Series) -> pd.Series:
@@ -72,17 +97,21 @@ def make_chunk_udf(max_chunk_chars: int, min_chunk_chars: int):
     return chunk_udf
 
 
-def chunk_pages(pages: DataFrame, config: EngineConfig) -> DataFrame:
+def chunk_pages(pages: DataFrame, config: EngineConfig, keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """pages(url, text, ...) → one row per chunk (no doc_ord yet).
 
     The chunker UDF is the engine's UDTF surface (SURVEY.md §2.F): pandas
-    UDF returning array<struct> + explode.
+    UDF returning array<struct> + explode. ``keep_cols`` are page-level
+    columns carried onto every chunk row (e.g. catalog metadata computed
+    in this same pass so the build never re-scans the corpus).
     """
     chunk_udf = make_chunk_udf(config.max_chunk_chars, config.min_chunk_chars)
+    keeps = [F.col(c) for c in keep_cols]
     return (
-        pages.select("url", F.explode(chunk_udf("url", "text")).alias("c"))
+        pages.select("url", *keeps, F.explode(chunk_udf("url", "text")).alias("c"))
         .select(
             "url",
+            *keeps,
             F.col("c.chunk_id").alias("chunk_id"),
             F.col("c.chunk_index").alias("chunk_index"),
             F.col("c.heading_path").alias("heading_path"),
@@ -93,27 +122,34 @@ def chunk_pages(pages: DataFrame, config: EngineConfig) -> DataFrame:
 
 
 def with_tokens(chunks: DataFrame) -> DataFrame:
-    """Add content/heading token arrays and the combined FTS5 doc length."""
+    """Add the joined content+heading token stream and FTS5 doc length
+    (both columns' token counts summed — exactly FTS5 bm25's ``D`` with
+    unit weights)."""
+    tk = tokenize_pair_udf(F.col("content"), F.coalesce(F.col("heading_path"), F.lit("")))
     return (
-        chunks.withColumn("content_tokens", tokenize_udf("content"))
-        .withColumn("heading_tokens", tokenize_udf(F.coalesce("heading_path", F.lit(""))))
-        .withColumn(
-            "dl",
-            (F.size("content_tokens") + F.size("heading_tokens")).cast("int"),
-        )
+        chunks.withColumn("_tk", tk)
+        .withColumn("tokens", F.col("_tk.tokens"))
+        .withColumn("dl", F.col("_tk.dl"))
+        .drop("_tk")
     )
+
+
+def explode_terms(tokenized: DataFrame) -> DataFrame:
+    """(doc_ord, dl, term) — JVM-side split+explode of the token stream."""
+    return tokenized.select(
+        "doc_ord",
+        "dl",
+        F.explode(F.split("tokens", " ")).alias("term"),
+    ).filter(F.col("term") != "")
 
 
 def term_frequencies(tokenized: DataFrame) -> DataFrame:
     """(term, doc_ord, dl, tf) — partial agg happens map-side before the
     term/doc shuffle. dl rides along (functionally dependent on doc_ord)
     so scoring data stays join-free."""
-    exploded = tokenized.select(
-        "doc_ord",
-        "dl",
-        F.explode(F.concat("content_tokens", "heading_tokens")).alias("term"),
+    return explode_terms(tokenized).groupBy("term", "doc_ord", "dl").agg(
+        F.count("*").alias("tf")
     )
-    return exploded.groupBy("term", "doc_ord", "dl").agg(F.count("*").alias("tf"))
 
 
 def encode_postings(tf: DataFrame, config: EngineConfig) -> DataFrame:

@@ -31,9 +31,14 @@ def cosine_scores(embeddings: DataFrame, query_vector, vec_col: str = "vec") -> 
 
     @F.pandas_udf(T.DoubleType())
     def cos_udf(vecs: pd.Series) -> pd.Series:
-        if qnorm == 0.0:
+        if qnorm == 0.0 or len(vecs) == 0:
             return pd.Series(np.zeros(len(vecs)))
-        mat = np.array(vecs.tolist(), dtype=np.float32)
+        first = vecs.iloc[0]
+        if isinstance(first, (bytes, bytearray)):
+            # index storage format: packed float32 (reference BLOB parity)
+            mat = np.frombuffer(b"".join(vecs), dtype=np.float32).reshape(len(vecs), -1)
+        else:
+            mat = np.array(vecs.tolist(), dtype=np.float32)
         if mat.size == 0:
             return pd.Series(np.zeros(len(vecs)))
         norms = np.linalg.norm(mat, axis=1) * qnorm

@@ -15,9 +15,12 @@ Posting shards: term buckets are processed in ``n_build_shards`` groups —
 each group is an independent job + lineage row, so a killed build resumes
 from the last completed shard (north_rule "resumable from checkpoint").
 
-Pipeline economics: the chunk/tokenize UDF output is persisted ONCE and
-feeds every downstream stage (chunk sink, corpus stats, tf, embeddings) —
-the expensive Python stages run exactly one pass over the corpus.
+Pipeline economics: the chunk/tokenize UDF output is staged to parquet ONCE
+and feeds every downstream stage (chunk sink, corpus stats, tf, embeddings) —
+the expensive Python stages run exactly one pass over the corpus. The
+aggregated tf frame is likewise staged (partitioned by shard) rather than
+cached: no unified-memory contention at high parallelism, partition-pruned
+per-shard reads, and a mid-build kill resumes without re-running the explode.
 """
 
 from __future__ import annotations
@@ -27,14 +30,13 @@ import hashlib
 from pathlib import Path
 
 import pandas as pd
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
 
 from rifflux_spark.config import EngineConfig
-from rifflux_spark.functions.embedder import embed_series
+from rifflux_spark.functions.embedder import embed_series_packed
 from rifflux_spark.operators.doc_ids import sparse_ordinals
 from rifflux_spark.operators.postings import (
     chunk_pages,
@@ -106,6 +108,11 @@ def build_index(
 
     config = config or EngineConfig()
     dim = embedding_dim or config.embedding_dim
+    # the build never touches `html` (text extraction is upstream per
+    # input_hint); prune it explicitly so no plan shape can drag the
+    # largest column of the crawl table through an exchange
+    keep = [c for c in ("url", "warc_ts", "text") if c in pages.columns]
+    pages = pages.select(*keep)
     store = IndexStore(spark, index_dir, config.n_term_buckets)
     build_id = build_id or make_build_id(pages, config)
     done = completed_stages(store, build_id)
@@ -127,46 +134,62 @@ def build_index(
     # staging table. No DataFrame cache anywhere: caching array<string>
     # columns pays heavy columnar-compression CPU under concurrency;
     # parquet staging is cheaper and column-prunes for every consumer.
+    # catalog metadata (sha256/size/warc_ts) rides along on the chunk rows
+    # so the catalog stage aggregates the staged table instead of paying a
+    # second full-corpus scan + hash pass
+    cat_cols = (
+        (("warc_ts",) if "warc_ts" in pages.columns else ())
+        + ("size_bytes", "page_sha256")
+    )
     resuming_chunks = "chunks" in done
     if not resuming_chunks:
         n_part = spark.sparkContext.defaultParallelism
-        pages_parted = pages.repartitionByRange(n_part, "url")
-        chunks = chunk_pages(pages_parted, config).sortWithinPartitions("url", "chunk_index")
+        pages_parted = (
+            pages.repartitionByRange(n_part, "url")
+            .withColumn("size_bytes", F.length("text").cast("long"))
+            .withColumn("page_sha256", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256))
+        )
+        chunks = chunk_pages(pages_parted, config, keep_cols=cat_cols).sortWithinPartitions("url", "chunk_index")
         tokenized = sparse_ordinals(with_tokens(chunks))
-        store.write_chunks(tokenized, ordered=True)
+        store.write_chunks(tokenized, ordered=True, extra_cols=cat_cols)
     _lap("chunks_udf_write")
     staged = store.chunks()
 
-    # one cheap column-pruned agg: chunk count + token totals
-    agg = staged.agg(F.count("*").alias("n"), F.sum("dl").alias("sdl")).collect()[0]
-    n_chunks, total_tokens = int(agg["n"]), int(agg["sdl"] or 0)
-    _lap("stats_agg")
+    # chunk count straight from the parquet footers (driver-side metadata
+    # read, no Spark job; the Iceberg equivalent is a snapshot row count)
+    n_chunks = store.count_rows("chunks")
     metrics["n_chunks"] = n_chunks
     if not resuming_chunks:
         _mark(store, build_id, "chunks", n_chunks, store.path("chunks"))
-
-    # --- corpus stats (driver-side) ---
-    if "stats" not in done:
-        avgdl = total_tokens / n_chunks if n_chunks else 0.0
-        store.write_corpus_stats(n_chunks, total_tokens, avgdl)
-        _mark(store, build_id, "stats", 1, store.path("corpus_stats"))
-    avgdl = float(store.corpus_stats()["avgdl"])
     tokenized = staged
 
     # --- posting shards (checkpoint/resume unit) + term stats ---
+    # tf is staged to parquet partitioned by build shard, NOT cached:
+    # an in-memory cache of the (term, doc, tf) frame fights the explode/
+    # hash-agg tasks for unified memory at high parallelism (measured 2.5×
+    # slowdown at local[32] vs local[8] on a 200k-doc corpus), and at
+    # 10^12 docs it could never fit anyway. Parquet staging is shuffle-once,
+    # partition-prunes per shard, and survives a mid-build kill — a resumed
+    # build reuses it instead of re-running the explode.
     shard_stages = [f"postings_shard_{s}" for s in range(config.n_build_shards)]
     need_tf = any(st not in done for st in shard_stages) or "term_stats" not in done
     if need_tf:
-        # tf reads column-pruned (doc_ord, dl, tokens) from staging; the
-        # aggregated (term, doc, tf) frame is small enough to cache
-        tf = term_frequencies(tokenized).persist(StorageLevel.MEMORY_AND_DISK)
+        # the staging table is deleted once every consumer committed, so a
+        # resume whose lineage predates that cleanup must re-derive it
+        if "tf_stage" not in done or not store.exists("tf_stage"):
+            tf = term_frequencies(tokenized).withColumn(
+                "shard",
+                (F.pmod(F.xxhash64("term"), F.lit(config.n_term_buckets))
+                 % config.n_build_shards).cast("int"),
+            )
+            tf.write.mode("overwrite").partitionBy("shard").parquet(store.path("tf_stage"))
+            _lap("tf_stage")
+            _mark(store, build_id, "tf_stage", None, store.path("tf_stage"))
+        tf_staged = spark.read.parquet(store.path("tf_stage"))
         for s, stage in enumerate(shard_stages):
             if stage in done:
                 continue
-            shard_tf = tf.filter(
-                F.pmod(F.xxhash64("term"), F.lit(config.n_term_buckets)) % config.n_build_shards == s
-            )
-            blocks = encode_postings(shard_tf, config)
+            blocks = encode_postings(tf_staged.filter(F.col("shard") == s), config)
             store.write_postings(blocks, mode="overwrite")  # dynamic partition overwrite
             _lap(f"postings_{s}")
             _mark(
@@ -174,16 +197,29 @@ def build_index(
                 detail=f"shard {s}/{config.n_build_shards}",
             )
         if "term_stats" not in done:
-            store.write_term_stats(term_stats(tf))
+            store.write_term_stats(term_stats(tf_staged))
             _lap("term_stats")
             _mark(store, build_id, "term_stats", None, store.path("term_stats"))
-        tf.unpersist()
+        # every consumer of tf has committed — drop the staging table
+        import shutil as _shutil
 
-    # --- embeddings (reuses the cached content column) ---
+        _shutil.rmtree(store.path("tf_stage"), ignore_errors=True)
+
+    # --- corpus stats (driver-side; no Spark job) ---
+    # total_tokens == Σ cf over term_stats (each (term,doc) tf summed ==
+    # each doc's dl summed); term_stats is small, read via pyarrow
+    if "stats" not in done:
+        total_tokens = store.sum_column("term_stats", "cf")
+        avgdl = total_tokens / n_chunks if n_chunks else 0.0
+        store.write_corpus_stats(n_chunks, total_tokens, avgdl)
+        _mark(store, build_id, "stats", 1, store.path("corpus_stats"))
+    avgdl = float(store.corpus_stats()["avgdl"])
+
+    # --- embeddings (reuses the staged content column) ---
     if with_embeddings and "embeddings" not in done:
-        @pandas_udf(T.ArrayType(T.FloatType()))
+        @pandas_udf(T.BinaryType())
         def embed_udf(texts: pd.Series) -> pd.Series:
-            return embed_series(texts, dim=dim)
+            return embed_series_packed(texts, dim=dim)
 
         emb = tokenized.select(
             "doc_ord",
@@ -197,17 +233,17 @@ def build_index(
         _mark(store, build_id, "embeddings", n_chunks, store.path("embeddings"), detail=f"hash-{dim}")
 
     # --- catalog (for incremental diffing) ---
+    # one groupBy over the staged chunk rows — no second corpus scan.
+    # Pages that produced zero chunks (empty/sub-min text) have no staged
+    # rows and so no catalog row; the incremental diff re-examines them as
+    # 'new' each crawl, which re-chunks nothing — idempotent and cheap.
     if "catalog" not in done:
-        per_url = tokenized.groupBy("url").agg(F.count("*").cast("int").alias("n_chunks"))
-        cat = (
-            pages.select(
-                "url",
-                F.col("warc_ts") if "warc_ts" in pages.columns else F.lit(None).cast("timestamp").alias("warc_ts"),
-                F.length("text").cast("long").alias("size_bytes"),
-                F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("sha256"),
-            )
-            .join(per_url, on="url", how="left")
-            .withColumn("n_chunks", F.coalesce("n_chunks", F.lit(0)))
+        staged_raw = spark.read.parquet(store.path("chunks"))
+        cat = staged_raw.groupBy("url").agg(
+            (F.first("warc_ts") if "warc_ts" in staged_raw.columns else F.lit(None).cast("timestamp")).alias("warc_ts"),
+            F.first("size_bytes").alias("size_bytes"),
+            F.first("page_sha256").alias("sha256"),
+            F.count("*").cast("int").alias("n_chunks"),
         )
         store.write_small(cat, "catalog")
         _lap("catalog")

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
 
-from rifflux_spark.functions.embedder import embed_series
+from rifflux_spark.functions.embedder import embed_series_packed
 
 from rifflux_spark.config import EngineConfig
 from rifflux_spark.operators.doc_ids import PARTITION_ORD_STRIDE, sparse_ordinals
@@ -107,7 +107,7 @@ def apply_incremental(
         # recompute avgdl over live docs and append posting runs
         stats = _live_stats(store)
         tf = term_frequencies(
-            tokenized.select("doc_ord", "dl", "content_tokens", "heading_tokens")
+            tokenized.select("doc_ord", "dl", "tokens")
         )
         blocks = encode_postings(tf, config)
         store.write_postings(blocks, mode="append")
@@ -118,9 +118,9 @@ def apply_incremental(
         if with_embeddings:
             dim = config.embedding_dim
 
-            @pandas_udf(T.ArrayType(T.FloatType()))
+            @pandas_udf(T.BinaryType())
             def embed_udf(texts: pd.Series) -> pd.Series:
-                return embed_series(texts, dim=dim)
+                return embed_series_packed(texts, dim=dim)
 
             emb = tokenized.select(
                 "doc_ord",
@@ -182,9 +182,10 @@ def _live_stats(store: IndexStore) -> dict:
 def _refresh_stats_and_term_stats(store: IndexStore) -> None:
     stats = _live_stats(store)
     store.write_corpus_stats(stats["n_docs"], stats["total_tokens"], stats["avgdl"])
-    live = _live_chunks(store).select("doc_ord", "content_tokens", "heading_tokens")
+    live = _live_chunks(store).select("doc_ord", "tokens")
     tf = (
-        live.select("doc_ord", F.explode(F.concat("content_tokens", "heading_tokens")).alias("term"))
+        live.select("doc_ord", F.explode(F.split("tokens", " ")).alias("term"))
+        .filter(F.col("term") != "")
         .groupBy("term", "doc_ord")
         .agg(F.count("*").alias("tf"))
     )
@@ -220,9 +221,7 @@ def compact(spark: SparkSession, store: IndexStore, config: EngineConfig | None 
         return {"rewritten": 0, "purged": 0}
 
     # rebuild postings from live chunks (bucket-parallel, same encode path)
-    live = _live_chunks(store).select(
-        "doc_ord", "dl", "content_tokens", "heading_tokens"
-    )
+    live = _live_chunks(store).select("doc_ord", "dl", "tokens")
     stats = _live_stats(store)
     tf = term_frequencies(live)
     blocks = encode_postings(tf, config)

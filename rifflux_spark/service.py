@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from rifflux_spark.config import EngineConfig
 from rifflux_spark.functions.embedder import hash_embed
+from rifflux_spark.functions.tokenizer import compile_query
 from rifflux_spark.operators.bm25 import bm25_topk
 from rifflux_spark.operators.fusion import rrf_fuse
 from rifflux_spark.operators.semantic import semantic_topk
@@ -54,7 +55,27 @@ class SearchService:
 
     # --- modality primitives ---
 
-    def lexical(self, query: str, top_k: int, prune: bool = True) -> list[dict[str, Any]]:
+    # pruned posting bytes below which a query short-circuits to the
+    # coordinator (operators/local_exec.py) instead of paying the Spark
+    # scheduling floor; queries over fatter working sets stay distributed
+    LOCAL_EXEC_BUDGET_BYTES = 256 << 20
+
+    def lexical(
+        self, query: str, top_k: int, prune: bool = True, engine: str = "auto"
+    ) -> list[dict[str, Any]]:
+        if engine not in {"auto", "local", "spark"}:
+            raise ValueError(f"unknown engine: {engine}")
+        if engine != "spark":
+            from rifflux_spark.operators import local_exec
+
+            use_local = engine == "local" or (
+                local_exec.pruned_posting_bytes(
+                    self.store, compile_query(query)
+                )
+                <= self.LOCAL_EXEC_BUDGET_BYTES
+            )
+            if use_local:
+                return self._lexical_local(query, top_k)
         topk = bm25_topk(
             self.spark, self.store, query, top_k, self.config,
             prune=prune, cstats=self._corpus_stats(),
@@ -77,9 +98,40 @@ class SearchService:
             for r in rows
         ]
 
-    def semantic(self, query_vector, top_k: int) -> list[dict[str, Any]]:
+    def _lexical_local(self, query: str, top_k: int) -> list[dict[str, Any]]:
+        from rifflux_spark.operators.local_exec import bm25_topk_local, rehydrate_local
+
+        topk = bm25_topk_local(self.store, query, top_k, self.config, cstats=self._corpus_stats())
+        if not topk:
+            return []
+        chunks = rehydrate_local(self.store, [d for d, _ in topk])
+        out = []
+        for doc_ord, score in topk:
+            c = chunks.get(doc_ord)
+            if c is None:
+                continue
+            out.append(
+                {
+                    "chunk_id": c["chunk_id"],
+                    "path": c["url"],
+                    "heading_path": c["heading_path"],
+                    "chunk_index": c["chunk_index"],
+                    "content": c["content"],
+                    "bm25_score": score,
+                }
+            )
+        return out
+
+    def semantic(self, query_vector, top_k: int, engine: str = "auto") -> list[dict[str, Any]]:
         if query_vector is None:
             return []
+        if engine != "spark":
+            from rifflux_spark.operators import local_exec
+
+            if engine == "local" or (
+                local_exec.embeddings_bytes(self.store) <= self.LOCAL_EXEC_BUDGET_BYTES
+            ):
+                return self._semantic_local(query_vector, top_k)
         emb = self.store.embeddings()
         if self.store.exists("tombstones"):
             emb = emb.join(F.broadcast(self.store.tombstones()), on="doc_ord", how="left_anti")
@@ -101,6 +153,30 @@ class SearchService:
             }
             for r in rows
         ]
+
+    def _semantic_local(self, query_vector, top_k: int) -> list[dict[str, Any]]:
+        from rifflux_spark.operators.local_exec import rehydrate_local, semantic_topk_local
+
+        topk = semantic_topk_local(self.store, query_vector, top_k)
+        if not topk:
+            return []
+        chunks = rehydrate_local(self.store, [d for d, _ in topk])
+        out = []
+        for doc_ord, cos in topk:
+            c = chunks.get(doc_ord)
+            if c is None:
+                continue
+            out.append(
+                {
+                    "chunk_id": c["chunk_id"],
+                    "path": c["url"],
+                    "heading_path": c["heading_path"],
+                    "chunk_index": c["chunk_index"],
+                    "content": c["content"],
+                    "cosine": cos,
+                }
+            )
+        return out
 
     # --- the reference search orchestration (search.py:30-100) ---
 

@@ -56,11 +56,16 @@ def _sentence(rng: random.Random, lo: int = 6, hi: int = 14) -> str:
     return " ".join(_zipf_word(rng) for _ in range(rng.randint(lo, hi)))
 
 
-def make_page_text(doc_idx: int, seed: int = 42) -> str:
-    """Markdown body for page ``doc_idx`` — pure function of (seed, idx)."""
+def make_page_text(doc_idx: int, seed: int = 42, page_scale: int = 1) -> str:
+    """Markdown body for page ``doc_idx`` — pure function of (seed, idx).
+
+    ``page_scale`` multiplies the section count: 1 ≈ 1.5 KB toy pages for
+    unit tests, 4-8 ≈ 6-12 KB — the realistic Common-Crawl text size the
+    scaling bench uses so per-page UDF compute dominates per-row framing
+    overhead, as it does on real pages."""
     rng = random.Random((seed << 32) ^ doc_idx)
     parts: list[str] = []
-    n_sections = rng.randint(2, 4)
+    n_sections = rng.randint(2, 4) * page_scale
     parts.append(f"# {_sentence(rng, 2, 4).title()}")
     parts.append("")
     parts.append(_sentence(rng, 25, 60) + ".")
@@ -94,7 +99,13 @@ _PAGE_SCHEMA = T.StructType(
 )
 
 
-def synthetic_pages(spark: SparkSession, n_docs: int, seed: int = 42, n_partitions: int | None = None) -> DataFrame:
+def synthetic_pages(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    n_partitions: int | None = None,
+    page_scale: int = 1,
+) -> DataFrame:
     """Distributed generator: every page derived from its index."""
     base_ts = dt.datetime(2026, 1, 1)
 
@@ -104,7 +115,7 @@ def synthetic_pages(spark: SparkSession, n_docs: int, seed: int = 42, n_partitio
             rows = []
             for i in idx:
                 i = int(i)
-                text = make_page_text(i, seed)
+                text = make_page_text(i, seed, page_scale)
                 rng = random.Random((seed << 33) ^ i)
                 rows.append(
                     {

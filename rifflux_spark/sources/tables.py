@@ -41,11 +41,12 @@ CHUNKS_SCHEMA = T.StructType(
         T.StructField("content", T.StringType(), True),
         T.StructField("token_count", T.IntegerType(), True),
         T.StructField("dl", T.IntegerType(), True),  # FTS5 doc length (both cols)
-        # pre-tokenized columns: written once by the build's single UDF
+        # pre-tokenized stream: written once by the build's single UDF
         # pass and column-pruned away by every query-path reader; posting
-        # (re)builds and stats consume them without re-running Python
-        T.StructField("content_tokens", T.ArrayType(T.StringType()), True),
-        T.StructField("heading_tokens", T.ArrayType(T.StringType()), True),
+        # (re)builds and stats consume it without re-running Python.
+        # Space-joined string, not array<string>: one value per row through
+        # Arrow/parquet, and F.split keeps the re-explode JVM-side.
+        T.StructField("tokens", T.StringType(), True),
     ]
 )
 
@@ -87,7 +88,10 @@ EMBEDDINGS_SCHEMA = T.StructType(
         T.StructField("chunk_id", T.StringType(), False),
         T.StructField("model", T.StringType(), False),
         T.StructField("dim", T.IntegerType(), False),
-        T.StructField("vec", T.ArrayType(T.FloatType()), False),
+        # packed little-endian float32 — the reference's BLOB format
+        # (reference sqlite_store.py:81-94); ~3× cheaper through
+        # Arrow/parquet than list<float> and decoded zero-copy by numpy
+        T.StructField("vec", T.BinaryType(), False),
     ]
 )
 
@@ -133,11 +137,13 @@ class IndexStore:
 
     # --- writers ---
 
-    def write_chunks(self, df: DataFrame, ordered: bool = False) -> None:
+    def write_chunks(self, df: DataFrame, ordered: bool = False, extra_cols: tuple[str, ...] = ()) -> None:
         """``ordered=True``: the frame is already globally ordered by
         doc_ord (build plan) — write as-is, row-group stats stay tight
-        without paying another range shuffle."""
-        out = df.select([f.name for f in CHUNKS_SCHEMA.fields])
+        without paying another range shuffle. ``extra_cols`` (e.g. carried
+        catalog metadata) are written too; schema-projected readers
+        (:meth:`chunks`) prune them for free."""
+        out = df.select([f.name for f in CHUNKS_SCHEMA.fields] + list(extra_cols))
         if not ordered:
             out = out.repartitionByRange(
                 max(1, self.n_term_buckets // 2), "doc_ord"
@@ -195,7 +201,35 @@ class IndexStore:
             out = out.repartitionByRange(
                 max(1, self.n_term_buckets // 2), "doc_ord"
             ).sortWithinPartitions("doc_ord")
-        out.write.mode("overwrite").parquet(self.path("embeddings"))
+        # packed L2-normalized float32 is ~incompressible; snappy would
+        # only burn encode CPU on the build's second-biggest write
+        out.write.mode("overwrite").option("compression", "uncompressed").parquet(
+            self.path("embeddings")
+        )
+
+    # --- driver-side metadata reads (no Spark job) ---
+
+    def count_rows(self, name: str) -> int:
+        """Row count from parquet footers only — the Iceberg analog is a
+        snapshot's row-count summary."""
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in Path(self.path(name)).rglob("*.parquet")
+        )
+
+    def sum_column(self, name: str, col: str) -> int:
+        """Driver-side column sum for small tables (e.g. term_stats.cf).
+        On Iceberg this is a stats/metadata-table read or a tiny agg job."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in Path(self.path(name)).rglob("*.parquet"):
+            t = pq.read_table(f, columns=[col])
+            s = t.column(0).to_pandas().sum()
+            total += int(s) if s == s else 0  # NaN-safe on empty files
+        return total
 
     def append_lineage(self, rows: list[dict]) -> None:
         """Lineage rows are driver-side metadata (a handful of rows per

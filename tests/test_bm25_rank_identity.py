@@ -68,20 +68,28 @@ def built_index(spark, tmp_path_factory):
     oracle.close()
 
 
-@pytest.mark.parametrize("prune", [False, True])
-def test_bm25_rank_identity(built_index, spark, prune) -> None:
+@pytest.mark.parametrize(
+    "engine,prune",
+    [("spark", False), ("spark", True), ("local", False)],
+)
+def test_bm25_rank_identity(built_index, spark, engine, prune) -> None:
+    """Both execution paths — the distributed plan and the coordinator
+    short-circuit (operators/local_exec.py) — must be rank- and
+    score-identical to the FTS5 oracle."""
     index_dir, oracle = built_index
     service = SearchService(spark, index_dir, CONFIG)
     for query in QUERIES:
         expected = oracle.lexical_search(query, top_k=10)
-        got = service.lexical(query, top_k=10, prune=prune)
+        got = service.lexical(query, top_k=10, prune=prune, engine=engine)
         exp_ids = [r["chunk_id"] for r in expected]
         got_ids = [r["chunk_id"] for r in got]
-        assert got_ids == exp_ids, f"query={query!r} prune={prune}\n exp={exp_ids}\n got={got_ids}"
+        assert got_ids == exp_ids, (
+            f"query={query!r} engine={engine} prune={prune}\n exp={exp_ids}\n got={got_ids}"
+        )
         for e, g in zip(expected, got):
             assert abs(e["bm25_score"] - g["bm25_score"]) < 1e-6, (
                 f"query={query!r} chunk={e['chunk_id']}: "
-                f"fts5={e['bm25_score']} spark={g['bm25_score']}"
+                f"fts5={e['bm25_score']} engine={engine}={g['bm25_score']}"
             )
             assert e["path"] == g["path"]
             assert e["heading_path"] == g["heading_path"]
@@ -99,6 +107,18 @@ def test_unknown_terms_return_empty(built_index, spark) -> None:
     index_dir, _ = built_index
     service = SearchService(spark, index_dir, CONFIG)
     assert service.lexical("zzzzqqqq xxyyzz", top_k=5) == []
+
+
+def test_semantic_local_matches_spark(built_index, spark) -> None:
+    """The coordinator semantic path must equal the distributed scan."""
+    index_dir, _ = built_index
+    service = SearchService(spark, index_dir, CONFIG)
+    qv = service.embed_query("cache ttl policy")
+    loc = service.semantic(qv, top_k=8, engine="local")
+    spk = service.semantic(qv, top_k=8, engine="spark")
+    assert [r["chunk_id"] for r in loc] == [r["chunk_id"] for r in spk]
+    for a, b in zip(loc, spk):
+        assert abs(a["cosine"] - b["cosine"]) < 1e-6
 
 
 def test_topk_larger_than_matches(built_index, spark) -> None:

@@ -61,8 +61,8 @@ def test_chunks_rehydration_pushes_docord_and_prunes_columns(spark, store) -> No
     pushed = plan.split("PushedFilters", 1)[1][:300]
     assert "doc_ord" in pushed
     schema_part = plan.split("ReadSchema", 1)[1][:400]
-    # token arrays must NOT be read on the query path
-    assert "content_tokens" not in schema_part
+    # the token stream must NOT be read on the query path
+    assert "tokens:" not in schema_part
     # '*'-starred operators / codegen ids mark whole-stage codegen spans
     assert "codegen id" in plan
 
