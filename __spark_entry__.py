@@ -308,6 +308,24 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Include/exclude source filter (SURVEY §2 A2): the reference's
+    fnmatch include/exclude globs re-expressed as pushdown-able predicates
+    — include src1*/src2*, exclude *7, plus a lang allowlist."""
+    docs = _docs(spark, sf_dir)
+    included = (
+        docs.filter(
+            (F.col("source").like("src1%") | F.col("source").like("src2%"))
+            & ~F.col("source").like("%7")
+            & F.col("lang").isin("en", "de")
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("source")
+    )
+    return included
+
+
 # ---------------------------------------------------------------- incremental
 
 
@@ -400,6 +418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
+        "source_filter": q_source_filter,
         "incremental_diff": q_incremental_diff,
         "prune_missing": q_prune_missing,
         "index_status": q_index_status,
@@ -654,6 +673,14 @@ SELECT doc_id,
        {_DL_EXPR} AS n_tokens,
        len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_ws_tokens
 FROM documents WHERE doc_id < 30 ORDER BY doc_id
+""",
+        "source_filter": """
+SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents
+WHERE (source LIKE 'src1%' OR source LIKE 'src2%')
+  AND source NOT LIKE '%7'
+  AND lang IN ('en', 'de')
+GROUP BY source ORDER BY source
 """,
         "incremental_diff": f"""
 WITH {_SNAPSHOT_CTE},

@@ -138,7 +138,7 @@ def bm25_topk(
     blocks = store.postings_for_terms(terms)
 
     if prune:
-        blocks = _prune_blocks(blocks, idf, top_k, avgdl, config, min_blocks_to_prune)
+        blocks = _prune_blocks(blocks, idf, top_k, avgdl, config, min_blocks_to_prune, store=store)
 
     scored = _score_blocks(blocks, idf, avgdl, config.bm25_k1, config.bm25_b)
     agg = scored.groupBy("doc_ord").agg(F.sum("partial").alias("score"))
@@ -157,6 +157,7 @@ def _prune_blocks(
     avgdl: float,
     config: EngineConfig,
     min_blocks_to_prune: int = 64,
+    store: IndexStore | None = None,
 ) -> DataFrame:
     """Drop blocks that provably cannot host any top-k doc.
 
@@ -215,14 +216,16 @@ def _prune_blocks(
             ["\x00".join((t, str(s), str(q))) for t, s, q in seed_keys]
         )
     )
-    seed_scores = (
+    seed_agg = (
         _score_blocks(seed_blocks, idf, avgdl, config.bm25_k1, config.bm25_b)
         .groupBy("doc_ord")
         .agg(F.sum("partial").alias("score"))
-        .orderBy(F.desc("score"))
-        .limit(top_k)
-        .collect()
     )
+    # θ must lower-bound the k-th best LIVE score: a tombstoned doc in the
+    # seed would inflate it and over-prune blocks holding live survivors
+    if store is not None and store.exists("tombstones"):
+        seed_agg = seed_agg.join(F.broadcast(store.tombstones()), on="doc_ord", how="left_anti")
+    seed_scores = seed_agg.orderBy(F.desc("score")).limit(top_k).collect()
     if len(seed_scores) < top_k:
         return blocks  # not enough docs to justify pruning
     theta = float(seed_scores[-1]["score"])

@@ -112,17 +112,46 @@ def local_tombstones(store: IndexStore) -> np.ndarray:
     return np.concatenate(parts).astype(np.int64)
 
 
+def _decode_score(rows: list[tuple], idf: dict[str, float], avgdl: float, k1: float, b: float):
+    """Decode + BM25-score block rows → (doc_ord array, partial array)."""
+    docs_parts: list[np.ndarray] = []
+    partial_parts: list[np.ndarray] = []
+    for term, n, first, gaps, tfs, dls in rows:
+        n = int(n)
+        doc_ords = decode_varbyte(bytes(gaps), n).astype(np.int64).cumsum() + int(first)
+        tf = decode_varbyte(bytes(tfs), n)
+        dl = decode_varbyte(bytes(dls), n)
+        docs_parts.append(doc_ords)
+        partial_parts.append(bm25_wtf(tf, dl, avgdl, k1, b) * idf[term])
+    if not docs_parts:
+        return np.empty(0, dtype=np.int64), np.empty(0)
+    return np.concatenate(docs_parts), np.concatenate(partial_parts)
+
+
+def _agg_topk(docs: np.ndarray, partials: np.ndarray):
+    """Per-doc sums via sorted reduce — no Python dict loop."""
+    order = np.argsort(docs, kind="stable")
+    docs, partials = docs[order], partials[order]
+    uniq, starts = np.unique(docs, return_index=True)
+    return uniq, np.add.reduceat(partials, starts)
+
+
 def bm25_topk_local(
     store: IndexStore,
     query: str,
     top_k: int = 10,
     config: EngineConfig | None = None,
     cstats: dict | None = None,
+    prune: bool = True,
+    min_blocks_to_prune: int = 64,
 ) -> list[tuple[int, float]]:
     """Driver-side BM25 top-k: [(doc_ord, negated_score)], best first.
 
     Exactly the semantics of operators/bm25.bm25_topk (same codec, same
-    constants, same (score desc, doc_ord asc) tie-break, same negation).
+    constants, same (score desc, doc_ord asc) tie-break, same negation),
+    including block-max WAND pruning: blocks whose upper bound plus the
+    other terms' best-block bounds cannot reach the seed top-k threshold
+    are never decoded — correctness-invariant on/off (tested).
     """
     config = config or EngineConfig()
     terms = compile_query(query)
@@ -141,36 +170,85 @@ def bm25_topk_local(
 
     buckets = {term_bucket(t, store.n_term_buckets) for t in qterms}
     files = _bucket_files(store, "postings", buckets)
-    t = _read_filtered(files, ["term", "n_docs", "first_doc", "gaps", "tfs", "dls"], qterms)
+    t = _read_filtered(
+        files,
+        ["term", "n_docs", "first_doc", "gaps", "tfs", "dls", "block_max_tf", "block_min_dl"],
+        qterms,
+    )
     if t is None:
         return []
-
-    docs_parts: list[np.ndarray] = []
-    partial_parts: list[np.ndarray] = []
-    for term, n, first, gaps, tfs, dls in zip(
-        t.column("term").to_pylist(),
-        t.column("n_docs").to_pylist(),
-        t.column("first_doc").to_pylist(),
-        t.column("gaps").to_pylist(),
-        t.column("tfs").to_pylist(),
-        t.column("dls").to_pylist(),
-    ):
-        n = int(n)
-        doc_ords = decode_varbyte(bytes(gaps), n).astype(np.int64).cumsum() + int(first)
-        tf = decode_varbyte(bytes(tfs), n)
-        dl = decode_varbyte(bytes(dls), n)
-        docs_parts.append(doc_ords)
-        partial_parts.append(bm25_wtf(tf, dl, avgdl, config.bm25_k1, config.bm25_b) * idf[term])
-    docs = np.concatenate(docs_parts)
-    partials = np.concatenate(partial_parts)
-
-    # aggregate per doc (sorted reduce — no Python dict loop)
-    order = np.argsort(docs, kind="stable")
-    docs, partials = docs[order], partials[order]
-    uniq, starts = np.unique(docs, return_index=True)
-    sums = np.add.reduceat(partials, starts)
-
     tombs = local_tombstones(store)
+
+    rows = list(
+        zip(
+            t.column("term").to_pylist(),
+            t.column("n_docs").to_pylist(),
+            t.column("first_doc").to_pylist(),
+            t.column("gaps").to_pylist(),
+            t.column("tfs").to_pylist(),
+            t.column("dls").to_pylist(),
+        )
+    )
+
+    if prune and len(rows) >= min_blocks_to_prune:
+        # block-max WAND (same bound as operators/bm25._prune_blocks):
+        # UB(B_t) = idf_t * wtf(block_max_tf, block_min_dl)
+        ub = np.array(
+            [
+                idf[term]
+                * float(
+                    bm25_wtf(
+                        np.array([mx]), np.array([mn]), avgdl,
+                        config.bm25_k1, config.bm25_b,
+                    )[0]
+                )
+                for term, mx, mn in zip(
+                    t.column("term").to_pylist(),
+                    t.column("block_max_tf").to_pylist(),
+                    t.column("block_min_dl").to_pylist(),
+                )
+            ]
+        )
+        terms_arr = t.column("term").to_pylist()
+        max_ub: dict[str, float] = {}
+        for tm, u in zip(terms_arr, ub):
+            max_ub[tm] = max(max_ub.get(tm, 0.0), float(u))
+        total_other = {tm: sum(v for s, v in max_ub.items() if s != tm) for tm in max_ub}
+        # seed: highest-UB blocks per term until they cover ≥ top_k docs
+        per_term: dict[str, list[int]] = {}
+        for i, tm in enumerate(terms_arr):
+            per_term.setdefault(tm, []).append(i)
+        seed: set[int] = set()
+        for tm, idxs in per_term.items():
+            idxs.sort(key=lambda i: -ub[i])
+            covered = 0
+            for i in idxs:
+                seed.add(i)
+                covered += int(rows[i][1])
+                if covered >= top_k:
+                    break
+        if len(seed) < len(rows):
+            docs_s, part_s = _decode_score([rows[i] for i in seed], idf, avgdl, config.bm25_k1, config.bm25_b)
+            uniq_s, sums_s = _agg_topk(docs_s, part_s)
+            if tombs.size:
+                # θ must lower-bound the k-th best LIVE score — a
+                # tombstoned doc in the seed would inflate it and
+                # over-prune blocks holding live survivors
+                live = ~np.isin(uniq_s, tombs)
+                uniq_s, sums_s = uniq_s[live], sums_s[live]
+            if uniq_s.size >= top_k:
+                theta = float(np.sort(sums_s)[-top_k])
+                keep = [
+                    i for i in range(len(rows))
+                    if i in seed or (float(ub[i]) + total_other[terms_arr[i]]) >= theta
+                ]
+                rows = [rows[i] for i in keep]
+
+    docs, partials = _decode_score(rows, idf, avgdl, config.bm25_k1, config.bm25_b)
+    if docs.size == 0:
+        return []
+    uniq, sums = _agg_topk(docs, partials)
+
     if tombs.size:
         keep = ~np.isin(uniq, tombs)
         uniq, sums = uniq[keep], sums[keep]

@@ -75,7 +75,7 @@ class SearchService:
                 <= self.LOCAL_EXEC_BUDGET_BYTES
             )
             if use_local:
-                return self._lexical_local(query, top_k)
+                return self._lexical_local(query, top_k, prune=prune)
         topk = bm25_topk(
             self.spark, self.store, query, top_k, self.config,
             prune=prune, cstats=self._corpus_stats(),
@@ -98,10 +98,13 @@ class SearchService:
             for r in rows
         ]
 
-    def _lexical_local(self, query: str, top_k: int) -> list[dict[str, Any]]:
+    def _lexical_local(self, query: str, top_k: int, prune: bool = True) -> list[dict[str, Any]]:
         from rifflux_spark.operators.local_exec import bm25_topk_local, rehydrate_local
 
-        topk = bm25_topk_local(self.store, query, top_k, self.config, cstats=self._corpus_stats())
+        topk = bm25_topk_local(
+            self.store, query, top_k, self.config,
+            cstats=self._corpus_stats(), prune=prune,
+        )
         if not topk:
             return []
         chunks = rehydrate_local(self.store, [d for d, _ in topk])

@@ -70,7 +70,7 @@ def built_index(spark, tmp_path_factory):
 
 @pytest.mark.parametrize(
     "engine,prune",
-    [("spark", False), ("spark", True), ("local", False)],
+    [("spark", False), ("spark", True), ("local", False), ("local", True)],
 )
 def test_bm25_rank_identity(built_index, spark, engine, prune) -> None:
     """Both execution paths — the distributed plan and the coordinator
