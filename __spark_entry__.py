@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rifflux_spark.functions import text_analysis as TA
-from rifflux_spark.operators.ann import ann_topk, bucketize
+from rifflux_spark.operators.ann import ann_topk, bucketize, ivf_index, ivf_topk, train_centroids
 from rifflux_spark.operators.dedup import minhash_lsh_dedup, simhash64, simhash_near_dupes
 from rifflux_spark.operators.multimodal import extract_media_meta
 from rifflux_spark.plans.adhoc import bm25_logical, bm25_oracle_sql, tokenized_docs
@@ -255,6 +255,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed approximate top-10: k-means coarse quantizer over a
+    bounded sample, n_probe=4 of 8 cells. (No SQL oracle: iterative
+    k-means; rows-only check. Exactness when probing all cells is
+    asserted in tests/test_dedup_ann.py.)"""
+    emb = _emb(spark, sf_dir)
+    cent = train_centroids(emb, n_centroids=8, sample_n=1024)
+    indexed = ivf_index(emb, cent)
+    return ivf_topk(indexed, cent, _QVEC, top_k=10, n_probe=4).select(
+        "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary media plumbing: payload bytes → typed metadata
     struct (byte length, sha256, deterministic fake dims)."""
@@ -412,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "multimodal_meta": q_multimodal_meta,
         "ngram_jaccard": q_ngram_jaccard,
         "fingerprint": q_fingerprint,

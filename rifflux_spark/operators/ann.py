@@ -1,16 +1,21 @@
 """Approximate nearest-neighbor search over embedding columns.
 
-Two paths (SURVEY-mandated training-data ops):
+Three paths (SURVEY-mandated training-data ops):
 
 - **brute force** (the parity baseline, reference semantic.py:10-40):
   vectorized cosine against a broadcast query vector + top-k via
   ``orderBy().limit()`` (TakeOrderedAndProject — per-partition heaps,
   driver merges k rows);
-- **LSH-bucketed** (the scale path): random-hyperplane sign bits hash
+- **LSH-bucketed** (scale path 1): random-hyperplane sign bits hash
   each vector into one of 2^n_planes buckets; the query probes its own
   bucket plus the ``n_probe``-nearest (lowest-Hamming) buckets, scanning
   only that fraction of the corpus. Planes are seeded → deterministic.
-  Recall/cost trades via (n_planes, n_probe).
+  Recall/cost trades via (n_planes, n_probe);
+- **IVF** (scale path 2): a k-means coarse quantizer trained on a
+  bounded driver-side sample partitions vectors into cells; queries
+  probe the ``n_probe`` nearest cells. Data-adaptive (better recall per
+  probed row than data-oblivious LSH on clustered embeddings) at the
+  cost of the training pass.
 
 At cluster scale the bucketed table is written partitioned by bucket id
 so a probe prunes partitions at the source — same trick as the postings
@@ -130,4 +135,86 @@ def ann_topk(
     (partition-prunable filter), exact cosine within them."""
     buckets = probe_buckets(query_vector, n_planes, seed, n_probe)
     cand = bucketed.filter(F.col("lsh_bucket").isin(buckets))
+    return brute_force_topk(cand, query_vector, top_k, id_col, vec_col)
+
+
+# --------------------------------------------------------------- IVF variant
+
+
+def train_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    sample_n: int = 4096,
+    n_iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic k-means coarse quantizer trained on a bounded sample.
+
+    The sample (≤ sample_n rows, id-ordered so it is reproducible) is the
+    only thing collected to the driver — at 10^12 rows the training set
+    stays a constant-size sample while assignment/search remain fully
+    distributed. Init is evenly spaced sample vectors; a fixed iteration
+    count of Lloyd steps in float64 keeps the result platform-stable.
+    """
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_n)
+        .collect()
+    )
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    n = mat.shape[0]
+    k = min(n_centroids, n)
+    cent = mat[np.linspace(0, n - 1, k).astype(int)].copy()
+    for _ in range(n_iters):
+        d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def ivf_assign_udf(centroids: np.ndarray):
+    c = centroids
+
+    @F.pandas_udf(T.IntegerType())
+    def cell(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return cell
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append the IVF cell id (persist partitioned by it at scale —
+    same partition-pruning trick as the postings term buckets)."""
+    return embeddings.withColumn("ivf_cell", ivf_assign_udf(centroids)(F.col(vec_col)))
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids: np.ndarray,
+    query_vector,
+    top_k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-probed approximate top-k: scan only the ``n_probe`` cells whose
+    centroids are nearest the query, exact cosine within them. Probing
+    every cell (n_probe ≥ k) degenerates to exact brute force (tested)."""
+    q = np.asarray(query_vector, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    cells = [int(i) for i in np.argsort(d, kind="stable")[:n_probe]]
+    cand = indexed.filter(F.col("ivf_cell").isin(cells))
     return brute_force_topk(cand, query_vector, top_k, id_col, vec_col)

@@ -102,9 +102,20 @@ def build_index(
     embedding_dim: int | None = None,
     build_id: str | None = None,
     with_embeddings: bool = True,
+    force: bool = False,
 ) -> dict:
-    """Build the full index under ``index_dir``. Returns metrics."""
+    """Build the full index under ``index_dir``. Returns metrics.
+
+    ``force=True`` is the reference's destructive ``rebuild`` (reference
+    cli.py:78-99): wipe the index root (lineage included) and rebuild
+    every stage from scratch, ignoring any resume state.
+    """
     import time as _time
+
+    if force:
+        import shutil as _shutil
+
+        _shutil.rmtree(index_dir, ignore_errors=True)
 
     config = config or EngineConfig()
     dim = embedding_dim or config.embedding_dim

@@ -110,6 +110,51 @@ def test_lsh_ann_recall(spark) -> None:
     assert buckets_scanned < 300
 
 
+def test_ivf_ann_exact_when_probing_all_cells(spark) -> None:
+    """n_probe >= n_centroids degenerates to exact brute force — the IVF
+    correctness invariant."""
+    from rifflux_spark.operators.ann import ivf_index, ivf_topk, train_centroids
+
+    rng = np.random.RandomState(3)
+    vecs = rng.normal(size=(200, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    q = rng.normal(size=16)
+    cent = train_centroids(df, n_centroids=8, sample_n=200)
+    indexed = ivf_index(df, cent)
+    exact = [r["vec_id"] for r in brute_force_topk(df, q, top_k=5).collect()]
+    allprobe = [r["vec_id"] for r in ivf_topk(indexed, cent, q, top_k=5, n_probe=8).collect()]
+    assert allprobe == exact
+
+
+def test_ivf_ann_recall_and_pruning(spark) -> None:
+    from rifflux_spark.operators.ann import ivf_index, ivf_topk, train_centroids
+
+    rng = np.random.RandomState(4)
+    # clustered data: IVF's home turf
+    centers = rng.normal(size=(6, 16)) * 4
+    vecs = np.concatenate(
+        [c + rng.normal(size=(50, 16)) * 0.4 for c in centers]
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    q = vecs[17].astype(np.float64)
+    cent = train_centroids(df, n_centroids=6, sample_n=300)
+    indexed = ivf_index(df, cent)
+    approx = [r["vec_id"] for r in ivf_topk(indexed, cent, q, top_k=5, n_probe=2).collect()]
+    exact = [r["vec_id"] for r in brute_force_topk(df, q, top_k=5).collect()]
+    assert approx[0] == 17
+    assert len(set(approx) & set(exact)) >= 4
+    # probing 2 of 6 cells scans a fraction of the corpus
+    import numpy as _np
+    d = ((cent - q[None, :]) ** 2).sum(axis=1)
+    cells = [int(i) for i in _np.argsort(d, kind="stable")[:2]]
+    scanned = indexed.filter(F.col("ivf_cell").isin(cells)).count()
+    assert scanned < len(vecs)
+
+
 def test_multimodal_meta_and_features(spark) -> None:
     rows = [
         (0, b"\x89PNG fake image bytes", "image"),

@@ -143,3 +143,16 @@ def test_partial_build_resumes_from_checkpoint(spark, tmp_path_factory) -> None:
     assert "postings_shard_1" in completed_stages(store, build_id)
     # index answers queries after resume
     assert SearchService(spark, index_dir, CONFIG).lexical("the data", top_k=3)
+
+
+def test_force_rebuild_wipes_and_rebuilds(spark, tmp_path_factory) -> None:
+    """force=True is the reference's destructive rebuild (cli.py:78-99):
+    resume state is discarded and every stage runs again."""
+    pages = synthetic_pages(spark, 30, seed=11)
+    index_dir = str(tmp_path_factory.mktemp("force"))
+    build_index(spark, pages, index_dir, CONFIG)
+    m = build_index(spark, pages, index_dir, CONFIG)
+    assert m["skipped_stages"]  # normal re-run resumes
+    m2 = build_index(spark, pages, index_dir, CONFIG, force=True)
+    assert m2["skipped_stages"] == []
+    assert SearchService(spark, index_dir, CONFIG).lexical("the data", top_k=2)
