@@ -318,6 +318,7 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         TA.token_count(F.col("text")).alias("n_tokens"),
         TA.whitespace_token_count(F.col("text")).alias("n_ws_tokens"),
+        TA.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
     ).orderBy("doc_id")
 
 
@@ -454,6 +455,11 @@ toks AS (
 _DL_EXPR = "len(list_filter(string_split_regex(lower(text), '[^0-9a-z]+'), x -> x <> ''))"
 
 _STOPWORDS_SQL = "['the','a','and','of','to','in','is','for','on','with']"
+
+# SQL single-quoted literal of functions.text_analysis.BPE_ISH_PATTERN
+# (apostrophe doubled for SQL; plain alternation parses identically in
+# Java regex and DuckDB RE2)
+_BPE_SQL = "'''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+'"
 
 _SNAPSHOT_CTE = """
 snapshot AS (
@@ -685,7 +691,8 @@ GROUP BY lang, lang_pred ORDER BY lang, lang_pred
         "token_counts": f"""
 SELECT doc_id,
        {_DL_EXPR} AS n_tokens,
-       len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_ws_tokens
+       len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_ws_tokens,
+       len(regexp_extract_all(text, {_BPE_SQL})) AS n_bpe_tokens
 FROM documents WHERE doc_id < 30 ORDER BY doc_id
 """,
         "source_filter": """

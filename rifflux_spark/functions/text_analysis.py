@@ -34,6 +34,19 @@ def whitespace_token_count(text: Column) -> Column:
     return F.size(F.filter(F.split(text, "\\s+"), lambda t: t != F.lit(""))).cast("long")
 
 
+# GPT-2-style pre-tokenizer shape: contractions, space-prefixed word /
+# number / punctuation runs, residual whitespace. Plain alternation only,
+# so Java regex (Spark) and RE2 (DuckDB oracle) agree byte-for-byte.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Pre-tokenizer match count — the cheap, model-free proxy for BPE
+    token counts a training-data pipeline budgets with (true BPE counts
+    need the merge table; this bounds them from below)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0))).cast("long")
+
+
 def mean_word_len(text: Column) -> Column:
     toks = ascii_tokens(text)
     total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))

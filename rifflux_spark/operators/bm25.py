@@ -37,7 +37,7 @@ from pyspark.sql import types as T
 
 from rifflux_spark.config import EngineConfig
 from rifflux_spark.functions.tokenizer import compile_query
-from rifflux_spark.operators.codec import bm25_wtf, decode_varbyte
+from rifflux_spark.operators.codec import bm25_wtf, decode_blocks_batch
 from rifflux_spark.sources.tables import IndexStore
 
 _SCORE_ROW = T.StructType(
@@ -76,20 +76,19 @@ def _score_blocks(blocks: DataFrame, idf: dict[str, float], avgdl: float, k1: fl
         for pdf in batches:
             if pdf.empty:
                 continue
-            docs_all: list[np.ndarray] = []
-            partial_all: list[np.ndarray] = []
-            for term, gaps, tfs, dls, n, first in zip(
-                pdf["term"], pdf["gaps"], pdf["tfs"], pdf["dls"], pdf["n_docs"], pdf["first_doc"]
-            ):
-                n = int(n)
-                doc_ords = decode_varbyte(bytes(gaps), n).astype(np.int64).cumsum() + int(first)
-                tf = decode_varbyte(bytes(tfs), n)
-                dl = decode_varbyte(bytes(dls), n)
-                wtf = bm25_wtf(tf, dl, avgdl, k1, b)
-                docs_all.append(doc_ords)
-                partial_all.append(wtf * idf_b[term])
-            docs = np.concatenate(docs_all)
-            partials = np.concatenate(partial_all)
+            # one vectorized decode of EVERY block in the Arrow batch
+            # (LEB128 self-delimits, so the byte concatenation decodes in
+            # one pass; per-posting idf is an np.repeat per block)
+            ns = pdf["n_docs"].to_numpy(dtype=np.int64)
+            docs, tf, dl = decode_blocks_batch(
+                [bytes(x) for x in pdf["gaps"]],
+                [bytes(x) for x in pdf["tfs"]],
+                [bytes(x) for x in pdf["dls"]],
+                ns,
+                pdf["first_doc"].to_numpy(dtype=np.int64),
+            )
+            idf_per = np.repeat(np.array([idf_b[t] for t in pdf["term"]]), ns)
+            partials = bm25_wtf(tf, dl, avgdl, k1, b) * idf_per
             agg = pd.DataFrame({"doc_ord": docs, "partial": partials}).groupby(
                 "doc_ord", as_index=False
             )["partial"].sum()
@@ -162,14 +161,20 @@ def _prune_blocks(
     """Drop blocks that provably cannot host any top-k doc.
 
     Driver-side on block *metadata* only (one row per block for the query's
-    terms — tiny even at web scale). Falls back to no-op when there are
-    fewer blocks than the seed pass would cost to justify.
+    terms). Falls back to no-op when there are fewer blocks than the seed
+    pass would cost to justify, and also when there are MORE than
+    ``max_blocks_to_prune``: a six-figure block count means stopword-class
+    terms whose clamped idfs make every bound uniform — WAND cannot prune,
+    and collecting that much metadata to the driver plus the extra seed
+    job costs more than the decode it would save.
     """
+    max_blocks_to_prune = 20_000
+    n_blocks = blocks.count()
+    if n_blocks < min_blocks_to_prune or n_blocks > max_blocks_to_prune:
+        return blocks
     meta = blocks.select(
         "term", "salt", "block_seq", "n_docs", "block_max_tf", "block_min_dl"
     ).collect()
-    if len(meta) < min_blocks_to_prune:
-        return blocks
     ub = [
         (
             r["term"],

@@ -125,6 +125,38 @@ def encode_block(
     }
 
 
+def decode_blocks_batch(
+    gaps_list,
+    tfs_list,
+    dls_list,
+    n_list,
+    first_list,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized decode of MANY blocks at once → (doc_ords, tfs, dls).
+
+    LEB128 is self-delimiting, so the concatenation of every block's bytes
+    decodes in ONE vectorized pass; doc ordinals are then a segmented
+    cumsum (per-block bases subtracted via np.repeat). Replaces a
+    per-block Python loop — ~100k blocks for a stopword query decode in a
+    handful of numpy ops instead of 100k interpreter iterations.
+    """
+    n = np.asarray(n_list, dtype=np.int64)
+    if n.size == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    total = int(n.sum())
+    gaps = decode_varbyte(b"".join(gaps_list), total).astype(np.int64)
+    tfs = decode_varbyte(b"".join(tfs_list), total).astype(np.int64)
+    dls = decode_varbyte(b"".join(dls_list), total).astype(np.int64)
+    ends = np.cumsum(n)
+    g = np.cumsum(gaps)
+    # per-segment base = running cumsum at the END of the previous segment
+    base = np.concatenate(([0], g[ends[:-1] - 1]))
+    within = g - np.repeat(base, n)
+    doc_ords = within + np.repeat(np.asarray(first_list, dtype=np.int64), n)
+    return doc_ords, tfs, dls
+
+
 def decode_block(block: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Inverse of :func:`encode_block` → (doc_ords, tfs, dls)."""
     n = int(block["n_docs"])

@@ -33,7 +33,7 @@ import pyarrow.parquet as pq
 from rifflux_spark.config import EngineConfig
 from rifflux_spark.functions.tokenizer import compile_query
 from rifflux_spark.functions.xxhash64 import term_bucket
-from rifflux_spark.operators.codec import bm25_wtf, decode_varbyte
+from rifflux_spark.operators.codec import bm25_wtf, decode_blocks_batch
 from rifflux_spark.sources.tables import IndexStore
 
 
@@ -74,19 +74,28 @@ def _read_filtered(files: list[Path], columns: list[str], terms: list[str]):
     return pa.concat_tables(tables)
 
 
-def local_idf(store: IndexStore, terms: list[str], n_docs: int) -> dict[str, float]:
-    """FTS5 ln-idf from the term_stats table, read coordinator-side."""
+def local_df(store: IndexStore, terms: list[str]) -> dict[str, int]:
+    """Document frequency per query term from term_stats, read
+    coordinator-side (row-group pruned — milliseconds at any scale)."""
     if not terms:
         return {}
     # term_stats is partitioned by the same bucket function as postings
     buckets = {term_bucket(t, store.n_term_buckets) for t in terms}
     files = _bucket_files(store, "term_stats", buckets)
     t = _read_filtered(files, ["term", "df_docs"], terms)
-    out: dict[str, float] = {}
     if t is None:
-        return out
-    for term, df_t in zip(t.column("term").to_pylist(), t.column("df_docs").to_pylist()):
-        idf = math.log((n_docs - int(df_t) + 0.5) / (int(df_t) + 0.5))
+        return {}
+    return {
+        term: int(df)
+        for term, df in zip(t.column("term").to_pylist(), t.column("df_docs").to_pylist())
+    }
+
+
+def local_idf(store: IndexStore, terms: list[str], n_docs: int) -> dict[str, float]:
+    """FTS5 ln-idf from the term_stats table, read coordinator-side."""
+    out: dict[str, float] = {}
+    for term, df_t in local_df(store, terms).items():
+        idf = math.log((n_docs - df_t + 0.5) / (df_t + 0.5))
         out[term] = idf if idf > 0 else 1e-6
     return out
 
@@ -113,19 +122,18 @@ def local_tombstones(store: IndexStore) -> np.ndarray:
 
 
 def _decode_score(rows: list[tuple], idf: dict[str, float], avgdl: float, k1: float, b: float):
-    """Decode + BM25-score block rows → (doc_ord array, partial array)."""
-    docs_parts: list[np.ndarray] = []
-    partial_parts: list[np.ndarray] = []
-    for term, n, first, gaps, tfs, dls in rows:
-        n = int(n)
-        doc_ords = decode_varbyte(bytes(gaps), n).astype(np.int64).cumsum() + int(first)
-        tf = decode_varbyte(bytes(tfs), n)
-        dl = decode_varbyte(bytes(dls), n)
-        docs_parts.append(doc_ords)
-        partial_parts.append(bm25_wtf(tf, dl, avgdl, k1, b) * idf[term])
-    if not docs_parts:
+    """Decode + BM25-score block rows → (doc_ord array, partial array).
+
+    One vectorized pass over ALL blocks (codec.decode_blocks_batch); the
+    per-posting idf factor is an np.repeat of each block's term idf."""
+    if not rows:
         return np.empty(0, dtype=np.int64), np.empty(0)
-    return np.concatenate(docs_parts), np.concatenate(partial_parts)
+    terms, ns, firsts, gaps_l, tfs_l, dls_l = zip(*rows)
+    docs, tf, dl = decode_blocks_batch(gaps_l, tfs_l, dls_l, ns, firsts)
+    idf_per = np.repeat(
+        np.array([idf[t] for t in terms]), np.asarray(ns, dtype=np.int64)
+    )
+    return docs, bm25_wtf(tf, dl, avgdl, k1, b) * idf_per
 
 
 def _agg_topk(docs: np.ndarray, partials: np.ndarray):

@@ -104,8 +104,7 @@ def apply_incremental(
             "append"
         ).parquet(store.path("chunks"))
 
-        # recompute avgdl over live docs and append posting runs
-        stats = _live_stats(store)
+        # append posting runs (corpus stats refresh at the end of apply)
         tf = term_frequencies(
             tokenized.select("doc_ord", "dl", "tokens")
         )
@@ -222,7 +221,6 @@ def compact(spark: SparkSession, store: IndexStore, config: EngineConfig | None 
 
     # rebuild postings from live chunks (bucket-parallel, same encode path)
     live = _live_chunks(store).select("doc_ord", "dl", "tokens")
-    stats = _live_stats(store)
     tf = term_frequencies(live)
     blocks = encode_postings(tf, config)
     blocks.withColumn(

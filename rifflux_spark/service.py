@@ -55,9 +55,12 @@ class SearchService:
 
     # --- modality primitives ---
 
-    # pruned posting bytes below which a query short-circuits to the
-    # coordinator (operators/local_exec.py) instead of paying the Spark
-    # scheduling floor; queries over fatter working sets stay distributed
+    # engine="auto" routing: a query whose total posting volume (Σ df of
+    # its terms, read driver-side from term_stats in ms) fits this budget
+    # short-circuits to the coordinator (operators/local_exec.py); fatter
+    # working sets decode in parallel on the distributed plan. Embeddings
+    # use a byte budget since a semantic scan is always corpus-sized.
+    LOCAL_EXEC_MAX_POSTINGS = 2_000_000
     LOCAL_EXEC_BUDGET_BYTES = 256 << 20
 
     def lexical(
@@ -69,10 +72,12 @@ class SearchService:
             from rifflux_spark.operators import local_exec
 
             use_local = engine == "local" or (
-                local_exec.pruned_posting_bytes(
-                    self.store, compile_query(query)
+                sum(
+                    local_exec.local_df(
+                        self.store, sorted(set(compile_query(query)))
+                    ).values()
                 )
-                <= self.LOCAL_EXEC_BUDGET_BYTES
+                <= self.LOCAL_EXEC_MAX_POSTINGS
             )
             if use_local:
                 return self._lexical_local(query, top_k, prune=prune)

@@ -44,12 +44,22 @@ _VOCAB = [
 ]
 _LANGS = ["en", "en", "en", "fr", "es", "de", "zh"]
 
+# Heavy Zipf tail: real web vocab is open-ended, so document frequency
+# must FALL as the corpus grows — with only the head words, every term
+# converges to df≈100% at ~10^6 docs and every query degenerates to the
+# worst-case stopword path. 4000 tail words under the same 1/(r+3) law
+# give realistic mid/low-df terms at every corpus size.
+_FULL_VOCAB = _VOCAB + [f"w{i:04d}" for i in range(4000)]
+_CUM_WEIGHTS: list[float] = []
+_acc = 0.0
+for _r in range(len(_FULL_VOCAB)):
+    _acc += 1.0 / (_r + 3)
+    _CUM_WEIGHTS.append(_acc)
+
 
 def _zipf_word(rng: random.Random) -> str:
-    # Zipf-ish: rank r with p ∝ 1/(r+3)
-    n = len(_VOCAB)
-    weights = [1.0 / (r + 3) for r in range(n)]
-    return rng.choices(_VOCAB, weights=weights, k=1)[0]
+    # Zipf: rank r with p ∝ 1/(r+3), O(log V) per draw via cum weights
+    return rng.choices(_FULL_VOCAB, cum_weights=_CUM_WEIGHTS, k=1)[0]
 
 
 def _sentence(rng: random.Random, lo: int = 6, hi: int = 14) -> str:
