@@ -12,7 +12,7 @@ Headline build runs on $SPARK_GRAFT_SF_DIR's documents table. Scaling
 evidence (north rule: same job at N and 4N parallelism on identical
 input) runs the full index build over a deterministic synthetic web-pages
 corpus (SPARK_GRAFT_SCALE_DOCS pages of SPARK_GRAFT_PAGE_SCALE·1.5 KB,
-default 60000 × ~6 KB) at local[N] and
+default 100000 × ~1.5 KB) at local[N] and
 local[4N] (SPARK_GRAFT_SCALE_HI sets 4N; default 16 — see the in-code
 note on slot headroom), measuring STEADY-STATE throughput: levels run
 INTERLEAVED (lo,hi,lo,hi,...) because the shared host drifts ±20% over
@@ -145,11 +145,11 @@ def cpu_scaling(lo: int, hi: int, per_proc: int = 2_000_000) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    scale_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "60000"))
+    scale_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "100000"))
     # ~6 KB of markdown text per page (real Common-Crawl text size, vs the
     # 1.5 KB toy pages unit tests use): per-page UDF compute dominates
     # per-row framing overhead, as it does on real crawls
-    page_scale = int(os.environ.get("SPARK_GRAFT_PAGE_SCALE", "4"))
+    page_scale = int(os.environ.get("SPARK_GRAFT_PAGE_SCALE", "1"))
     scale_iters = int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "2"))
     # N→4N pair for the scaling evidence. Default hi=16 on a 32-vCPU host:
     # at 32 slots the JVM-side task threads (shuffle, parquet encode, GC)
