@@ -99,26 +99,31 @@ def bucketize(
 
 
 def probe_buckets(query_vector, n_planes: int, seed: int, n_probe: int) -> list[int]:
-    """Query bucket + nearest buckets by Hamming distance (bit flips in
-    ascending count order, deterministic)."""
+    """Multiprobe order: buckets ranked by the total |margin| of the
+    planes whose sign they flip (Lv et al., multi-probe LSH) — a plane
+    the query sits close to is the one most likely to misclassify a true
+    neighbor, so flip it first. Deterministic; the exact (all-buckets)
+    case enumerates everything. For large n_planes only the 16
+    smallest-margin planes are considered for flipping, bounding the
+    enumeration at 2^16 masks."""
     q = np.asarray(query_vector, dtype=np.float64)
     planes = hyperplanes(len(q), n_planes, seed)
-    signs = (planes @ q) > 0
+    proj = planes @ q
     base = 0
-    for i, s in enumerate(signs):
+    for i, s in enumerate(proj > 0):
         base |= int(s) << i
-    buckets = [base]
-    for flips in range(1, n_planes + 1):
-        if len(buckets) >= n_probe:
-            break
-        for combo in itertools.combinations(range(n_planes), flips):
-            mask = 0
-            for c in combo:
-                mask |= 1 << c
-            buckets.append(base ^ mask)
-            if len(buckets) >= n_probe:
-                break
-    return buckets[:n_probe]
+    flip_order = np.argsort(np.abs(proj), kind="stable")[:16]
+    margins = np.abs(proj)[flip_order]
+    scored: list[tuple[float, int]] = []
+    for bits in range(1 << len(flip_order)):
+        mask, score = 0, 0.0
+        for j in range(len(flip_order)):
+            if bits & (1 << j):
+                mask |= 1 << int(flip_order[j])
+                score += float(margins[j])
+        scored.append((score, mask))
+    scored.sort()
+    return [base ^ mask for _, mask in scored[:n_probe]]
 
 
 def ann_topk(

@@ -64,17 +64,39 @@ def minhash_signatures(
     return df.select(F.col(id_col).alias("id"), sig.alias("sig")).filter(F.size("sig") > 0)
 
 
+def _cap_buckets(banded: DataFrame, keys: list[str], max_bucket_size: int | None) -> DataFrame:
+    """Drop LSH buckets larger than ``max_bucket_size`` before the
+    within-bucket self-join. A degenerate bucket of b docs (boilerplate,
+    empty-text signatures) would emit b(b-1)/2 pairs — at web scale one
+    hot bucket turns the stage quadratic. Oversized buckets are almost
+    always exact boilerplate, which the exact-dedup pass already catches;
+    dropping them bounds the join at b_max²/2 pairs per bucket. The count
+    is a window over the same key the join shuffles on, so no extra
+    shuffle is introduced."""
+    if max_bucket_size is None:
+        return banded
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    return (
+        banded.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bucket_n") <= max_bucket_size)
+        .drop("_bucket_n")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     n_bands: int = 4,
     rows_per_band: int = 2,
+    max_bucket_size: int | None = 10000,
 ) -> DataFrame:
     """MinHash-LSH banding: docs sharing any full band collide.
 
     Pairs are generated per bucket via a self-join on the band key —
     shuffle is on (band, band_hash); a bucket of b docs yields b(b-1)/2
-    pairs, so hot buckets (boilerplate) are the skew to watch: cap with
-    ``spark.sql.adaptive.skewJoin`` or a bucket-size limit upstream.
+    pairs, so hot buckets (boilerplate) are dropped above
+    ``max_bucket_size`` (see ``_cap_buckets``).
     """
     banded = signatures.select(
         "id",
@@ -98,6 +120,7 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash"))
+    banded = _cap_buckets(banded, ["band", "band_hash"], max_bucket_size)
     left = banded.alias("a")
     right = banded.alias("b")
     pairs = (
@@ -144,23 +167,35 @@ def minhash_lsh_dedup(
     n_bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_bucket_size: int | None = 10000,
 ) -> DataFrame:
     """Full pipeline: signatures → LSH candidates → verified near-dup
     pairs (id_a < id_b, jaccard ≥ threshold)."""
     rows_per_band = n_hashes // n_bands
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
-    cands = lsh_candidate_pairs(sigs, n_bands, rows_per_band)
+    cands = lsh_candidate_pairs(sigs, n_bands, rows_per_band, max_bucket_size)
     return verify_jaccard(cands, df, text_col, id_col, shingle_n, threshold)
 
 
 # ---------------------------------------------------------------- SimHash
 
 
+# Column i of the unpacked (little-endian, per-byte) md5 bit matrix that
+# holds bit i of the big-endian uint64 of the digest's first 8 bytes:
+# byte j = 7 - i//8 holds bits 8j..8j+7 (LSB first), so column 8*(7-i//8)+i%8.
+_SIMHASH_BIT_COLS = np.array([8 * (7 - i // 8) + (i % 8) for i in range(64)])
+_SIMHASH_WEIGHTS = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+
+
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over tokens: per bit, sum ±1 votes across tokens;
-    bit i of md5(token) decides the vote sign. Arrow-batched pandas UDF —
-    the per-token digests are cached (Zipf vocab) and the vote matrix is
-    one numpy op per batch. Result is a signed int64 (two's complement).
+    """64-bit SimHash over tokens: per bit, sum ±1 votes across token
+    occurrences; bit i of md5(token) (big-endian first 8 bytes) decides
+    the vote sign. Arrow-batched pandas UDF, vectorized at batch level:
+    md5 runs once per *unique* token in the batch (Zipf vocab → tiny),
+    the digest bytes unpack to a (vocab, 64) ±1 matrix in one
+    ``np.unpackbits``, per-doc votes are one ``np.add.reduceat`` over the
+    occurrence rows, and the 64 sign bits pack to int64 with one
+    matrix-vector product. Result is a signed int64 (two's complement).
 
     (id, simhash: bigint)
     """
@@ -168,43 +203,74 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
     @F.pandas_udf(T.LongType())
     def sim_udf(texts: pd.Series) -> pd.Series:
-        cache: dict[str, np.ndarray] = {}
-
-        def bits_of(token: str) -> np.ndarray:
-            b = cache.get(token)
-            if b is None:
-                h = int.from_bytes(hashlib.md5(token.encode()).digest()[:8], "big")
-                b = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int32) * 2 - 1
-                cache[token] = b
-            return b
-
-        out = []
-        for text in texts:
-            tokens = token_re.findall((text or "").lower())
-            if not tokens:
-                out.append(0)
-                continue
-            votes = np.zeros(64, dtype=np.int64)
-            for t in tokens:
-                votes += bits_of(t)
-            val = 0
+        n = len(texts)
+        if n == 0:
+            return pd.Series([], dtype="int64")
+        toks_per_doc = [token_re.findall((t or "").lower()) for t in texts]
+        vocab: dict[str, int] = {}
+        flat_ids: list[int] = []
+        lengths = np.empty(n, dtype=np.int64)
+        for d, toks in enumerate(toks_per_doc):
+            lengths[d] = len(toks)
+            for t in toks:
+                tid = vocab.get(t)
+                if tid is None:
+                    tid = len(vocab)
+                    vocab[t] = tid
+                flat_ids.append(tid)
+        if not vocab:
+            return pd.Series(np.zeros(n, dtype=np.int64))
+        digests = np.frombuffer(
+            b"".join(hashlib.md5(t.encode()).digest()[:8] for t in vocab), dtype=np.uint8
+        ).reshape(-1, 8)
+        bitpm = (
+            np.unpackbits(digests, axis=1, bitorder="little")[:, _SIMHASH_BIT_COLS].astype(np.int64)
+            * 2
+            - 1
+        )
+        fi = np.asarray(flat_ids, dtype=np.int64)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lengths[:-1], out=starts[1:])
+        V = len(vocab)
+        votes = np.zeros((n, 64), dtype=np.int64)
+        if V <= 1 << 17:
+            # Zipf-vocab fast path: per-doc term-count rows → one int
+            # matmul against the ±1 bit matrix per chunk. Chunked so the
+            # dense counts block stays ≤ ~256 MB even at batch extremes.
+            chunk = max(1, (1 << 25) // V)
+            for c0 in range(0, n, chunk):
+                c1 = min(c0 + chunk, n)
+                counts = np.zeros((c1 - c0, V), dtype=np.int64)
+                for d in range(c0, c1):
+                    if lengths[d]:
+                        counts[d - c0] = np.bincount(
+                            fi[starts[d] : starts[d] + lengths[d]], minlength=V
+                        )
+                votes[c0:c1] = counts @ bitpm
+        else:
+            # Degenerate vocab (≈ all tokens unique): V-independent path —
+            # one weighted bincount over the occurrence stream per bit.
+            doc_of = np.repeat(np.arange(n), lengths)
             for i in range(64):
-                if votes[i] > 0:
-                    val |= 1 << i
-            if val >= 1 << 63:
-                val -= 1 << 64
-            out.append(val)
-        return pd.Series(out, dtype="int64")
+                votes[:, i] = np.bincount(
+                    doc_of, weights=bitpm[fi, i].astype(np.float64), minlength=n
+                ).astype(np.int64)
+        vals = ((votes > 0).astype(np.uint64) * _SIMHASH_WEIGHTS).sum(
+            axis=1, dtype=np.uint64
+        ).view(np.int64)
+        vals = np.where(lengths > 0, vals, 0)
+        return pd.Series(vals, dtype="int64")
 
     return df.select(F.col(id_col).alias("id"), sim_udf(F.col(text_col)).alias("simhash"))
 
 
 def simhash_near_dupes(
-    sim: DataFrame, max_hamming: int = 3
+    sim: DataFrame, max_hamming: int = 3, max_bucket_size: int | None = 10000
 ) -> DataFrame:
     """Candidate pairs via 4×16-bit band tables (two signatures within
     Hamming ≤3 of each other share at least one 16-bit band), verified by
-    popcount of xor. Returns (id_a, id_b, hamming)."""
+    popcount of xor. Oversized band buckets are dropped (see
+    ``_cap_buckets``). Returns (id_a, id_b, hamming)."""
     bands = sim.select(
         "id",
         "simhash",
@@ -220,6 +286,7 @@ def simhash_near_dupes(
             )
         ).alias("bk"),
     ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.band_val").alias("band_val"))
+    bands = _cap_buckets(bands, ["band", "band_val"], max_bucket_size)
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(

@@ -182,3 +182,34 @@ def test_multimodal_meta_and_features(spark) -> None:
 def test_real_decode_is_explicit_stub() -> None:
     with pytest.raises(NotImplementedError):
         real_decode(b"x", "image")
+
+
+def test_lsh_bucket_cap_bounds_pathological_corpus(spark) -> None:
+    """A boilerplate corpus (many docs with identical text) lands in one
+    LSH bucket on every band; without a cap the within-bucket self-join
+    is quadratic. With max_bucket_size the hot bucket is dropped and the
+    pair count stays bounded; distinct docs are still paired normally."""
+    n = 120
+    boiler = [(i, "identical boilerplate text repeated across the crawl snapshot") for i in range(n)]
+    distinct = [
+        (1000, "a unique document about varbyte compression of posting blocks"),
+        (1001, "a unique document about varbyte compression of posting block"),  # near-dup of 1000
+    ]
+    df = spark.createDataFrame(boiler + distinct, "doc_id long, text string")
+
+    sigs = minhash_signatures(df)
+    capped = lsh_candidate_pairs(sigs, max_bucket_size=50).collect()
+    # the n=120 boilerplate bucket (> cap) contributes zero pairs;
+    # the near-dup pair in a small bucket survives
+    ids = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (1000, 1001) in ids
+    assert len(ids) == 1
+
+    uncapped = lsh_candidate_pairs(sigs, max_bucket_size=None).count()
+    assert uncapped >= n * (n - 1) // 2  # quadratic without the cap
+
+    sims = simhash64(df)
+    capped_sim = simhash_near_dupes(sims, max_hamming=12, max_bucket_size=50).collect()
+    sim_ids = {(r["id_a"], r["id_b"]) for r in capped_sim}
+    assert (1000, 1001) in sim_ids
+    assert all(a >= 1000 for a, _ in sim_ids)
