@@ -358,15 +358,15 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Include/exclude source filter (SURVEY §2 A2): the reference's
-    fnmatch include/exclude globs re-expressed as pushdown-able predicates
-    — include src1*/src2*, exclude *7, plus a lang allowlist."""
+    fnmatch include/exclude globs via the reusable glob_filter operator
+    (operators/filters.py — globs compile to LIKE/StartsWith, pushed into
+    the scan) — include src1*/src2*, exclude *7, plus a lang allowlist."""
+    from rifflux_spark.operators.filters import glob_filter
+
     docs = _docs(spark, sf_dir)
     included = (
-        docs.filter(
-            (F.col("source").like("src1%") | F.col("source").like("src2%"))
-            & ~F.col("source").like("%7")
-            & F.col("lang").isin("en", "de")
-        )
+        glob_filter(docs, "source", include=("src1*", "src2*"), exclude=("*7",))
+        .filter(F.col("lang").isin("en", "de"))
         .groupBy("source")
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
         .orderBy("source")
@@ -405,6 +405,23 @@ def q_prune_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = docs.select("doc_id", F.sha2("text", 256).alias("sha256"))
     snap = _snapshot(docs).select("doc_id")
     return prune_missing(cat, snap, key="doc_id").select("doc_id").orderBy("doc_id")
+
+
+def q_metadata_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic metadata KV (SURVEY §2 A6, reference sqlite_store.py
+    set/get/delete): an append-only op log resolved last-write-wins by
+    seq, deletions dropped — here the log is derived from documents so
+    the oracle can twin it."""
+    from rifflux_spark.operators.kv import resolve_kv
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
+    ops = docs.select(
+        F.concat(F.lit("k"), (F.col("doc_id") % 10).cast("string")).alias("key"),
+        F.col("doc_id").cast("string").alias("value"),
+        F.col("doc_id").alias("seq"),
+        (F.col("doc_id") % 7 == 0).alias("deleted"),
+    )
+    return resolve_kv(ops).orderBy("key")
 
 
 def q_index_status(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
         "source_filter": q_source_filter,
+        "metadata_kv": q_metadata_kv,
         "incremental_diff": q_incremental_diff,
         "prune_missing": q_prune_missing,
         "index_status": q_index_status,
@@ -813,6 +831,21 @@ WHERE (source LIKE 'src1%' OR source LIKE 'src2%')
   AND source NOT LIKE '%7'
   AND lang IN ('en', 'de')
 GROUP BY source ORDER BY source
+""",
+        "metadata_kv": """
+WITH ops AS (
+  SELECT 'k' || (doc_id % 10)::VARCHAR AS key,
+         doc_id::VARCHAR AS value,
+         doc_id AS seq,
+         doc_id % 7 = 0 AS deleted
+  FROM documents WHERE doc_id < 40
+),
+r AS (
+  SELECT key, value, deleted,
+         row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+  FROM ops
+)
+SELECT key, value FROM r WHERE rn = 1 AND NOT deleted ORDER BY key
 """,
         "incremental_diff": f"""
 WITH {_SNAPSHOT_CTE},

@@ -12,7 +12,7 @@ Headline build runs on $SPARK_GRAFT_SF_DIR's documents table. Scaling
 evidence (north rule: same job at N and 4N parallelism on identical
 input) runs the full index build over a deterministic synthetic web-pages
 corpus (SPARK_GRAFT_SCALE_DOCS pages of SPARK_GRAFT_PAGE_SCALE·1.5 KB,
-default 100000 × ~1.5 KB) at local[N] and
+default 60000 × ~6 KB — the BENCH.md methodology corpus) at local[N] and
 local[4N] (SPARK_GRAFT_SCALE_HI sets 4N; default 16 — see the in-code
 note on slot headroom), measuring STEADY-STATE throughput: levels run
 INTERLEAVED (lo,hi,lo,hi,...) because the shared host drifts ±20% over
@@ -67,12 +67,25 @@ CONFIG = EngineConfig(
 )
 
 
+def _quiet_stop(session) -> None:
+    """Stop a session without teardown noise: a task-completion event
+    still in flight when the Python accumulator socket closes makes the
+    DAGScheduler log a harmless-but-ugly PythonAccumulatorV2 stack trace
+    into the bench artifact. Drain briefly and silence the logger first."""
+    try:
+        session.sparkContext.setLogLevel("OFF")
+        time.sleep(0.3)
+    except Exception:
+        pass
+    session.stop()
+
+
 def fresh_session(cpus: int):
     from pyspark.sql import SparkSession
 
     active = SparkSession.getActiveSession()
     if active is not None:
-        active.stop()
+        _quiet_stop(active)
     spark = get_spark(
         app_name=f"rifflux_bench_{cpus}",
         master=f"local[{cpus}]",
@@ -145,12 +158,16 @@ def cpu_scaling(lo: int, hi: int, per_proc: int = 2_000_000) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    scale_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "100000"))
-    # ~6 KB of markdown text per page (real Common-Crawl text size, vs the
-    # 1.5 KB toy pages unit tests use): per-page UDF compute dominates
-    # per-row framing overhead, as it does on real crawls
-    page_scale = int(os.environ.get("SPARK_GRAFT_PAGE_SCALE", "1"))
-    scale_iters = int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "2"))
+    scale_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "60000"))
+    # page_scale=4 → ~6 KB of markdown text per page (real Common-Crawl
+    # text size, vs the 1.5 KB toy pages unit tests use): per-page UDF
+    # compute dominates per-row framing overhead, as it does on real
+    # crawls. 60k × 6 KB is the BENCH.md methodology corpus — the regime
+    # where the measured scaling reflects the pipeline, not fixed framing.
+    page_scale = int(os.environ.get("SPARK_GRAFT_PAGE_SCALE", "4"))
+    # clamp >= 1: pass 0 is always the discarded warm-up, so at least one
+    # measured pass must follow or min(ts[1:]) has nothing to take
+    scale_iters = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "2")))
     # N→4N pair for the scaling evidence. Default hi=16 on a 32-vCPU host:
     # at 32 slots the JVM-side task threads (shuffle, parquet encode, GC)
     # have zero headroom and measurements degrade 2-4× run-to-run, which a
@@ -255,7 +272,8 @@ def main() -> None:
         "scaling": scaling,
     }
     print(json.dumps(out))
-    spark.stop()
+    sys.stdout.flush()
+    _quiet_stop(spark)
 
 
 if __name__ == "__main__":

@@ -72,10 +72,37 @@ def _paragraph_text(lines: list[str]) -> str:
     return "".join(_inline_text(line.strip()) for line in lines)
 
 
+_SETEXT_RE = re.compile(r"^ {0,3}(=+|-+)\s*$")
+_LIST_RE = re.compile(r"^( {0,3})([-*+]|\d{1,9}[.)])(?: +(.*))?$")
+_INDENT_CODE_RE = re.compile(r"^(?: {4}|\t)(.*)$")
+_HTML_OPEN_RE = re.compile(r"^ {0,3}<(?:[a-zA-Z][a-zA-Z0-9-]*|/[a-zA-Z]|!|\?)")
+
+
 def _parse_blocks(markdown_text: str):
-    """Yield ('heading', level, text) | ('block_code', info, body) |
+    """Yield ('heading', level, text) | ('block_code', info, raw) |
     ('text', text) events — the same stream the reference walks over the
-    mistune AST (reference chunker.py:49-70)."""
+    mistune-v3 AST (reference chunker.py:49-70; the reference reads
+    ``node['attrs']['level']``, which is the mistune 3 token shape).
+
+    Semantics pinned to mistune 3 + ``_extract_text`` (the concatenation
+    of ``raw`` leaves, chunker.py:28-34):
+
+    - block_code ``raw`` is the source slice up to the closing-fence line,
+      so it keeps the final newline (mistune normalizes the source to end
+      with one); indented code is ``strip('\\n') + '\\n'``;
+    - softbreaks carry no ``raw`` → a paragraph's lines concatenate with
+      NO separator; list items, blockquote paragraphs, and loose-list
+      paragraphs likewise concatenate bare (list bullets/numbers are
+      structure, not raw);
+    - setext underlines (``===``/``---`` under a paragraph) are headings
+      level 1/2 — ``---`` under text is a heading, not a thematic break;
+    - thematic breaks yield no text (skipped);
+    - block HTML is a ``raw`` leaf: tags and inner newlines verbatim.
+    Simplification vs mistune (documented): an HTML open tag or 4-space
+    indent *inside* a paragraph stays paragraph text (lazy continuation
+    covers the indent case; HTML interrupting a paragraph is rare in
+    crawled markdown).
+    """
     lines = markdown_text.split("\n")
     i, n = 0, len(lines)
     para: list[str] = []
@@ -95,8 +122,19 @@ def _parse_blocks(markdown_text: str):
             yield from flush_para()
             i += 1
             continue
+        if para and _SETEXT_RE.match(line):
+            # paragraph + underline = setext heading (takes precedence
+            # over thematic break for ---)
+            level = 1 if line.strip()[0] == "=" else 2
+            text = _paragraph_text(para).strip()
+            para = []
+            yield ("heading", level, text)
+            i += 1
+            continue
         fence = _FENCE_RE.match(stripped)
-        if fence and not para:
+        if fence:
+            # fenced code interrupts a paragraph (CommonMark/mistune)
+            yield from flush_para()
             marker, info = fence.group(1), fence.group(2).strip()
             body_lines: list[str] = []
             i += 1
@@ -104,7 +142,8 @@ def _parse_blocks(markdown_text: str):
                 body_lines.append(lines[i])
                 i += 1
             i += 1  # closing fence (or EOF)
-            yield ("block_code", info, "\n".join(body_lines))
+            raw = "\n".join(body_lines) + "\n" if body_lines else ""
+            yield ("block_code", info, raw)
             continue
         heading = _HEADING_RE.match(line)
         if heading:
@@ -112,8 +151,77 @@ def _parse_blocks(markdown_text: str):
             yield ("heading", len(heading.group(1)), _inline_text(heading.group(2)).strip())
             i += 1
             continue
-        if _THEMATIC_RE.match(line) and not para:
+        if _THEMATIC_RE.match(line):
+            yield from flush_para()
             i += 1
+            continue
+        lm = _LIST_RE.match(line)
+        if lm and para and lm.group(2) not in ("-", "*", "+", "1.", "1)"):
+            # an ordered marker other than 1. cannot interrupt a
+            # paragraph (CommonMark) — "…line.\n2. next" stays paragraph
+            lm = None
+        if lm:
+            yield from flush_para()
+            parts: list[str] = []
+            while i < n:
+                cur = lines[i]
+                if not cur.strip():
+                    # blank inside a list: continue only if more list
+                    # content (marker or indented line) follows
+                    j = i + 1
+                    while j < n and not lines[j].strip():
+                        j += 1
+                    if j < n and (_LIST_RE.match(lines[j]) or lines[j].startswith("  ")):
+                        i = j
+                        continue
+                    break
+                m2 = _LIST_RE.match(cur)
+                if m2:
+                    parts.append(_inline_text((m2.group(3) or "").strip()))
+                elif cur.startswith("  ") or parts:
+                    # continuation (indented) or lazy continuation
+                    parts.append(_inline_text(cur.strip()))
+                else:
+                    break
+                i += 1
+            text = "".join(parts).strip()
+            if text:
+                yield ("text", text)
+            continue
+        if stripped.startswith(">"):
+            yield from flush_para()
+            quote_lines: list[str] = []
+            while i < n and lines[i].strip():
+                ln = lines[i].strip()
+                quote_lines.append(ln[1:].lstrip() if ln.startswith(">") else ln)
+                i += 1
+            text = "".join(_inline_text(q) for q in quote_lines if q).strip()
+            if text:
+                yield ("text", text)
+            continue
+        if not para and _INDENT_CODE_RE.match(line):
+            code_lines: list[str] = []
+            while i < n:
+                cur = lines[i]
+                m3 = _INDENT_CODE_RE.match(cur)
+                if m3:
+                    code_lines.append(m3.group(1))
+                elif not cur.strip():
+                    code_lines.append("")
+                else:
+                    break
+                i += 1
+            while code_lines and not code_lines[-1].strip():
+                code_lines.pop()
+            raw = "\n".join(code_lines).strip("\n") + "\n" if code_lines else ""
+            yield ("block_code", "", raw)
+            continue
+        if not para and _HTML_OPEN_RE.match(line):
+            html_lines: list[str] = []
+            while i < n and lines[i].strip():
+                html_lines.append(lines[i])
+                i += 1
+            yield ("text", "\n".join(html_lines).strip())
             continue
         para.append(line)
         i += 1

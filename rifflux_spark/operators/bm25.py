@@ -37,6 +37,7 @@ from pyspark.sql import types as T
 
 from rifflux_spark.config import EngineConfig
 from rifflux_spark.functions.tokenizer import compile_query
+from rifflux_spark.operators import wand
 from rifflux_spark.operators.codec import bm25_wtf, decode_blocks_batch
 from rifflux_spark.sources.tables import IndexStore
 
@@ -169,52 +170,34 @@ def _prune_blocks(
     job costs more than the decode it would save.
     """
     max_blocks_to_prune = 20_000
-    n_blocks = blocks.count()
+    # one job for both guards AND the metadata: collect at most cap+1 rows
+    # — hitting the cap means stopword-class terms (no-op), and a short
+    # result gives the block count for the min guard for free
+    meta = (
+        blocks.select("term", "salt", "block_seq", "n_docs", "block_max_tf", "block_min_dl")
+        .limit(max_blocks_to_prune + 1)
+        .collect()
+    )
+    n_blocks = len(meta)
     if n_blocks < min_blocks_to_prune or n_blocks > max_blocks_to_prune:
         return blocks
-    meta = blocks.select(
-        "term", "salt", "block_seq", "n_docs", "block_max_tf", "block_min_dl"
-    ).collect()
-    ub = [
-        (
-            r["term"],
-            int(r["salt"]),
-            int(r["block_seq"]),
-            int(r["n_docs"]),
-            idf[r["term"]]
-            * float(
-                bm25_wtf(
-                    np.array([r["block_max_tf"]]),
-                    np.array([r["block_min_dl"]]),
-                    avgdl,
-                    config.bm25_k1,
-                    config.bm25_b,
-                )[0]
-            ),
-        )
-        for r in meta
-    ]
-    max_ub_per_term: dict[str, float] = {}
-    for term, _, _, _, u in ub:
-        max_ub_per_term[term] = max(max_ub_per_term.get(term, 0.0), u)
-    total_other = {t: sum(v for s, v in max_ub_per_term.items() if s != t) for t in max_ub_per_term}
-
-    # θ: fully score the top-impact blocks per term (enough to cover k docs)
-    per_term_sorted: dict[str, list[tuple]] = {}
-    for row in ub:
-        per_term_sorted.setdefault(row[0], []).append(row)
-    seed_keys: set[tuple] = set()
-    for term, rows in per_term_sorted.items():
-        rows.sort(key=lambda r: -r[4])
-        covered = 0
-        for r in rows:
-            seed_keys.add((r[0], r[1], r[2]))
-            covered += r[3]
-            if covered >= top_k:
-                break
+    # shared WAND math (operators/wand.py) — identical bound/seed/keep
+    # logic as the coordinator path (local_exec), by construction
+    terms_arr = [r["term"] for r in meta]
+    keys = [(r["term"], int(r["salt"]), int(r["block_seq"])) for r in meta]
+    ub = wand.block_upper_bounds(
+        terms_arr,
+        [r["block_max_tf"] for r in meta],
+        [r["block_min_dl"] for r in meta],
+        idf, avgdl, config.bm25_k1, config.bm25_b,
+    )
+    seed, total_other = wand.seed_blocks_and_slack(
+        terms_arr, ub, [int(r["n_docs"]) for r in meta], top_k
+    )
     # if the seed set is everything, skip the extra pass
-    if len(seed_keys) >= len(ub):
+    if len(seed) >= n_blocks:
         return blocks
+    seed_keys = {keys[i] for i in seed}
 
     seed_blocks = blocks.filter(
         F.concat_ws("\x00", "term", F.col("salt").cast("string"), F.col("block_seq").cast("string")).isin(
@@ -236,9 +219,8 @@ def _prune_blocks(
     theta = float(seed_scores[-1]["score"])
 
     keep_keys = [
-        "\x00".join((t, str(s), str(q)))
-        for t, s, q, _, u in ub
-        if (u + total_other[t]) >= theta or (t, s, q) in seed_keys
+        "\x00".join((keys[i][0], str(keys[i][1]), str(keys[i][2])))
+        for i in wand.keep_indices(terms_arr, ub, seed, total_other, theta)
     ]
     return blocks.filter(
         F.concat_ws("\x00", "term", F.col("salt").cast("string"), F.col("block_seq").cast("string")).isin(keep_keys)

@@ -191,10 +191,14 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     """64-bit SimHash over tokens: per bit, sum ±1 votes across token
     occurrences; bit i of md5(token) (big-endian first 8 bytes) decides
     the vote sign. Arrow-batched pandas UDF, vectorized at batch level:
-    md5 runs once per *unique* token in the batch (Zipf vocab → tiny),
-    the digest bytes unpack to a (vocab, 64) ±1 matrix in one
-    ``np.unpackbits``, per-doc votes are one ``np.add.reduceat`` over the
-    occurrence rows, and the 64 sign bits pack to int64 with one
+    the batch's token stream is integer-coded in one ``pd.factorize``
+    (C-speed hashing), md5 runs once per *unique* token, the digest
+    bytes unpack to a (vocab, 64) ±1 matrix in one ``np.unpackbits``,
+    and each doc's votes are one tf-weighted matvec over its *unique*
+    token rows (``np.unique`` + ``counts @ bitpm[uids]`` — sparse-aware:
+    cost scales with the doc's distinct terms × 64, never with the batch
+    vocabulary, unlike a dense counts-matrix matmul which loses 50× on
+    realistic Zipf web text). The 64 sign bits pack to int64 with one
     matrix-vector product. Result is a signed int64 (two's complement).
 
     (id, simhash: bigint)
@@ -207,54 +211,28 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         if n == 0:
             return pd.Series([], dtype="int64")
         toks_per_doc = [token_re.findall((t or "").lower()) for t in texts]
-        vocab: dict[str, int] = {}
-        flat_ids: list[int] = []
-        lengths = np.empty(n, dtype=np.int64)
-        for d, toks in enumerate(toks_per_doc):
-            lengths[d] = len(toks)
-            for t in toks:
-                tid = vocab.get(t)
-                if tid is None:
-                    tid = len(vocab)
-                    vocab[t] = tid
-                flat_ids.append(tid)
-        if not vocab:
+        lengths = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+        flat_tokens: list[str] = [t for toks in toks_per_doc for t in toks]
+        if not flat_tokens:
             return pd.Series(np.zeros(n, dtype=np.int64))
+        fi, uniques = pd.factorize(np.asarray(flat_tokens, dtype=object))
         digests = np.frombuffer(
-            b"".join(hashlib.md5(t.encode()).digest()[:8] for t in vocab), dtype=np.uint8
+            b"".join(hashlib.md5(t.encode()).digest()[:8] for t in uniques), dtype=np.uint8
         ).reshape(-1, 8)
         bitpm = (
             np.unpackbits(digests, axis=1, bitorder="little")[:, _SIMHASH_BIT_COLS].astype(np.int64)
             * 2
             - 1
         )
-        fi = np.asarray(flat_ids, dtype=np.int64)
         starts = np.zeros(n, dtype=np.int64)
         np.cumsum(lengths[:-1], out=starts[1:])
-        V = len(vocab)
         votes = np.zeros((n, 64), dtype=np.int64)
-        if V <= 1 << 17:
-            # Zipf-vocab fast path: per-doc term-count rows → one int
-            # matmul against the ±1 bit matrix per chunk. Chunked so the
-            # dense counts block stays ≤ ~256 MB even at batch extremes.
-            chunk = max(1, (1 << 25) // V)
-            for c0 in range(0, n, chunk):
-                c1 = min(c0 + chunk, n)
-                counts = np.zeros((c1 - c0, V), dtype=np.int64)
-                for d in range(c0, c1):
-                    if lengths[d]:
-                        counts[d - c0] = np.bincount(
-                            fi[starts[d] : starts[d] + lengths[d]], minlength=V
-                        )
-                votes[c0:c1] = counts @ bitpm
-        else:
-            # Degenerate vocab (≈ all tokens unique): V-independent path —
-            # one weighted bincount over the occurrence stream per bit.
-            doc_of = np.repeat(np.arange(n), lengths)
-            for i in range(64):
-                votes[:, i] = np.bincount(
-                    doc_of, weights=bitpm[fi, i].astype(np.float64), minlength=n
-                ).astype(np.int64)
+        for d in range(n):
+            if lengths[d]:
+                uids, counts = np.unique(
+                    fi[starts[d] : starts[d] + lengths[d]], return_counts=True
+                )
+                votes[d] = counts @ bitpm[uids]
         vals = ((votes > 0).astype(np.uint64) * _SIMHASH_WEIGHTS).sum(
             axis=1, dtype=np.uint64
         ).view(np.int64)

@@ -33,6 +33,7 @@ import pyarrow.parquet as pq
 from rifflux_spark.config import EngineConfig
 from rifflux_spark.functions.tokenizer import compile_query
 from rifflux_spark.functions.xxhash64 import term_bucket
+from rifflux_spark.operators import wand
 from rifflux_spark.operators.codec import bm25_wtf, decode_blocks_batch
 from rifflux_spark.sources.tables import IndexStore
 
@@ -100,16 +101,8 @@ def local_idf(store: IndexStore, terms: list[str], n_docs: int) -> dict[str, flo
     return out
 
 
-def pruned_posting_bytes(store: IndexStore, terms: list[str]) -> int:
-    """Upper bound on the query's posting working set: total bytes of the
-    term-bucket partitions it must touch (cheap fs metadata; the row-group
-    pruning inside will read less)."""
-    buckets = {term_bucket(t, store.n_term_buckets) for t in terms}
-    return sum(f.stat().st_size for f in _bucket_files(store, "postings", buckets))
-
-
-def local_tombstones(store: IndexStore) -> np.ndarray:
-    root = Path(store.path("tombstones"))
+def _ord_set(store: IndexStore, name: str) -> np.ndarray:
+    root = Path(store.path(name))
     if not root.exists():
         return np.empty(0, dtype=np.int64)
     parts = [
@@ -119,6 +112,17 @@ def local_tombstones(store: IndexStore) -> np.ndarray:
     if not parts:
         return np.empty(0, dtype=np.int64)
     return np.concatenate(parts).astype(np.int64)
+
+
+def local_tombstones(store: IndexStore) -> np.ndarray:
+    """Ords dead but still present in postings (BM25 paths filter these;
+    purged ords are already physically absent from the blocks)."""
+    return _ord_set(store, "tombstones")
+
+
+def local_dead_ords(store: IndexStore) -> np.ndarray:
+    """tombstoned ∪ purged — what chunk/embedding readers must exclude."""
+    return np.unique(np.concatenate([_ord_set(store, "tombstones"), _ord_set(store, "purged")]))
 
 
 def _decode_score(rows: list[tuple], idf: dict[str, float], avgdl: float, k1: float, b: float):
@@ -199,42 +203,18 @@ def bm25_topk_local(
     )
 
     if prune and len(rows) >= min_blocks_to_prune:
-        # block-max WAND (same bound as operators/bm25._prune_blocks):
-        # UB(B_t) = idf_t * wtf(block_max_tf, block_min_dl)
-        ub = np.array(
-            [
-                idf[term]
-                * float(
-                    bm25_wtf(
-                        np.array([mx]), np.array([mn]), avgdl,
-                        config.bm25_k1, config.bm25_b,
-                    )[0]
-                )
-                for term, mx, mn in zip(
-                    t.column("term").to_pylist(),
-                    t.column("block_max_tf").to_pylist(),
-                    t.column("block_min_dl").to_pylist(),
-                )
-            ]
-        )
+        # block-max WAND via the shared bound/seed/keep math
+        # (operators/wand.py) — identical to operators/bm25._prune_blocks
         terms_arr = t.column("term").to_pylist()
-        max_ub: dict[str, float] = {}
-        for tm, u in zip(terms_arr, ub):
-            max_ub[tm] = max(max_ub.get(tm, 0.0), float(u))
-        total_other = {tm: sum(v for s, v in max_ub.items() if s != tm) for tm in max_ub}
-        # seed: highest-UB blocks per term until they cover ≥ top_k docs
-        per_term: dict[str, list[int]] = {}
-        for i, tm in enumerate(terms_arr):
-            per_term.setdefault(tm, []).append(i)
-        seed: set[int] = set()
-        for tm, idxs in per_term.items():
-            idxs.sort(key=lambda i: -ub[i])
-            covered = 0
-            for i in idxs:
-                seed.add(i)
-                covered += int(rows[i][1])
-                if covered >= top_k:
-                    break
+        ub = wand.block_upper_bounds(
+            terms_arr,
+            t.column("block_max_tf").to_pylist(),
+            t.column("block_min_dl").to_pylist(),
+            idf, avgdl, config.bm25_k1, config.bm25_b,
+        )
+        seed, total_other = wand.seed_blocks_and_slack(
+            terms_arr, ub, [r[1] for r in rows], top_k
+        )
         if len(seed) < len(rows):
             docs_s, part_s = _decode_score([rows[i] for i in seed], idf, avgdl, config.bm25_k1, config.bm25_b)
             uniq_s, sums_s = _agg_topk(docs_s, part_s)
@@ -246,11 +226,10 @@ def bm25_topk_local(
                 uniq_s, sums_s = uniq_s[live], sums_s[live]
             if uniq_s.size >= top_k:
                 theta = float(np.sort(sums_s)[-top_k])
-                keep = [
-                    i for i in range(len(rows))
-                    if i in seed or (float(ub[i]) + total_other[terms_arr[i]]) >= theta
+                rows = [
+                    rows[i]
+                    for i in wand.keep_indices(terms_arr, ub, seed, total_other, theta)
                 ]
-                rows = [rows[i] for i in keep]
 
     docs, partials = _decode_score(rows, idf, avgdl, config.bm25_k1, config.bm25_b)
     if docs.size == 0:
@@ -287,7 +266,7 @@ def semantic_topk_local(
         return []
     q = np.asarray(query_vector, dtype=np.float32)
     qn = float(np.linalg.norm(q))
-    tombs = local_tombstones(store)
+    tombs = local_dead_ords(store)
     root = Path(store.path("embeddings"))
     docs_all, cos_all = [], []
     for f in sorted(root.rglob("*.parquet")):

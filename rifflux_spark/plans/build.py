@@ -55,12 +55,54 @@ def _dir_bytes(path: str) -> int:
     return sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
 
 
-def make_build_id(pages: DataFrame, config: EngineConfig) -> str:
+_INDEX_MARKERS = ("lineage", "corpus_stats", "chunks", "postings")
+
+
+def _guard_index_wipe(index_dir: str) -> None:
+    """``force=True`` recursively deletes ``index_dir`` — refuse unless
+    the directory is missing, empty, or actually looks like an index
+    (contains a marker table). The reference's destructive rebuild only
+    unlinks one known DB file (reference cli.py rebuild_main); a typoed
+    --index-dir must not silently destroy unrelated data."""
+    p = Path(index_dir)
+    if not p.exists():
+        return
+    entries = list(p.iterdir())
+    if not entries:
+        return
+    if any((p / m).exists() for m in _INDEX_MARKERS):
+        return
+    raise ValueError(
+        f"refusing force-wipe of {index_dir!r}: directory is non-empty and "
+        f"contains none of the index markers {_INDEX_MARKERS} — is the path right?"
+    )
+
+
+def source_fingerprint(pages: DataFrame) -> str:
+    """Cheap order-insensitive content fingerprint of the input corpus:
+    count + xor/min/max of xxhash64(url) — one narrow aggregation over the
+    url column, no text read. Distinguishes same-size different corpora
+    (two url sets of equal count collide only on a 64-bit xor + min +
+    max match); a content mutation that keeps the exact url set is the
+    catalog diff's job, not resume's. This is the Spark analog of the
+    reference's per-reindex git fingerprint (reference mcp/tools.py:61-117
+    records worktree/HEAD/dirty)."""
+    row = pages.agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(url))").alias("x"),
+        F.min(F.xxhash64("url")).alias("mn"),
+        F.max(F.xxhash64("url")).alias("mx"),
+    ).collect()[0]
+    return f"{row['n']}:{row['x']}:{row['mn']}:{row['mx']}"
+
+
+def make_build_id(pages: DataFrame, config: EngineConfig, source_fp: str | None = None) -> str:
     """Deterministic id over the input fingerprint + physical config, so a
-    re-run of the same build resumes rather than restarts."""
-    n = pages.count()
+    re-run of the same build resumes rather than restarts — and a
+    different corpus of the same size does NOT (tested)."""
+    fp = source_fp or source_fingerprint(pages)
     sig = (
-        f"{n}:{config.block_size}:{config.salt_range}:{config.n_term_buckets}:"
+        f"{fp}:{config.block_size}:{config.salt_range}:{config.n_term_buckets}:"
         f"{config.max_chunk_chars}:{config.min_chunk_chars}"
     )
     return hashlib.sha256(sig.encode()).hexdigest()[:16]
@@ -78,7 +120,15 @@ def _now() -> dt.datetime:
     return dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
 
 
-def _mark(store: IndexStore, build_id: str, stage: str, rows: int | None, path: str, detail: str | None = None) -> None:
+def _mark(
+    store: IndexStore,
+    build_id: str,
+    stage: str,
+    rows: int | None,
+    path: str,
+    detail: str | None = None,
+    source_fp: str | None = None,
+) -> None:
     store.append_lineage(
         [
             {
@@ -88,6 +138,7 @@ def _mark(store: IndexStore, build_id: str, stage: str, rows: int | None, path: 
                 "rows": rows,
                 "bytes": _dir_bytes(path),
                 "detail": detail,
+                "source_fp": source_fp,
                 "finished_at": _now(),
             }
         ]
@@ -115,6 +166,7 @@ def build_index(
     if force:
         import shutil as _shutil
 
+        _guard_index_wipe(index_dir)
         _shutil.rmtree(index_dir, ignore_errors=True)
 
     config = config or EngineConfig()
@@ -125,9 +177,14 @@ def build_index(
     keep = [c for c in ("url", "warc_ts", "text") if c in pages.columns]
     pages = pages.select(*keep)
     store = IndexStore(spark, index_dir, config.n_term_buckets)
-    build_id = build_id or make_build_id(pages, config)
+    source_fp = source_fingerprint(pages)
+    build_id = build_id or make_build_id(pages, config, source_fp)
     done = completed_stages(store, build_id)
-    metrics: dict = {"build_id": build_id, "skipped_stages": sorted(done)}
+
+    def mark(stage: str, rows: int | None, path: str, detail: str | None = None) -> None:
+        _mark(store, build_id, stage, rows, path, detail=detail, source_fp=source_fp)
+
+    metrics: dict = {"build_id": build_id, "source_fp": source_fp, "skipped_stages": sorted(done)}
     stage_sec: dict[str, float] = {}
     metrics["stage_sec"] = stage_sec
     _t = _time.perf_counter()
@@ -171,7 +228,7 @@ def build_index(
     n_chunks = store.count_rows("chunks")
     metrics["n_chunks"] = n_chunks
     if not resuming_chunks:
-        _mark(store, build_id, "chunks", n_chunks, store.path("chunks"))
+        mark("chunks", n_chunks, store.path("chunks"))
     tokenized = staged
 
     # --- posting shards (checkpoint/resume unit) + term stats ---
@@ -195,7 +252,7 @@ def build_index(
             )
             tf.write.mode("overwrite").partitionBy("shard").parquet(store.path("tf_stage"))
             _lap("tf_stage")
-            _mark(store, build_id, "tf_stage", None, store.path("tf_stage"))
+            mark("tf_stage", None, store.path("tf_stage"))
         tf_staged = spark.read.parquet(store.path("tf_stage"))
         for s, stage in enumerate(shard_stages):
             if stage in done:
@@ -203,14 +260,14 @@ def build_index(
             blocks = encode_postings(tf_staged.filter(F.col("shard") == s), config)
             store.write_postings(blocks, mode="overwrite")  # dynamic partition overwrite
             _lap(f"postings_{s}")
-            _mark(
-                store, build_id, stage, None, store.path("postings"),
+            mark(
+                stage, None, store.path("postings"),
                 detail=f"shard {s}/{config.n_build_shards}",
             )
         if "term_stats" not in done:
             store.write_term_stats(term_stats(tf_staged))
             _lap("term_stats")
-            _mark(store, build_id, "term_stats", None, store.path("term_stats"))
+            mark("term_stats", None, store.path("term_stats"))
         # every consumer of tf has committed — drop the staging table
         import shutil as _shutil
 
@@ -223,7 +280,7 @@ def build_index(
         total_tokens = store.sum_column("term_stats", "cf")
         avgdl = total_tokens / n_chunks if n_chunks else 0.0
         store.write_corpus_stats(n_chunks, total_tokens, avgdl)
-        _mark(store, build_id, "stats", 1, store.path("corpus_stats"))
+        mark("stats", 1, store.path("corpus_stats"))
     avgdl = float(store.corpus_stats()["avgdl"])
 
     # --- embeddings (reuses the staged content column) ---
@@ -241,13 +298,18 @@ def build_index(
         )
         store.write_embeddings(emb, ordered=True)
         _lap("embeddings")
-        _mark(store, build_id, "embeddings", n_chunks, store.path("embeddings"), detail=f"hash-{dim}")
+        mark("embeddings", n_chunks, store.path("embeddings"), detail=f"hash-{dim}")
 
     # --- catalog (for incremental diffing) ---
     # one groupBy over the staged chunk rows — no second corpus scan.
     # Pages that produced zero chunks (empty/sub-min text) have no staged
-    # rows and so no catalog row; the incremental diff re-examines them as
-    # 'new' each crawl, which re-chunks nothing — idempotent and cheap.
+    # rows; the reference upserts every scanned file regardless of chunk
+    # yield, so they must still get catalog rows (n_chunks=0) or the
+    # first incremental diff would misclassify them as 'new'. The page
+    # count is already known from the source fingerprint — only when it
+    # disagrees with the catalog's url count (rare: some page yielded no
+    # chunks) does a second pass run, and the anti-join shrinks the sha
+    # hashing to exactly the zero-chunk pages.
     if "catalog" not in done:
         staged_raw = spark.read.parquet(store.path("chunks"))
         cat = staged_raw.groupBy("url").agg(
@@ -257,8 +319,27 @@ def build_index(
             F.count("*").cast("int").alias("n_chunks"),
         )
         store.write_small(cat, "catalog")
+        # zero-chunk detection costs NO extra job in the common case: the
+        # page count is in the source fingerprint and the catalog row
+        # count comes from parquet footers; only on a mismatch does the
+        # anti-join pass run (hashing exactly the zero-chunk pages)
+        n_pages = int(source_fp.split(":")[0])
+        if store.count_rows("catalog") < n_pages:
+            zero = pages.join(
+                spark.read.parquet(store.path("catalog")).select("url"),
+                on="url",
+                how="left_anti",
+            )
+            zero_cat = zero.select(
+                "url",
+                (F.col("warc_ts") if "warc_ts" in pages.columns else F.lit(None).cast("timestamp")).alias("warc_ts"),
+                F.length("text").cast("long").alias("size_bytes"),
+                F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("sha256"),
+                F.lit(0).cast("int").alias("n_chunks"),
+            )
+            zero_cat.coalesce(1).write.mode("append").parquet(store.path("catalog"))
         _lap("catalog")
-        _mark(store, build_id, "catalog", None, store.path("catalog"))
+        mark("catalog", None, store.path("catalog"))
 
     metrics["n_docs"] = int(store.corpus_stats()["n_docs"])
     metrics["avgdl"] = avgdl

@@ -1,35 +1,49 @@
 """Incremental index maintenance: diff → append runs → tombstones →
-compaction.
+selective compaction — every step O(delta), never O(corpus).
 
 The reference maintains freshness row-at-a-time (FTS5 triggers on
 chunk delete/insert — reference src/rifflux/db/schema.sql:44-59 — driven
-by the mtime/sha diff loop in indexer.py:59-131). The Spark rebuild makes
-each piece an explicit set operation, exploiting the salted-run physical
-layout (operators/postings.py):
+by the mtime/sha diff loop in indexer.py:59-131, which is O(changed
+files) per run). The Spark rebuild matches that cost model with explicit
+set operations over the salted-run physical layout (operators/postings.py):
 
 - **diff**: catalog vs snapshot joins (sources/catalog.py, reference
-  I1-I4);
-- **new/changed docs**: chunk+tokenize only those pages, assign doc_ords
-  ABOVE the current maximum (new salt ranges!) and append their posting
-  blocks — because salt runs are disjoint contiguous doc ranges, appended
-  runs slot into each term's block sequence without touching existing
-  blocks (no decode-merge);
+  I1-I4) with the two-phase stat fast-path (sha2 only on rows whose
+  (warc_ts, size) stat changed — reference I2, indexer.py:67-76);
+- **new/changed docs**: chunk+tokenize only those pages (ONE Python-UDF
+  pass staged to the chunks table, then re-read row-group-pruned for
+  postings/embeddings/stats), assign doc_ords ABOVE the current maximum
+  (new salt ranges) and append their posting blocks — because salt runs
+  are disjoint contiguous doc ranges, appended runs slot into each
+  term's block sequence without touching existing blocks;
 - **deleted/changed docs' old postings**: tombstoned by doc_ord.
-  Query-time scoring drops tombstoned docs (an exact filter applied
-  after block decode); a **compaction** pass rewrites only the term
-  buckets that contain tombstoned postings and clears the tombstones —
-  the Spark analog of FTS5's 'delete' trigger amortized into batches;
-- corpus stats / term stats are recomputed incrementally (cheap aggs).
+  Query-time scoring drops tombstoned docs; the tombstoned rows' term
+  stats are subtracted AT TOMBSTONE TIME (a row-group-pruned read of
+  just those chunk rows), so stats never need a corpus pass;
+- **term/corpus stats**: merged deltas — the appended batch's
+  (term, +df, +cf) and the tombstoned docs' (term, -df, -cf) fold into
+  the stored term_stats via a full-outer join over ONLY the affected
+  term buckets (dynamic partition overwrite); n_docs/total_tokens are
+  running counters in corpus_stats;
+- **compaction** (:func:`compact`): decodes and rewrites ONLY posting
+  blocks whose [first_doc, last_doc] intersects a tombstoned ordinal,
+  via dynamic overwrite of only the affected term-bucket partitions —
+  untouched buckets' files are not rewritten (byte-identical, tested).
+  Purged ordinals move to the ``purged`` set; chunks/embeddings rows
+  stay in place and are row-group-filtered at read time;
+- **vacuum** (:func:`vacuum`): the rare full rewrite that drops dead
+  chunk/embedding rows and clears the purged set.
 
 Invariant (tested): after incremental apply + compaction, the index is
-byte-equivalent in query results to a from-scratch rebuild over the new
-snapshot, except doc_ord numbering of re-chunked docs (ranking ties can
-differ only where BM25 scores tie across a changed/unchanged doc pair —
-the same caveat the reference has for rowid reuse).
+query-equivalent to a from-scratch rebuild over the new snapshot, except
+doc_ord numbering of re-chunked docs (ranking ties can differ only where
+BM25 scores tie across a changed/unchanged doc pair — the same caveat
+the reference has for rowid reuse).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,6 +53,7 @@ from pyspark.sql.pandas.functions import pandas_udf
 from rifflux_spark.functions.embedder import embed_series_packed
 
 from rifflux_spark.config import EngineConfig
+from rifflux_spark.operators.codec import decode_block, encode_block
 from rifflux_spark.operators.doc_ids import PARTITION_ORD_STRIDE, sparse_ordinals
 from rifflux_spark.operators.postings import (
     chunk_pages,
@@ -47,7 +62,11 @@ from rifflux_spark.operators.postings import (
     with_tokens,
 )
 from rifflux_spark.sources.catalog import diff_snapshot, snapshot_of
-from rifflux_spark.sources.tables import TOMBSTONES_SCHEMA, IndexStore
+from rifflux_spark.sources.tables import POSTINGS_SCHEMA, TOMBSTONES_SCHEMA, IndexStore
+
+# above this many newly-dead ords the literal IN-list is replaced by a
+# join (Catalyst expression trees degrade with huge literal sets)
+_ISIN_MAX = 20_000
 
 
 def apply_incremental(
@@ -68,7 +87,8 @@ def apply_incremental(
     config = config or EngineConfig()
 
     catalog = store.catalog()
-    snap = snapshot_of(new_pages)
+    # two-phase stat fast-path: sha2 runs only where (warc_ts, size) changed
+    snap = snapshot_of(new_pages, catalog=catalog)
     d = diff_snapshot(catalog, snap).persist()
     if not full_snapshot:
         d = d.filter(F.col("status") != "deleted")
@@ -77,19 +97,51 @@ def apply_incremental(
     changed_or_new = d.filter(F.col("status").isin(["new", "changed"])).select("url")
     gone_or_changed = d.filter(F.col("status").isin(["deleted", "changed"])).select("url")
 
-    # --- tombstone old postings of deleted/changed docs ---
-    old_doc_ords = (
+    # --- phase 1 (narrow): doc_ords of the delta's old rows, minus the
+    # already-dead set so stats are never double-subtracted ---
+    old_ords = (
         store.chunks()
         .join(F.broadcast(gone_or_changed), on="url", how="inner")
         .select("doc_ord")
     )
-    n_tombstoned = _append_tombstones(store, old_doc_ords)
+    new_dead = old_ords.join(F.broadcast(store.dead_ords()), on="doc_ord", how="left_anti").persist()
+    n_tombstoned = new_dead.count()
+
+    # --- phase 2 (row-group pruned): re-read ONLY the dying rows' tokens
+    # for the minus-side stats (chunks is sorted by doc_ord) ---
+    minus_ts = None
+    n_minus, dl_minus = 0, 0
+    if n_tombstoned:
+        new_dead.coalesce(1).write.mode("append").parquet(store.path("tombstones"))
+        if n_tombstoned <= _ISIN_MAX:
+            ord_list = [r["doc_ord"] for r in new_dead.collect()]
+            dying = store.chunks().filter(F.col("doc_ord").isin(ord_list))
+        else:
+            dying = store.chunks().join(new_dead, on="doc_ord", how="inner")
+        dying = dying.select("doc_ord", "dl", "tokens")
+        agg = dying.agg(F.count("*").alias("n"), F.sum("dl").alias("sdl")).collect()[0]
+        n_minus, dl_minus = int(agg["n"]), int(agg["sdl"] or 0)
+        minus_ts = (
+            dying.select("doc_ord", F.explode(F.split("tokens", " ")).alias("term"))
+            .filter(F.col("term") != "")
+            .groupBy("term", "doc_ord")
+            .agg(F.count("*").alias("tf"))
+            .groupBy("term")
+            .agg(
+                (-F.count("*")).cast("long").alias("d_df"),
+                (-F.sum("tf")).cast("long").alias("d_cf"),
+            )
+        )
 
     # --- build appended runs for new/changed docs, ords above current max ---
-    n_appended = 0
+    n_appended, dl_plus = 0, 0
+    plus_ts = None
+    staged_new = None
     if counts.get("new", 0) or counts.get("changed", 0):
         pages_to_index = new_pages.join(F.broadcast(changed_or_new), on="url", how="inner")
-        cur_max = store.chunks().agg(F.max("doc_ord").alias("m")).collect()[0]["m"] or 0
+        cur_max = store.max_column("chunks", "doc_ord")
+        if cur_max is None:
+            cur_max = store.chunks().agg(F.max("doc_ord").alias("m")).collect()[0]["m"] or 0
         # base offset at the next stride boundary above everything existing
         base = ((cur_max // PARTITION_ORD_STRIDE) + 1) * PARTITION_ORD_STRIDE
 
@@ -99,19 +151,21 @@ def apply_incremental(
         tokenized = sparse_ordinals(with_tokens(chunks)).withColumn(
             "doc_ord", F.col("doc_ord") + F.lit(base)
         )
-        # append to the chunks table (doc_ord ranges are disjoint from old)
+        # ONE UDF pass: append to the chunks table, then every downstream
+        # consumer (postings, stats, embeddings) re-reads the appended
+        # rows row-group-pruned by doc_ord >= base
         tokenized.select([f.name for f in store.chunks().schema.fields]).write.mode(
             "append"
         ).parquet(store.path("chunks"))
+        staged_new = store.chunks().filter(F.col("doc_ord") >= base)
 
-        # append posting runs (corpus stats refresh at the end of apply)
-        tf = term_frequencies(
-            tokenized.select("doc_ord", "dl", "tokens")
-        )
+        tf = term_frequencies(staged_new.select("doc_ord", "dl", "tokens"))
         blocks = encode_postings(tf, config)
         store.write_postings(blocks, mode="append")
-        n_appended = int(
-            tokenized.agg(F.count("*").alias("n")).collect()[0]["n"]
+        agg = staged_new.agg(F.count("*").alias("n"), F.sum("dl").alias("sdl")).collect()[0]
+        n_appended, dl_plus = int(agg["n"]), int(agg["sdl"] or 0)
+        plus_ts = term_frequencies(staged_new.select("doc_ord", "dl", "tokens")).groupBy("term").agg(
+            F.count("*").cast("long").alias("d_df"), F.sum("tf").cast("long").alias("d_cf")
         )
 
         if with_embeddings:
@@ -121,7 +175,7 @@ def apply_incremental(
             def embed_udf(texts: pd.Series) -> pd.Series:
                 return embed_series_packed(texts, dim=dim)
 
-            emb = tokenized.select(
+            emb = staged_new.select(
                 "doc_ord",
                 "chunk_id",
                 F.lit(f"hash-{dim}").alias("model"),
@@ -130,24 +184,57 @@ def apply_incremental(
             )
             emb.write.mode("append").parquet(store.path("embeddings"))
 
-    # --- refresh catalog + stats ---
-    if full_snapshot:
-        next_catalog = snap
-    else:
-        untouched = catalog.join(snap.select("url"), on="url", how="left_anti").select(
-            "url", "warc_ts", "size_bytes", "sha256"
+    # --- merged delta stats: O(delta vocab), touches only affected buckets ---
+    delta_ts = None
+    if plus_ts is not None and minus_ts is not None:
+        delta_ts = plus_ts.unionByName(minus_ts).groupBy("term").agg(
+            F.sum("d_df").alias("d_df"), F.sum("d_cf").alias("d_cf")
         )
-        next_catalog = untouched.unionByName(snap)
-    store.write_small(
-        next_catalog.join(
-            store.chunks().groupBy("url").agg(F.count("*").cast("int").alias("n_chunks")),
-            on="url",
-            how="left",
-        ).withColumn("n_chunks", F.coalesce("n_chunks", F.lit(0))),
-        "catalog_next",
+    elif plus_ts is not None:
+        delta_ts = plus_ts
+    elif minus_ts is not None:
+        delta_ts = minus_ts
+    if delta_ts is not None:
+        _merge_term_stats(spark, store, delta_ts)
+
+    # corpus stats as running counters (never a corpus aggregation)
+    cs = store.corpus_stats()
+    n_docs = cs["n_docs"] + n_appended - n_minus
+    total_tokens = cs["total_tokens"] + dl_plus - dl_minus
+    store.write_corpus_stats(n_docs, total_tokens, (total_tokens / n_docs) if n_docs else 0.0)
+
+    # --- catalog refresh: O(delta) n_chunks (new counts from the staged
+    # batch, unchanged urls keep their stored count) ---
+    new_counts = (
+        staged_new.groupBy("url").agg(F.count("*").cast("int").alias("_new_n"))
+        if staged_new is not None
+        else spark.createDataFrame([], "url string, _new_n int")
     )
+    old_counts = catalog.select("url", F.col("n_chunks").alias("_old_n"))
+    base_catalog = snap if full_snapshot else (
+        catalog.select("url", "warc_ts", "size_bytes", "sha256")
+        .join(snap.select("url"), on="url", how="left_anti")
+        .unionByName(snap)
+    )
+    next_catalog = (
+        base_catalog.join(d.select("url", "status"), on="url", how="left")
+        .join(old_counts, on="url", how="left")
+        .join(new_counts, on="url", how="left")
+        .select(
+            "url",
+            "warc_ts",
+            "size_bytes",
+            "sha256",
+            F.coalesce(
+                F.col("_new_n"),
+                F.when(F.col("status") == "unchanged", F.col("_old_n")),
+                F.lit(0),
+            ).alias("n_chunks"),
+        )
+    )
+    store.write_small(next_catalog, "catalog_next")
     _swap_dir(store, "catalog_next", "catalog")
-    _refresh_stats_and_term_stats(store)
+    new_dead.unpersist()
     d.unpersist()
 
     return {
@@ -157,17 +244,61 @@ def apply_incremental(
     }
 
 
-def _append_tombstones(store: IndexStore, doc_ords: DataFrame) -> int:
-    rows = doc_ords.select("doc_ord").distinct()
-    n = rows.count()
-    if n:
-        rows.coalesce(1).write.mode("append").parquet(store.path("tombstones"))
-    return int(n)
+def _merge_term_stats(spark: SparkSession, store: IndexStore, delta: DataFrame) -> None:
+    """Fold (term, d_df, d_cf) deltas into term_stats, rewriting ONLY the
+    term-bucket partitions the delta touches (dynamic partition
+    overwrite; the Iceberg analog is MERGE INTO). Terms whose df drops to
+    zero are removed; a bucket merged to empty has its stale partition
+    directory cleared explicitly (dynamic overwrite can't emit an empty
+    partition)."""
+    import shutil
+    from pathlib import Path
+
+    delta = delta.withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(store.n_term_buckets))
+    ).persist()
+    buckets = [int(r["term_bucket"]) for r in delta.select("term_bucket").distinct().collect()]
+    if not buckets:
+        delta.unpersist()
+        return
+    old = (
+        store.term_stats()
+        .filter(F.col("term_bucket").isin(buckets))
+        .select("term", "df_docs", "cf")
+        if store.exists("term_stats")
+        else spark.createDataFrame([], "term string, df_docs long, cf long")
+    )
+    merged = (
+        old.join(delta.select("term", "d_df", "d_cf"), on="term", how="full_outer")
+        .select(
+            "term",
+            (F.coalesce("df_docs", F.lit(0)) + F.coalesce("d_df", F.lit(0))).cast("long").alias("df_docs"),
+            (F.coalesce("cf", F.lit(0)) + F.coalesce("d_cf", F.lit(0))).cast("long").alias("cf"),
+        )
+        .filter(F.col("df_docs") > 0)
+    )
+    # write-aside staging breaks the read-from/overwrite-to same-path cycle
+    tmp = store.path("term_stats_delta")
+    merged.write.mode("overwrite").parquet(tmp)
+    back = spark.read.parquet(tmp).withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(store.n_term_buckets))
+    )
+    (
+        back.repartition(max(1, min(len(buckets), store.n_term_buckets // 4)), "term_bucket")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(store.path("term_stats"))
+    )
+    present = {int(r["term_bucket"]) for r in back.select("term_bucket").distinct().collect()}
+    for b in set(buckets) - present:
+        shutil.rmtree(Path(store.path("term_stats")) / f"term_bucket={b}", ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    delta.unpersist()
 
 
 def _live_chunks(store: IndexStore) -> DataFrame:
-    t = store.tombstones()
-    return store.chunks().join(t, on="doc_ord", how="left_anti")
+    return store.live_chunks()
 
 
 def _live_stats(store: IndexStore) -> dict:
@@ -179,6 +310,8 @@ def _live_stats(store: IndexStore) -> dict:
 
 
 def _refresh_stats_and_term_stats(store: IndexStore) -> None:
+    """Full recompute — used only by :func:`vacuum` (the periodic
+    heavyweight pass); the incremental path merges deltas instead."""
     stats = _live_stats(store)
     store.write_corpus_stats(stats["n_docs"], stats["total_tokens"], stats["avgdl"])
     live = _live_chunks(store).select("doc_ord", "tokens")
@@ -208,18 +341,120 @@ def _swap_dir(store: IndexStore, src: str, dst: str) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+_COMPACT_SCHEMA = T.StructType(
+    POSTINGS_SCHEMA.fields + [T.StructField("term_bucket", T.IntegerType(), False)]
+)
+
+
 def compact(spark: SparkSession, store: IndexStore, config: EngineConfig | None = None) -> dict:
-    """Rewrite posting blocks to purge tombstoned docs, then clear the
-    tombstone set. Only blocks whose doc range intersects a tombstone
-    need decoding; at web scale the rewrite is per-term-bucket and this
-    runs as a periodic maintenance job (the FTS5 'merge' analog)."""
+    """Purge tombstoned docs from the posting blocks that actually hold
+    them — O(affected blocks), not O(index).
+
+    Block doc ranges [first_doc, last_doc] are checked against the sorted
+    tombstone set (np.searchsorted over a broadcast array); only term-
+    bucket partitions containing a hit are rewritten (dynamic partition
+    overwrite), and within them only hit blocks are decoded → filtered →
+    re-encoded — miss blocks pass through byte-equal. Untouched bucket
+    partitions are never rewritten (their files stay byte-identical —
+    tested). Cleared ordinals move to the ``purged`` set: chunk/embedding
+    rows stay in place, filtered at read time, until :func:`vacuum`.
+    The FTS5 'merge' analog, run as periodic maintenance."""
     config = config or EngineConfig()
-    tombs = store.tombstones()
-    n_tombs = tombs.count()
-    if n_tombs == 0:
+    tomb_rows = store.tombstones().distinct().collect()
+    ords = np.array(sorted(r["doc_ord"] for r in tomb_rows), dtype=np.int64)
+    if ords.size == 0:
+        return {"affected_buckets": 0, "purged": 0}
+    b_ords = spark.sparkContext.broadcast(ords)
+
+    @pandas_udf(T.BooleanType())
+    def block_hit(first: pd.Series, last: pd.Series) -> pd.Series:
+        t = b_ords.value
+        idx = np.searchsorted(t, first.to_numpy())
+        hit = (idx < t.size) & (t[np.minimum(idx, t.size - 1)] <= last.to_numpy())
+        return pd.Series(hit)
+
+    meta = store.postings().select("term_bucket", "first_doc", "last_doc")
+    affected = sorted(
+        int(r["term_bucket"])
+        for r in meta.filter(block_hit("first_doc", "last_doc")).select("term_bucket").distinct().collect()
+    )
+    n_rewritten = 0
+    if affected:
+        part = store.postings().filter(F.col("term_bucket").isin(affected))
+
+        def rewrite_stream(batches):
+            t = b_ords.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                firsts = pdf["first_doc"].to_numpy()
+                lasts = pdf["last_doc"].to_numpy()
+                idx = np.searchsorted(t, firsts)
+                hits = (idx < t.size) & (t[np.minimum(idx, t.size - 1)] <= lasts)
+                keep_rows = []
+                for i in np.flatnonzero(hits):
+                    row = pdf.iloc[i]
+                    docs, tfs, dls = decode_block(row)
+                    pos = np.searchsorted(t, docs)
+                    dead = (pos < t.size) & (t[np.minimum(pos, t.size - 1)] == docs)
+                    if dead.all():
+                        continue  # whole block dead → drop the row
+                    if not dead.any():
+                        keep_rows.append(pdf.iloc[[i]])
+                        continue
+                    blk = encode_block(docs[~dead], tfs[~dead], dls[~dead])
+                    new = pdf.iloc[[i]].copy()
+                    for k, v in blk.items():
+                        new[k] = [v]
+                    keep_rows.append(new)
+                parts = [pdf.loc[~hits]] + keep_rows
+                out = pd.concat(parts, ignore_index=True)
+                if len(out):
+                    yield out
+
+        rewritten = part.mapInPandas(rewrite_stream, schema=_COMPACT_SCHEMA)
+        # write-aside staging breaks the read/overwrite same-path cycle
+        import shutil
+        from pathlib import Path
+
+        tmp = store.path("postings_compact_stage")
+        rewritten.write.mode("overwrite").parquet(tmp)
+        back = spark.read.schema(_COMPACT_SCHEMA).parquet(tmp)
+        (
+            back.repartition(len(affected), "term_bucket")
+            .sortWithinPartitions("term", "salt", "block_seq")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(store.path("postings"))
+        )
+        present = {int(r["term_bucket"]) for r in back.select("term_bucket").distinct().collect()}
+        for b in set(affected) - present:
+            shutil.rmtree(Path(store.path("postings")) / f"term_bucket={b}", ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        n_rewritten = len(affected)
+
+    # tombstones are now physically absent from postings → purged set
+    import shutil
+    from pathlib import Path
+
+    purged = spark.createDataFrame([(int(o),) for o in ords], schema=TOMBSTONES_SCHEMA)
+    purged.coalesce(1).write.mode("append").parquet(store.path("purged"))
+    shutil.rmtree(Path(store.path("tombstones")), ignore_errors=True)
+    b_ords.unpersist()
+    return {"affected_buckets": n_rewritten, "purged": int(ords.size)}
+
+
+def vacuum(spark: SparkSession, store: IndexStore, config: EngineConfig | None = None) -> dict:
+    """The heavyweight pass: physically drop dead rows everywhere —
+    rebuild postings from live chunks, rewrite chunks/embeddings, clear
+    both tombstones and purged, full stats recompute. Run rarely (when
+    the purged fraction justifies the IO); :func:`compact` is the cheap
+    frequent path."""
+    config = config or EngineConfig()
+    n_dead = store.dead_ords().count()
+    if n_dead == 0:
         return {"rewritten": 0, "purged": 0}
 
-    # rebuild postings from live chunks (bucket-parallel, same encode path)
     live = _live_chunks(store).select("doc_ord", "dl", "tokens")
     tf = term_frequencies(live)
     blocks = encode_postings(tf, config)
@@ -232,12 +467,11 @@ def compact(spark: SparkSession, store: IndexStore, config: EngineConfig | None 
     )
     _swap_dir(store, "postings_next", "postings")
 
-    # live chunks/embeddings tables (anti-join copy), then clear tombstones
     live_chunks = _live_chunks(store)
     live_chunks.write.mode("overwrite").parquet(store.path("chunks_next"))
     _swap_dir(store, "chunks_next", "chunks")
     if store.exists("embeddings"):
-        emb = store.embeddings().join(tombs, on="doc_ord", how="left_anti")
+        emb = store.live_embeddings()
         emb.write.mode("overwrite").parquet(store.path("embeddings_next"))
         _swap_dir(store, "embeddings_next", "embeddings")
 
@@ -245,5 +479,6 @@ def compact(spark: SparkSession, store: IndexStore, config: EngineConfig | None 
     from pathlib import Path
 
     shutil.rmtree(Path(store.path("tombstones")), ignore_errors=True)
+    shutil.rmtree(Path(store.path("purged")), ignore_errors=True)
     _refresh_stats_and_term_stats(store)
-    return {"rewritten": 1, "purged": int(n_tombs)}
+    return {"rewritten": 1, "purged": int(n_dead)}

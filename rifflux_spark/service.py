@@ -141,8 +141,8 @@ class SearchService:
             ):
                 return self._semantic_local(query_vector, top_k)
         emb = self.store.embeddings()
-        if self.store.exists("tombstones"):
-            emb = emb.join(F.broadcast(self.store.tombstones()), on="doc_ord", how="left_anti")
+        if self.store.exists("tombstones") or self.store.exists("purged"):
+            emb = emb.join(F.broadcast(self.store.dead_ords()), on="doc_ord", how="left_anti")
         topk = semantic_topk(emb, query_vector, top_k, id_cols=["doc_ord"])
         rows = (
             topk.join(self.store.chunks(), on="doc_ord", how="inner")
@@ -242,7 +242,7 @@ class SearchService:
 
     def get_chunk(self, chunk_id: str) -> dict[str, Any] | None:
         rows = (
-            self.store.chunks()
+            self.store.live_chunks()
             .filter(F.col("chunk_id") == chunk_id)
             .select("chunk_id", "url", "heading_path", "chunk_index", "content")
             .collect()
@@ -260,7 +260,7 @@ class SearchService:
 
     def get_file(self, path: str) -> dict[str, Any] | None:
         rows = (
-            self.store.chunks()
+            self.store.live_chunks()
             .filter(F.col("url") == path)
             .orderBy(F.asc("chunk_index"))
             .select("chunk_id", "heading_path", "chunk_index", "content")
@@ -282,9 +282,11 @@ class SearchService:
         }
 
     def index_status(self) -> dict[str, int]:
+        """Live counts: dead (tombstoned/purged) rows still physically in
+        the chunk/embedding files are excluded."""
         files = self.store.catalog().count() if self.store.exists("catalog") else 0
-        chunks = self.store.chunks().count()
+        chunks = self.store.live_chunks().count()
         embeddings = (
-            self.store.embeddings().count() if self.store.exists("embeddings") else 0
+            self.store.live_embeddings().count() if self.store.exists("embeddings") else 0
         )
         return {"files": int(files), "chunks": int(chunks), "embeddings": int(embeddings)}

@@ -22,17 +22,55 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def snapshot_of(pages: DataFrame, key: str = "url", text_col: str = "text") -> DataFrame:
-    """Project a pages frame to catalog shape (key, stat cols, sha256)."""
+def snapshot_of(
+    pages: DataFrame,
+    key: str = "url",
+    text_col: str = "text",
+    catalog: DataFrame | None = None,
+) -> DataFrame:
+    """Project a pages frame to catalog shape (key, stat cols, sha256).
+
+    With ``catalog`` given, this is the reference's two-phase stat
+    fast-path (I2, indexer.py:67-76): rows whose (warc_ts, size_bytes)
+    match the stored catalog entry *reuse its sha256* instead of
+    re-hashing the content — the CASE guards the sha2 so the hash CPU is
+    paid only for the changed-stat subset, not the whole crawl. (The
+    assumption — stat-identical ⇒ content-identical — is exactly the
+    reference's.) Without ``catalog`` every row is hashed (first build).
+    """
     cols = [F.col(key)]
     if "warc_ts" in pages.columns:
         cols.append(F.col("warc_ts"))
     else:
         cols.append(F.lit(None).cast("timestamp").alias("warc_ts"))
-    return pages.select(
+    snap = pages.select(
         *cols,
         F.length(text_col).cast("long").alias("size_bytes"),
-        F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("sha256"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_text"),
+    )
+    if catalog is None:
+        return snap.select(
+            key, "warc_ts", "size_bytes", F.sha2("_text", 256).alias("sha256")
+        )
+    cat = catalog.select(
+        F.col(key),
+        F.col("warc_ts").alias("_cat_ts"),
+        F.col("size_bytes").alias("_cat_size"),
+        F.col("sha256").alias("_cat_sha"),
+    )
+    joined = snap.join(cat, on=key, how="left")
+    stat_match = (
+        F.col("_cat_sha").isNotNull()
+        & (F.col("size_bytes") == F.col("_cat_size"))
+        & F.col("warc_ts").eqNullSafe(F.col("_cat_ts"))
+    )
+    return joined.select(
+        key,
+        "warc_ts",
+        "size_bytes",
+        F.when(stat_match, F.col("_cat_sha"))
+        .otherwise(F.sha2("_text", 256))
+        .alias("sha256"),
     )
 
 

@@ -113,11 +113,26 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("rows", T.LongType(), True),
         T.StructField("bytes", T.LongType(), True),
         T.StructField("detail", T.StringType(), True),
+        # input-corpus fingerprint of the build that wrote this row — the
+        # reference's git-fingerprint analog (mcp/tools.py:61-117): lets a
+        # resume detect the corpus changed under a reused build_id
+        T.StructField("source_fp", T.StringType(), True),
         T.StructField("finished_at", T.TimestampType(), True),
     ]
 )
 
 TOMBSTONES_SCHEMA = T.StructType([T.StructField("doc_ord", T.LongType(), False)])
+
+# KV metadata rows are append-only ops; reads resolve last-write-wins by
+# seq (reference sqlite_store.py:99-119 set/get/delete over a meta table).
+METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("value", T.StringType(), True),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("deleted", T.BooleanType(), False),
+    ]
+)
 
 
 class IndexStore:
@@ -219,6 +234,28 @@ class IndexStore:
             for f in Path(self.path(name)).rglob("*.parquet")
         )
 
+    def max_column(self, name: str, col: str) -> int | None:
+        """Column max from parquet row-group statistics only (no data
+        read, no Spark job) — the Iceberg analog is a column-stats read
+        from the manifest. Returns None if the table is empty or any row
+        group lacks statistics (caller falls back to an agg job)."""
+        import pyarrow.parquet as pq
+
+        best: int | None = None
+        for f in Path(self.path(name)).rglob("*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            try:
+                ci = [md.schema.column(i).name for i in range(md.num_columns)].index(col)
+            except ValueError:
+                return None
+            for rg in range(md.num_row_groups):
+                stats = md.row_group(rg).column(ci).statistics
+                if stats is None or not stats.has_min_max:
+                    return None
+                v = stats.max
+                best = v if best is None else max(best, v)
+        return best
+
     def sum_column(self, name: str, col: str) -> int:
         """Driver-side column sum for small tables (e.g. term_stats.cf).
         On Iceberg this is a stats/metadata-table read or a tiny agg job."""
@@ -309,6 +346,7 @@ class IndexStore:
                 r.get("rows"),
                 r.get("bytes"),
                 r.get("detail"),
+                r.get("source_fp"),
                 datetime.datetime.fromisoformat(r["finished_at"]) if r.get("finished_at") else None,
             )
             for r in rows
@@ -316,6 +354,89 @@ class IndexStore:
         return self.spark.createDataFrame(data, schema=LINEAGE_SCHEMA)
 
     def tombstones(self) -> DataFrame:
+        """doc_ords dead but still present in *postings* (queries must
+        anti-join). Cleared by compaction, which physically removes them
+        from the posting blocks and moves the ords to ``purged``."""
         if not self.exists("tombstones"):
             return self.spark.createDataFrame([], schema=TOMBSTONES_SCHEMA)
         return self.spark.read.schema(TOMBSTONES_SCHEMA).parquet(self.path("tombstones"))
+
+    def purged(self) -> DataFrame:
+        """doc_ords physically removed from postings by compaction but
+        whose rows still sit in the chunks/embeddings files (row-group
+        filtered at read time instead of copied — the O(delta) compaction
+        contract). Cleared by :func:`plans.incremental.vacuum`."""
+        if not self.exists("purged"):
+            return self.spark.createDataFrame([], schema=TOMBSTONES_SCHEMA)
+        return self.spark.read.schema(TOMBSTONES_SCHEMA).parquet(self.path("purged"))
+
+    def dead_ords(self) -> DataFrame:
+        """tombstoned ∪ purged — everything chunk/embedding readers must
+        exclude. The set is delta-sized between vacuums; broadcast it."""
+        return self.tombstones().unionByName(self.purged()).distinct()
+
+    def live_chunks(self) -> DataFrame:
+        return self.chunks().join(F.broadcast(self.dead_ords()), on="doc_ord", how="left_anti")
+
+    def live_embeddings(self) -> DataFrame:
+        return self.embeddings().join(F.broadcast(self.dead_ords()), on="doc_ord", how="left_anti")
+
+    # --- generic metadata KV (reference sqlite_store.py:99-119 A6) ---
+
+    def _meta_next_seq(self) -> int:
+        m = self.max_column("metadata_kv", "seq") if self.exists("metadata_kv") else None
+        return (int(m) + 1) if m is not None else 0
+
+    def meta_set(self, key: str, value: str) -> None:
+        """Append-only upsert: one driver-side parquet row (a Spark write
+        job for one row costs seconds of fixed overhead; on Iceberg this
+        is a metadata-table append)."""
+        self._meta_append(key, value, deleted=False)
+
+    def meta_delete(self, key: str) -> None:
+        self._meta_append(key, None, deleted=True)
+
+    def _meta_append(self, key: str, value: str | None, deleted: bool) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        out = Path(self.path("metadata_kv"))
+        out.mkdir(parents=True, exist_ok=True)
+        seq = self._meta_next_seq()
+        table = pa.table(
+            {
+                "key": pa.array([key], pa.string()),
+                "value": pa.array([value], pa.string()),
+                "seq": pa.array([seq], pa.int64()),
+                "deleted": pa.array([deleted], pa.bool_()),
+            }
+        )
+        pq.write_table(table, out / f"part-{seq}-{uuid.uuid4().hex}.parquet")
+
+    def meta_get(self, key: str) -> str | None:
+        rows = [r for r in self._meta_rows() if r["key"] == key]
+        if not rows:
+            return None
+        last = max(rows, key=lambda r: r["seq"])
+        return None if last["deleted"] else last["value"]
+
+    def _meta_rows(self) -> list[dict]:
+        import pyarrow.parquet as pq
+
+        p = Path(self.path("metadata_kv"))
+        if not p.exists():
+            return []
+        out: list[dict] = []
+        for f in sorted(p.glob("*.parquet")):
+            out.extend(pq.read_table(f).to_pylist())
+        return out
+
+    def metadata(self) -> DataFrame:
+        """Resolved KV state as a DataFrame (last-write-wins by seq,
+        deletions dropped) — see :func:`operators.kv.resolve_kv`."""
+        from rifflux_spark.operators.kv import resolve_kv
+
+        if not self.exists("metadata_kv"):
+            return self.spark.createDataFrame([], schema=METADATA_SCHEMA).select("key", "value")
+        ops = self.spark.read.schema(METADATA_SCHEMA).parquet(self.path("metadata_kv"))
+        return resolve_kv(ops)

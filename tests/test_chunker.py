@@ -145,7 +145,11 @@ def test_content_before_first_heading_has_empty_heading_path() -> None:
 
 
 def test_code_block_preserved_verbatim_with_info() -> None:
+    """mistune-v3 byte parity: block_code ``raw`` is the source slice up
+    to the closing-fence line, so it keeps the final newline; the
+    reference's ``f"```{info}\\n{raw}\\n```".strip()`` therefore leaves a
+    blank line before the closing fence (reference chunker.py:60-65)."""
     body = "def f(x):\n    return x + 1"
     text = f"# H\n\n```python\n{body}\n```\n"
     chunks = chunk_markdown(text, "d.md", min_chunk_chars=5)
-    assert chunks[0].content == f"```python\n{body}\n```"
+    assert chunks[0].content == f"```python\n{body}\n\n```"

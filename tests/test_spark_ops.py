@@ -150,3 +150,26 @@ def test_text_analysis_columns(spark) -> None:
     r1, r2 = out[1], out[2]
     assert r1["tc"] == 0 and r1["lang"] == "und" and r1["sw"] == 0.0
     assert r2["tc"] == 0 and r2["pr"] > 0.5
+
+
+def test_glob_filter_matches_fnmatch(spark) -> None:
+    """glob_filter == the reference's any-include-and-no-exclude fnmatch
+    semantics, for LIKE-translatable and character-class globs alike."""
+    from fnmatch import fnmatch
+
+    from rifflux_spark.operators.filters import glob_filter
+
+    paths = [
+        "docs/intro.md", "docs/deep/guide.md", "src/main.py", "readme.MD",
+        "docs/skip7.md", "notes/a1.md", "notes/a2.md", "under_score.md",
+        "100%true.md",
+    ]
+    df = spark.createDataFrame([(p,) for p in paths], "url string")
+    include = ("docs/*.md", "notes/a[12].md", "*%true.md", "under?score.md")
+    exclude = ("*7*",)
+    got = {r["url"] for r in glob_filter(df, "url", include, exclude).collect()}
+    want = {
+        p for p in paths
+        if any(fnmatch(p, g) for g in include) and not any(fnmatch(p, g) for g in exclude)
+    }
+    assert got == want and got  # non-empty, exact parity
