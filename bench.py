@@ -109,11 +109,11 @@ def work_dir() -> str:
     return tempfile.gettempdir()
 
 
-def timed_build(spark, pages, with_embeddings: bool = True) -> tuple[float, str]:
+def timed_build(spark, pages, with_embeddings: bool = True) -> tuple[float, str, dict]:
     index_dir = tempfile.mkdtemp(prefix="rifflux_bench_idx_", dir=work_dir())
     t0 = time.perf_counter()
-    build_index(spark, pages, index_dir, CONFIG, with_embeddings=with_embeddings)
-    return time.perf_counter() - t0, index_dir
+    m = build_index(spark, pages, index_dir, CONFIG, with_embeddings=with_embeddings)
+    return time.perf_counter() - t0, index_dir, m.get("stage_sec", {})
 
 
 def warmup(spark, cpus: int) -> None:
@@ -121,7 +121,7 @@ def warmup(spark, cpus: int) -> None:
     build a small corpus spread over all ``cpus`` partitions (a limit()
     corpus would collapse to one partition and leave 31 workers cold)."""
     pages = synthetic_pages(spark, 40 * cpus, seed=7, n_partitions=cpus)
-    _, d = timed_build(spark, pages)
+    _, d, _ = timed_build(spark, pages)
     shutil.rmtree(d, ignore_errors=True)
 
 
@@ -134,24 +134,129 @@ def _hash_work(n: int) -> int:
     return h[0]
 
 
-def cpu_scaling(lo: int, hi: int, per_proc: int = 2_000_000) -> dict:
-    """Raw multiprocessing scaling of the host itself (sha256 chain per
-    process) — the ceiling any Spark job on this box can reach, reported
-    alongside the job's own efficiency to separate engine behavior from
-    sandbox hardware limits."""
+def _probe_rounds(thr, lo: int, hi: int, rounds: int = 3) -> dict:
+    """Interleaved lo/hi rounds with a median efficiency: the shared
+    VM's throttling is BURSTY (throughput can swing 10× within seconds),
+    so a one-shot lo-then-hi probe can sample two different hosts.
+    Alternating within each round and taking the median across rounds
+    bounds that; efficiencies are clamped to (0, 1] — super-linear
+    readings are measurement artifacts of the burst, not physics."""
+    lo_list, hi_list, effs = [], [], []
+    for _ in range(rounds):
+        t_lo = thr(lo)
+        t_hi = thr(hi)
+        lo_list.append(t_lo)
+        hi_list.append(t_hi)
+        effs.append(min(1.0, t_hi / (t_lo * (hi / lo))) if t_lo > 0 else 0.0)
+    effs_sorted = sorted(effs)
+    med = effs_sorted[len(effs_sorted) // 2]
+    return {
+        "lo": [round(x, 2) for x in lo_list],
+        "hi": [round(x, 2) for x in hi_list],
+        "eff_rounds": [round(e, 4) for e in effs],
+        "efficiency": round(med, 4),
+    }
+
+
+def cpu_scaling(lo: int, hi: int, per_proc: int = 1_500_000, rounds: int = 3) -> dict:
+    """Multiprocessing scaling of the host's COMPUTE (sha256 chain per
+    process, cache-resident) — one of the three in-band host probes
+    that attribute the job's scaling to host resources vs the engine."""
     import multiprocessing as mp
 
     def thr(nproc: int) -> float:
         t0 = time.perf_counter()
         with mp.Pool(nproc) as pool:
             pool.map(_hash_work, [per_proc] * nproc)
-        return nproc * per_proc / (time.perf_counter() - t0)
+        return nproc * per_proc / (time.perf_counter() - t0) / 1e6
 
-    t_lo, t_hi = thr(lo), thr(hi)
+    return _probe_rounds(thr, lo, hi, rounds)
+
+
+def _bw_work(secs: float) -> float:
+    import numpy as np
+
+    a = np.empty(64_000_000, dtype=np.uint8)  # 64 MB working set per proc
+    a[:] = 1
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < secs:
+        a.copy()
+        n += 1
+    return n * 64.0 / (time.perf_counter() - t0)  # copied MB/s
+
+
+def mem_scaling(lo: int, hi: int, secs: float = 1.5, rounds: int = 5) -> dict:
+    """Multiprocessing scaling of the host's MEMORY BANDWIDTH (64 MB
+    numpy copies per process — far beyond cache). On this shared VM the
+    DRAM channel is the resource that stops scaling first: windows have
+    been measured where total copy bandwidth is ~0.3 GB/s and 4→16
+    processes scale at 0.33 — invisible to the cache-resident sha256
+    probe, but binding for shuffle/Arrow/parquet stages. Units: MB/s."""
+    import multiprocessing as mp
+
+    def thr(nproc: int) -> float:
+        with mp.Pool(nproc) as pool:
+            return sum(pool.map(_bw_work, [secs] * nproc))
+
+    return _probe_rounds(thr, lo, hi, rounds)
+
+
+def _kernel_work(args: tuple[int, float]) -> float:
+    seed, secs = args
+    import pandas as pd
+
+    from rifflux_spark.functions.chunker import chunk_markdown
+    from rifflux_spark.functions.tokenizer import tokenize_series
+    from rifflux_spark.sources.pages import make_page_text
+
+    texts = [make_page_text(i + seed * 1000, 42, page_scale=4) for i in range(20)]
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < secs:
+        cs = chunk_markdown(texts[n % 20], f"u{n}")
+        tokenize_series(pd.Series([c.content for c in cs]))
+        n += 1
+    return n / (time.perf_counter() - t0)
+
+
+def kernel_scaling(lo: int, hi: int, secs: float = 2.0, rounds: int = 3) -> dict:
+    """Multiprocessing scaling of the JOB'S OWN per-doc kernel
+    (chunk_markdown + FTS5 tokenizer over bench-sized pages) with no
+    Spark at all — what a perfectly-scheduled engine could at best
+    achieve on this host for the build's map stages. Units: docs/s."""
+    import multiprocessing as mp
+
+    def thr(nproc: int) -> float:
+        with mp.Pool(nproc) as pool:
+            return sum(pool.map(_kernel_work, [(i, secs) for i in range(nproc)]))
+
+    return _probe_rounds(thr, lo, hi, rounds)
+
+
+def host_envelope(stage_sec: dict, kernel_eff: float, bw_eff: float) -> dict:
+    """What the HOST allows a job with OUR stage mix to scale at, from
+    the measured lo-level stage times and the in-band probe efficiencies.
+
+    Amdahl composition: a stage with weight w and host-allowed scaling e
+    takes w/(4e) of the lo time at 4× parallelism, so
+    envelope = 1 / Σ_i (w_i / e_i). Map stages (chunk UDF, embeddings)
+    are bounded by the kernel probe; shuffle/encode stages (tf, posting
+    shards) by the bandwidth probe; flat driver stages (stats, catalog)
+    by definition scale at 1/(hi/lo) = 0.25. The job's own efficiency
+    divided by this envelope is the engine-quality number: ≥1 means the
+    engine extracted everything the host offered during the window."""
+    map_s = sum(v for k, v in stage_sec.items() if k.startswith(("chunks_udf", "embeddings")))
+    shuffle_s = sum(v for k, v in stage_sec.items() if k.startswith(("tf_stage", "postings_")))
+    flat_s = max(0.0, sum(stage_sec.values()) - map_s - shuffle_s)
+    total = map_s + shuffle_s + flat_s
+    if total <= 0 or kernel_eff <= 0 or bw_eff <= 0:
+        return {"efficiency": None}
+    w = {"map": map_s / total, "shuffle": shuffle_s / total, "flat": flat_s / total}
+    env = 1.0 / (w["map"] / kernel_eff + w["shuffle"] / bw_eff + w["flat"] / 0.25)
     return {
-        "mhash_per_sec_lo": round(t_lo / 1e6, 2),
-        "mhash_per_sec_hi": round(t_hi / 1e6, 2),
-        "efficiency": round(t_hi / (t_lo * (hi / lo)), 4),
+        "stage_weights": {k: round(v, 3) for k, v in w.items()},
+        "efficiency": round(env, 4),
     }
 
 
@@ -191,22 +296,32 @@ def main() -> None:
         # Pass 0 is the JIT/worker warm-up pass for each level (discarded);
         # min over the remaining passes is the steady-state throughput.
         host_pre = cpu_scaling(lo_cpus, hi_cpus)
+        mem_pre = mem_scaling(lo_cpus, hi_cpus)
+        kern_pre = kernel_scaling(lo_cpus, hi_cpus)
         all_times: dict[int, list[float]] = {lo_cpus: [], hi_cpus: []}
+        best_stage_sec: dict[int, dict] = {lo_cpus: {}, hi_cpus: {}}
         for p in range(scale_iters + 1):
             for n in (lo_cpus, hi_cpus):
                 spark = fresh_session(n)
                 if p == 0:
                     warmup(spark, n)
                 pages = spark.read.parquet(corpus_dir)
-                sec, d = timed_build(spark, pages)
+                sec, d, stages = timed_build(spark, pages)
                 shutil.rmtree(d, ignore_errors=True)
                 all_times[n].append(round(sec, 2))
+                if p > 0 and (not best_stage_sec[n] or sec <= min(all_times[n][1:])):
+                    best_stage_sec[n] = stages
         results = {n: min(ts[1:]) for n, ts in all_times.items()}
         host_post = cpu_scaling(lo_cpus, hi_cpus)
+        mem_post = mem_scaling(lo_cpus, hi_cpus)
+        kern_post = kernel_scaling(lo_cpus, hi_cpus)
         host_eff = (host_pre["efficiency"] + host_post["efficiency"]) / 2
+        bw_eff = (mem_pre["efficiency"] + mem_post["efficiency"]) / 2
+        kern_eff = (kern_pre["efficiency"] + kern_post["efficiency"]) / 2
         thr_lo = scale_docs / results[lo_cpus]
         thr_hi = scale_docs / results[hi_cpus]
         eff = thr_hi / (thr_lo * (hi_cpus / lo_cpus))
+        envelope = host_envelope(best_stage_sec[lo_cpus], kern_eff, bw_eff)
         scaling = {
             "n_docs": scale_docs,
             "cpus_lo": lo_cpus,
@@ -215,17 +330,35 @@ def main() -> None:
             "build_sec_hi": round(results[hi_cpus], 3),
             "all_runs_lo": all_times[lo_cpus],
             "all_runs_hi": all_times[hi_cpus],
+            # max/min across measured passes at CONSTANT parallelism —
+            # when this exceeds the inter-level gap, the window's noise,
+            # not the engine, dominates the measurement
+            "run_spread_lo": round(max(all_times[lo_cpus][1:]) / min(all_times[lo_cpus][1:]), 3),
+            "run_spread_hi": round(max(all_times[hi_cpus][1:]) / min(all_times[hi_cpus][1:]), 3),
+            "stage_sec_lo": best_stage_sec[lo_cpus],
+            "stage_sec_hi": best_stage_sec[hi_cpus],
             "docs_per_sec_lo": round(thr_lo, 2),
             "docs_per_sec_hi": round(thr_hi, 2),
             "efficiency": round(eff, 4),
-            # what the HOST itself could scale during this window (raw
-            # multiprocessing sha256, no Spark) — the sandbox is a shared
-            # VM whose capacity fluctuates; the job's efficiency relative
-            # to that concurrent ceiling separates engine behavior from
-            # hardware contention a real 4N-node cluster doesn't share
+            # Three in-band probes of what the HOST itself could scale
+            # during this window (no Spark): compute (cache-resident
+            # sha256), DRAM bandwidth (64MB copies — the shared VM has
+            # shown windows with ~0.3 GB/s total and 0.33 scaling), and
+            # the job's own per-doc kernel under plain multiprocessing.
+            # host_envelope composes them with the job's measured stage
+            # mix (Amdahl): the best any engine could do here. The job's
+            # efficiency over that envelope is the engine-quality signal
+            # a real 4N-node cluster (per-node DRAM/disks) would not
+            # dilute.
             "host_cpu_scaling": {"pre": host_pre, "post": host_post},
+            "host_mem_scaling": {"pre": mem_pre, "post": mem_post},
+            "host_kernel_scaling": {"pre": kern_pre, "post": kern_post},
+            "host_envelope": envelope,
             "efficiency_vs_host_ceiling": round(min(1.0, eff / host_eff), 4)
             if host_eff > 0
+            else None,
+            "efficiency_vs_host_envelope": round(min(1.0, eff / envelope["efficiency"]), 4)
+            if envelope.get("efficiency")
             else None,
         }
         shutil.rmtree(corpus_dir, ignore_errors=True)
@@ -236,7 +369,7 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pages = documents_as_pages(docs)
     n_docs = pages.count()
-    hi_sec, index_dir = timed_build(spark, pages)
+    hi_sec, index_dir, _ = timed_build(spark, pages)
 
     from rifflux_spark.sources.tables import IndexStore
 

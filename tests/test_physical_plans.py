@@ -80,3 +80,21 @@ def test_topk_uses_take_ordered(spark, store) -> None:
     topk = bm25_topk(spark, store, "the data", top_k=5, config=CONFIG, prune=False)
     plan = explain_str(topk)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_glob_filter_pushes_like_into_scan(spark, tmp_path_factory) -> None:
+    """LIKE-translatable globs must reach the parquet scan as pushed
+    StartsWith/EndsWith filters — the A2 operator's whole point at scale."""
+    from rifflux_spark.operators.filters import glob_filter
+
+    d = str(tmp_path_factory.mktemp("glob") / "t.parquet")
+    spark.createDataFrame(
+        [("docs/a.md",), ("src/x.py",), ("docs/b7.md",)], "url string"
+    ).write.parquet(d)
+    df = glob_filter(spark.read.parquet(d), "url", include=("docs/*",), exclude=("*7.md",))
+    plan = explain_str(df)
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters", 1)[1][:400]
+    assert "StartsWith" in pushed
+    assert "EndsWith" in pushed or "Not" in pushed
+    assert {r["url"] for r in df.collect()} == {"docs/a.md"}
