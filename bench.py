@@ -376,7 +376,10 @@ def main() -> None:
     n_chunks = IndexStore(spark, index_dir, CONFIG.n_term_buckets).chunks().count()
 
     service = SearchService(spark, index_dir, CONFIG)
-    service.search("warm up query", top_k=10, mode="lexical")
+    # hybrid warm-up primes both modality paths (Python workers, JIT, and
+    # the coordinator's decoded-matrix/footer-index caches) — steady-state
+    # latency is what the reference's always-open SQLite measures too
+    service.search("warm up query", top_k=10, mode="hybrid")
 
     query_times: dict[str, float] = {}
     for i, q in enumerate(REF_QUERIES + CORPUS_QUERIES):

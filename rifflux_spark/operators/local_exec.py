@@ -254,6 +254,44 @@ def embeddings_bytes(store: IndexStore) -> int:
     return sum(f.stat().st_size for f in root.rglob("*.parquet"))
 
 
+# One decoded (doc_ords, matrix, norms) per embeddings path, keyed by the
+# files' (path, mtime, size) signature — the coordinator analog of the
+# reference's always-open SQLite page cache: the first semantic query
+# decodes the table, later ones are a single BLAS matvec. Invalidated
+# automatically when incremental writes change any file; bounded by the
+# service's LOCAL_EXEC_BUDGET_BYTES (bigger tables never take this path).
+_EMB_CACHE: dict[str, tuple[tuple, np.ndarray, np.ndarray, np.ndarray]] = {}
+
+
+def _emb_matrix(store: IndexStore) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    root = Path(store.path("embeddings"))
+    files = sorted(root.rglob("*.parquet"))
+    if not files:
+        return None
+    sig = tuple((str(f), f.stat().st_mtime_ns, f.stat().st_size) for f in files)
+    key = store.path("embeddings")
+    hit = _EMB_CACHE.get(key)
+    if hit is not None and hit[0] == sig:
+        return hit[1], hit[2], hit[3]
+    docs_all, packed_all, dim = [], [], None
+    for f in files:
+        t = pq.read_table(f, columns=["doc_ord", "dim", "vec"])
+        if t.num_rows == 0:
+            continue
+        docs_all.append(t.column("doc_ord").to_numpy())
+        packed_all.extend(t.column("vec").to_pylist())
+        if dim is None:
+            dim = int(t.column("dim")[0].as_py())
+    if not docs_all:
+        return None
+    docs = np.concatenate(docs_all)
+    mat = np.frombuffer(b"".join(packed_all), dtype=np.float32).reshape(len(packed_all), -1)
+    norms = np.linalg.norm(mat, axis=1)
+    _EMB_CACHE.clear()  # one table at a time: the service owns one index
+    _EMB_CACHE[key] = (sig, docs, mat, norms)
+    return docs, mat, norms
+
+
 def semantic_topk_local(
     store: IndexStore, query_vector, top_k: int
 ) -> list[tuple[int, float]]:
@@ -261,60 +299,85 @@ def semantic_topk_local(
     first, reference semantics (zero-norm → 0.0). Only chosen by the
     service when the embeddings table fits the local budget — a full
     embedding scan is inherently corpus-sized and belongs on executors
-    otherwise."""
+    otherwise. Warm queries hit the decoded-matrix cache: one matvec +
+    top-k partition, no parquet IO."""
     if query_vector is None:
         return []
+    loaded = _emb_matrix(store)
+    if loaded is None:
+        return []
+    docs, mat, norms = loaded
     q = np.asarray(query_vector, dtype=np.float32)
     qn = float(np.linalg.norm(q))
+    if qn == 0.0:
+        cos = np.zeros(len(docs))
+    else:
+        denom = norms * qn
+        cos = np.where(denom == 0.0, 0.0, (mat @ q) / np.where(denom == 0.0, 1.0, denom)).astype(np.float64)
     tombs = local_dead_ords(store)
-    root = Path(store.path("embeddings"))
-    docs_all, cos_all = [], []
-    for f in sorted(root.rglob("*.parquet")):
-        t = pq.read_table(f, columns=["doc_ord", "vec"])
-        if t.num_rows == 0:
-            continue
-        docs = t.column("doc_ord").to_numpy()
-        packed = t.column("vec").to_pylist()
-        mat = np.frombuffer(b"".join(packed), dtype=np.float32).reshape(len(packed), -1)
-        if qn == 0.0:
-            cos = np.zeros(len(packed))
-        else:
-            norms = np.linalg.norm(mat, axis=1) * qn
-            dots = mat @ q
-            cos = np.where(norms == 0.0, 0.0, dots / np.where(norms == 0.0, 1.0, norms))
-        docs_all.append(docs)
-        cos_all.append(cos.astype(np.float64))
-    if not docs_all:
-        return []
-    docs = np.concatenate(docs_all)
-    cos = np.concatenate(cos_all)
     if tombs.size:
         keep = ~np.isin(docs, tombs)
         docs, cos = docs[keep], cos[keep]
-    order = np.lexsort((docs, -cos))[:top_k]
-    return [(int(docs[i]), float(cos[i])) for i in order]
+    if docs.size == 0:
+        return []
+    k = min(top_k, docs.size)
+    # partial select then exact order — avoids a full sort of the corpus
+    cand = np.argpartition(-cos, k - 1)[: max(k * 4, k)]
+    order = cand[np.lexsort((docs[cand], -cos[cand]))][:k]
+    # ties at the k-th score across the partition boundary: argpartition
+    # guarantees the top-k VALUES are inside the partition, but equal
+    # values may be ordered arbitrarily — re-check with a stable rule
+    kth = cos[order[k - 1]]
+    if (cos == kth).sum() > (cos[order[:k]] == kth).sum():
+        full = np.lexsort((docs, -cos))[:k]
+        order = full
+    return [(int(docs[i]), float(cos[i])) for i in order[:k]]
+
+
+# Cached per-file row-group [min,max] doc_ord ranges for the chunks
+# table, keyed by file signature — pure METADATA (scales with row-group
+# count, not rows), so this stays coordinator-sized at any corpus size.
+# Saves re-opening and re-parsing every footer on every query.
+_CHUNK_RG_CACHE: dict[str, tuple[tuple, list[tuple[str, int, int, int]]]] = {}
+
+
+def _chunk_rg_index(store: IndexStore) -> list[tuple[str, int, int, int]]:
+    files = sorted(Path(store.path("chunks")).glob("*.parquet"))
+    sig = tuple((str(f), f.stat().st_mtime_ns, f.stat().st_size) for f in files)
+    key = store.path("chunks")
+    hit = _CHUNK_RG_CACHE.get(key)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    index: list[tuple[str, int, int, int]] = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        if md.num_row_groups == 0:
+            continue
+        col_idx = {md.row_group(0).column(i).path_in_schema: i for i in range(md.num_columns)}
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(col_idx["doc_ord"]).statistics
+            if st is None:
+                index.append((str(f), g, -(1 << 62), 1 << 62))
+            else:
+                index.append((str(f), g, int(st.min), int(st.max)))
+    _CHUNK_RG_CACHE.clear()
+    _CHUNK_RG_CACHE[key] = (sig, index)
+    return index
 
 
 def rehydrate_local(store: IndexStore, doc_ords: list[int]) -> dict[int, dict]:
     """Row-group-pruned chunk lookup for ≤top_k doc ordinals (the chunks
-    table is written sorted by doc_ord)."""
+    table is written sorted by doc_ord; the footer-stats index is cached
+    across queries)."""
     want = set(doc_ords)
     out: dict[int, dict] = {}
     cols = ["doc_ord", "chunk_id", "url", "heading_path", "chunk_index", "content"]
-    for f in sorted(Path(store.path("chunks")).glob("*.parquet")):
-        pf = pq.ParquetFile(f)
-        md = pf.metadata
-        if md.num_row_groups == 0:
-            continue
-        col_idx = {md.row_group(0).column(i).path_in_schema: i for i in range(md.num_columns)}
-        groups = []
-        for g in range(md.num_row_groups):
-            st = md.row_group(g).column(col_idx["doc_ord"]).statistics
-            if st is None or any(st.min <= d <= st.max for d in want):
-                groups.append(g)
-        if not groups:
-            continue
-        t = pf.read_row_groups(groups, columns=cols)
+    by_file: dict[str, list[int]] = {}
+    for path, g, mn, mx in _chunk_rg_index(store):
+        if any(mn <= d <= mx for d in want):
+            by_file.setdefault(path, []).append(g)
+    for path, groups in by_file.items():
+        t = pq.ParquetFile(path).read_row_groups(groups, columns=cols)
         mask = pc.is_in(t.column("doc_ord"), value_set=pa.array(sorted(want)))
         t = t.filter(mask)
         for row in t.to_pylist():
