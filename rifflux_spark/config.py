@@ -10,7 +10,7 @@ rebuild adds (block size, salt range, bucket count). Env overrides use the
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 def _env(name: str, default: str) -> str:
@@ -42,6 +42,10 @@ class EngineConfig:
     n_term_buckets: int = 32
     # shards (groups of term buckets) per build job — the lineage/resume unit
     n_build_shards: int = 4
+    # encode-shuffle key is (term_bucket, salt % n_bucket_splits): splits > 1
+    # spread a hot term's salted runs over that many tasks while keeping the
+    # postings table at ≤ buckets × splits files regardless of cluster size
+    n_bucket_splits: int = 4
 
     @classmethod
     def from_env(cls) -> "EngineConfig":
@@ -55,6 +59,7 @@ class EngineConfig:
             salt_range=int(_env("SALT_RANGE", str(1 << 20))),
             n_term_buckets=int(_env("N_TERM_BUCKETS", "32")),
             n_build_shards=int(_env("N_BUILD_SHARDS", "4")),
+            n_bucket_splits=int(_env("N_BUCKET_SPLITS", "4")),
         )
 
 

@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from rifflux_spark.functions.text_analysis import ascii_tokens, shingles
+from rifflux_spark.functions.text_analysis import shingles
 
 
 def exact_dupes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

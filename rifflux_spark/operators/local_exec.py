@@ -16,8 +16,10 @@ path and the FTS5 oracle). Real distributed engines do the same thing —
 coordinator-only execution for selective queries (e.g. single-node plans
 in Trino/Presto-style engines) — while bulk scans stay on the cluster.
 
-The SearchService picks the path per query (``engine="auto"``): local when
-the pruned posting bytes fit a small budget, Spark otherwise.
+The SearchService picks the path per query (``engine="auto"``): local
+when the query's total posting volume (Σ df of its terms, read from
+term_stats in milliseconds) fits the budget, Spark otherwise; semantic
+routes on the embeddings table's byte size.
 """
 
 from __future__ import annotations

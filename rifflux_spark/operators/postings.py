@@ -26,8 +26,6 @@ row count.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -39,7 +37,7 @@ from rifflux_spark.config import EngineConfig
 from rifflux_spark.functions.chunker import chunk_rows
 from rifflux_spark.functions.tokenizer import tokenize_series
 from rifflux_spark.operators.codec import encode_block
-from rifflux_spark.sources.tables import POSTINGS_SCHEMA
+from rifflux_spark.sources.tables import POSTINGS_BUCKETED_SCHEMA
 
 CHUNK_STRUCT = T.ArrayType(
     T.StructType(
@@ -156,19 +154,33 @@ def encode_postings(tf: DataFrame, config: EngineConfig) -> DataFrame:
     """Salted-run block encoding. Each (term, salt) group holds at most
     ``salt_range`` postings — bounded memory regardless of term skew.
 
-    Physical shape: hash-repartition on (term, salt) + sortWithinPartitions
-    so every group arrives contiguous and doc-ordered, then ONE streaming
-    ``mapInPandas`` encodes all groups of a batch with numpy slicing and a
-    carry for the group a batch boundary splits. groupBy().applyInPandas
-    would pay per-group pandas/Arrow machinery — with a realistic open
-    vocabulary most groups are tiny and that overhead dominated the stage
-    (measured 5-7×); the stream encoder pays it once per Arrow batch.
+    Physical shape: ONE shuffle keyed on ``(term_bucket, salt_slice)`` +
+    sortWithinPartitions(term_bucket, term, salt, doc_ord), so every
+    (term, salt) group arrives contiguous and doc-ordered AND the output
+    block rows are already clustered+sorted by their ``term_bucket``
+    partition value — ``write_postings`` streams them straight into the
+    partitioned table with no second shuffle of the encoded bytes (the
+    encoded blocks ARE the index payload; re-shuffling them doubled the
+    stage's byte traffic). ``salt_slice = salt % n_bucket_splits`` keeps a
+    hot term's groups spread over ``n_bucket_splits`` tasks (skew) while
+    bounding the table at ≤ buckets × splits files regardless of cluster
+    size — a per-(task, bucket) file scheme would write
+    O(executors × buckets) files and serialize the commit at 1000
+    executors.
+
+    The encode itself is ONE streaming ``mapInPandas`` over the sorted
+    partitions: numpy slicing per Arrow batch with a carry for the group a
+    batch boundary splits. groupBy().applyInPandas would pay per-group
+    pandas/Arrow machinery — with a realistic open vocabulary most groups
+    are tiny and that overhead dominated the stage (measured 5-7×); the
+    stream encoder pays it once per Arrow batch.
     """
     block_size = config.block_size
-    cols = ["term", "salt", "doc_ord", "tf", "dl"]
+    cols = ["term_bucket", "term", "salt", "doc_ord", "tf", "dl"]
 
     def encode_body(pdf: pd.DataFrame) -> pd.DataFrame:
         terms = pdf["term"].to_numpy()
+        buckets = pdf["term_bucket"].to_numpy(dtype=np.int32)
         salts = pdf["salt"].to_numpy(dtype=np.int64)
         docs = pdf["doc_ord"].to_numpy(dtype=np.int64)
         tfs = pdf["tf"].to_numpy(dtype=np.int64)
@@ -178,7 +190,7 @@ def encode_postings(tf: DataFrame, config: EngineConfig) -> DataFrame:
         ends = np.concatenate((change, [len(pdf)]))
         out = {k: [] for k in (
             "term", "salt", "block_seq", "n_docs", "first_doc", "last_doc",
-            "gaps", "tfs", "dls", "block_max_tf", "block_min_dl",
+            "gaps", "tfs", "dls", "block_max_tf", "block_min_dl", "term_bucket",
         )}
         for s, e in zip(starts, ends):
             for seq, b0 in enumerate(range(s, e, block_size)):
@@ -187,6 +199,7 @@ def encode_postings(tf: DataFrame, config: EngineConfig) -> DataFrame:
                 out["term"].append(terms[s])
                 out["salt"].append(int(salts[s]))
                 out["block_seq"].append(seq)
+                out["term_bucket"].append(int(buckets[s]))
                 for k in ("n_docs", "first_doc", "last_doc", "gaps", "tfs",
                           "dls", "block_max_tf", "block_min_dl"):
                     out[k].append(blk[k])
@@ -214,16 +227,19 @@ def encode_postings(tf: DataFrame, config: EngineConfig) -> DataFrame:
             yield encode_body(carry)
 
     salted = tf.select(
+        F.pmod(F.xxhash64("term"), F.lit(config.n_term_buckets)).cast("int").alias("term_bucket"),
         "term",
-        (F.col("doc_ord") / F.lit(config.salt_range)).cast("long").alias("salt"),
+        # integer `div`, not double division: doc ordinals are sparse
+        # (pid·2⁴⁰ + i) and a double mantissa loses exactness past 2⁵³
+        F.expr(f"doc_ord div {int(config.salt_range)}").alias("salt"),
         "doc_ord",
         "tf",
         "dl",
+    ).withColumn("salt_slice", F.pmod("salt", F.lit(int(config.n_bucket_splits))))
+    parted = salted.repartition("term_bucket", "salt_slice").sortWithinPartitions(
+        "term_bucket", "term", "salt", "doc_ord"
     )
-    parted = salted.repartition("term", "salt").sortWithinPartitions(
-        "term", "salt", "doc_ord"
-    )
-    return parted.select(*cols).mapInPandas(encode_stream, schema=POSTINGS_SCHEMA)
+    return parted.select(*cols).mapInPandas(encode_stream, schema=POSTINGS_BUCKETED_SCHEMA)
 
 
 def term_stats(tf: DataFrame) -> DataFrame:

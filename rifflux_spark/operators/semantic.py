@@ -15,8 +15,6 @@ Ties: numpy/pandas sort in the reference is stable over store order
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame

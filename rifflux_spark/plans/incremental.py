@@ -43,6 +43,8 @@ the reference has for rowid reuse).
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -62,7 +64,11 @@ from rifflux_spark.operators.postings import (
     with_tokens,
 )
 from rifflux_spark.sources.catalog import diff_snapshot, snapshot_of
-from rifflux_spark.sources.tables import POSTINGS_SCHEMA, TOMBSTONES_SCHEMA, IndexStore
+from rifflux_spark.sources.tables import (
+    POSTINGS_BUCKETED_SCHEMA,
+    TOMBSTONES_SCHEMA,
+    IndexStore,
+)
 
 # above this many newly-dead ords the literal IN-list is replaced by a
 # join (Catalyst expression trees degrade with huge literal sets)
@@ -85,6 +91,9 @@ def apply_incremental(
     micro-batch) — absent urls are untouched.
     Returns counts per status."""
     config = config or EngineConfig()
+    if config.n_term_buckets != store.n_term_buckets:
+        # appended postings must land in the store's existing bucket layout
+        config = dataclasses.replace(config, n_term_buckets=store.n_term_buckets)
 
     catalog = store.catalog()
     # two-phase stat fast-path: sha2 runs only where (warc_ts, size) changed
@@ -341,9 +350,7 @@ def _swap_dir(store: IndexStore, src: str, dst: str) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
-_COMPACT_SCHEMA = T.StructType(
-    POSTINGS_SCHEMA.fields + [T.StructField("term_bucket", T.IntegerType(), False)]
-)
+_COMPACT_SCHEMA = POSTINGS_BUCKETED_SCHEMA
 
 
 def compact(spark: SparkSession, store: IndexStore, config: EngineConfig | None = None) -> dict:
@@ -451,6 +458,8 @@ def vacuum(spark: SparkSession, store: IndexStore, config: EngineConfig | None =
     the purged fraction justifies the IO); :func:`compact` is the cheap
     frequent path."""
     config = config or EngineConfig()
+    if config.n_term_buckets != store.n_term_buckets:
+        config = dataclasses.replace(config, n_term_buckets=store.n_term_buckets)
     n_dead = store.dead_ords().count()
     if n_dead == 0:
         return {"rewritten": 0, "purged": 0}
@@ -458,11 +467,8 @@ def vacuum(spark: SparkSession, store: IndexStore, config: EngineConfig | None =
     live = _live_chunks(store).select("doc_ord", "dl", "tokens")
     tf = term_frequencies(live)
     blocks = encode_postings(tf, config)
-    blocks.withColumn(
-        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(store.n_term_buckets))
-    ).repartition(store.n_term_buckets, "term_bucket").sortWithinPartitions(
-        "term", "salt", "block_seq"
-    ).write.mode("overwrite").partitionBy("term_bucket").parquet(
+    # encode output is already clustered+sorted by term_bucket — write-through
+    blocks.write.mode("overwrite").partitionBy("term_bucket").parquet(
         store.path("postings_next")
     )
     _swap_dir(store, "postings_next", "postings")

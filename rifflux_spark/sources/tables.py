@@ -66,6 +66,13 @@ POSTINGS_SCHEMA = T.StructType(
     ]
 )
 
+# encode_postings' native output: block rows that already carry their
+# term_bucket partition value, so write_postings can partitionBy straight
+# from the encode shuffle without re-shuffling the encoded bytes.
+POSTINGS_BUCKETED_SCHEMA = T.StructType(
+    POSTINGS_SCHEMA.fields + [T.StructField("term_bucket", T.IntegerType(), False)]
+)
+
 TERM_STATS_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
@@ -166,16 +173,24 @@ class IndexStore:
         out.write.mode("overwrite").parquet(self.path("chunks"))
 
     def write_postings(self, df: DataFrame, mode: str = "overwrite") -> None:
-        with_bucket = df.withColumn(
-            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(self.n_term_buckets))
-        )
-        (
-            with_bucket.repartition(self.n_term_buckets, "term_bucket")
-            .sortWithinPartitions("term", "salt", "block_seq")
-            .write.mode(mode)
-            .partitionBy("term_bucket")
-            .parquet(self.path("postings"))
-        )
+        """Persist encoded block rows partitioned by term bucket.
+
+        ``encode_postings`` emits rows already clustered AND sorted by
+        ``term_bucket`` (its shuffle key is a function of the bucket), so
+        the normal path writes them straight through — no second shuffle
+        of the encoded index bytes. Rows lacking the column (hand-built
+        test frames) fall back to bucketing + clustering here.
+        """
+        if "term_bucket" not in df.columns:
+            df = (
+                df.withColumn(
+                    "term_bucket",
+                    F.pmod(F.xxhash64("term"), F.lit(self.n_term_buckets)).cast("int"),
+                )
+                .repartition(self.n_term_buckets, "term_bucket")
+                .sortWithinPartitions("term_bucket", "term", "salt", "block_seq")
+            )
+        df.write.mode(mode).partitionBy("term_bucket").parquet(self.path("postings"))
 
     def write_small(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
         df.coalesce(1).write.mode(mode).parquet(self.path(name))
