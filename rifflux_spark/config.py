@@ -28,6 +28,10 @@ class EngineConfig:
     bm25_k1: float = 1.2                 # FTS5 bm25() constants
     bm25_b: float = 0.75
     candidate_multiplier: int = 2        # top_k*2 per modality (search.py:34-54)
+    # auto-reindex-on-search throttle (reference config.py:39-41 + the
+    # check-and-claim in mcp/tools.py:287-326)
+    auto_reindex_on_search: bool = False
+    auto_reindex_min_interval_seconds: float = 2.0
 
     # --- physical index layout (Spark rebuild) ---
     # postings are encoded in blocks of this many docs; each block stores
@@ -55,6 +59,8 @@ class EngineConfig:
             rrf_k=int(_env("RRF_K", "60")),
             embedding_dim=int(_env("EMBEDDING_DIM", "384")),
             embedding_backend=_env("EMBEDDING_BACKEND", "hash"),
+            auto_reindex_on_search=_env("AUTO_REINDEX_ON_SEARCH", "0") in ("1", "true", "True"),
+            auto_reindex_min_interval_seconds=float(_env("AUTO_REINDEX_MIN_INTERVAL_SECONDS", "2.0")),
             block_size=int(_env("BLOCK_SIZE", "128")),
             salt_range=int(_env("SALT_RANGE", str(1 << 20))),
             n_term_buckets=int(_env("N_TERM_BUCKETS", "32")),

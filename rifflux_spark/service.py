@@ -18,6 +18,8 @@ DataFrame plan.
 
 from __future__ import annotations
 
+import threading
+import time
 from typing import Any
 
 from pyspark.sql import SparkSession
@@ -33,20 +35,30 @@ from rifflux_spark.sources.tables import IndexStore
 
 
 class SearchService:
+    # auto-reindex check-and-claim state, keyed per index dir (reference
+    # mcp/tools.py:287-326 `_reindex_lock` + `_LAST_AUTO_REINDEX_MONOTONIC`)
+    _reindex_lock = threading.Lock()
+    _last_auto_reindex: dict[str, float] = {}
+
     def __init__(
         self,
         spark: SparkSession,
         index_dir: str,
         config: EngineConfig | None = None,
         embed_query=None,
+        pages_path: str | None = None,
     ) -> None:
         self.spark = spark
         self.config = config or EngineConfig()
+        self.index_dir = index_dir
         self.store = IndexStore(spark, index_dir, self.config.n_term_buckets)
         self.embed_query = embed_query or (
             lambda q: hash_embed(q, dim=self.config.embedding_dim)
         )
         self._cstats: dict | None = None
+        # crawl-pages parquet path used by auto-reindex-on-search (S3);
+        # None disables the feature regardless of config
+        self.pages_path = pages_path
 
     def _corpus_stats(self) -> dict:
         if self._cstats is None:
@@ -189,6 +201,8 @@ class SearchService:
     # --- the reference search orchestration (search.py:30-100) ---
 
     def search(self, query: str, *, top_k: int = 10, mode: str = "hybrid") -> list[dict[str, Any]]:
+        if self.config.auto_reindex_on_search and self.pages_path:
+            self.maybe_auto_reindex()
         cand = top_k * self.config.candidate_multiplier
         lexical = self.lexical(query, cand) if mode in {"hybrid", "lexical"} else []
         query_vec = (
@@ -280,6 +294,47 @@ class SearchService:
                 for r in rows
             ],
         }
+
+    def maybe_auto_reindex(self, background: bool = True) -> dict[str, Any]:
+        """Auto-reindex-on-search with a per-index throttle (S3, reference
+        mcp/tools.py:287-326): an atomic check-and-claim under a lock keeps
+        parallel searches from stampeding the incremental build — the slot
+        is claimed BEFORE the work starts, so concurrent callers inside
+        ``auto_reindex_min_interval_seconds`` see ``throttled``.
+
+        ``background=True`` mirrors the reference's background-queue submit
+        (a daemon thread driving the Spark incremental job — Spark job
+        submission is thread-safe); ``background=False`` runs inline and
+        returns the apply metrics."""
+        if not self.pages_path:
+            return {"enabled": False, "executed": False, "reason": "no pages_path"}
+        min_interval = max(0.0, self.config.auto_reindex_min_interval_seconds)
+        key = self.index_dir
+        with SearchService._reindex_lock:
+            now = time.monotonic()
+            last = SearchService._last_auto_reindex.get(key)
+            if last is not None and (now - last) < min_interval:
+                return {
+                    "enabled": True,
+                    "executed": False,
+                    "reason": "throttled",
+                    "min_interval_seconds": min_interval,
+                }
+            SearchService._last_auto_reindex[key] = now
+
+        def run() -> dict:
+            from rifflux_spark.plans.incremental import apply_incremental
+
+            pages = self.spark.read.parquet(self.pages_path)
+            metrics = apply_incremental(self.spark, self.store, pages, self.config)
+            self._cstats = None  # corpus stats may have changed
+            return metrics
+
+        if background:
+            t = threading.Thread(target=run, name="rifflux-auto-reindex", daemon=True)
+            t.start()
+            return {"enabled": True, "executed": "background", "thread": t.name}
+        return {"enabled": True, "executed": True, "metrics": run()}
 
     def index_status(self) -> dict[str, int]:
         """Live counts: dead (tombstoned/purged) rows still physically in

@@ -62,3 +62,30 @@ def get_spark(
     # (the spark-submit --py-files equivalent, applied programmatically)
     spark.sparkContext.addPyFile(package_zip())
     return spark
+
+
+def graceful_shutdown(spark: SparkSession, stream_timeout_s: float = 10.0) -> None:
+    """Driver-exit hygiene (S5, reference mcp/tools.py:258-284): first
+    stop every active streaming query so no new micro-batches start (the
+    reference stops its file watcher first for the same reason), then stop
+    the session. Idempotent — safe to call on an already-stopped session."""
+    try:
+        for q in list(spark.streams.active):
+            try:
+                q.stop()
+                q.awaitTermination(stream_timeout_s)
+            except Exception:
+                pass
+        spark.stop()
+    except Exception:
+        pass  # session/JVM already gone — nothing left to release
+
+
+def install_shutdown_hook(spark: SparkSession) -> None:
+    """Register :func:`graceful_shutdown` via ``atexit`` (the reference's
+    ``atexit.register(_shutdown_server)``, mcp/tools.py:284). Long-lived
+    drivers (MCP-style servers, notebooks) get clean stream+session
+    teardown on normal exit or SIGTERM-driven interpreter shutdown."""
+    import atexit
+
+    atexit.register(graceful_shutdown, spark)
