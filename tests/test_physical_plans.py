@@ -98,3 +98,35 @@ def test_glob_filter_pushes_like_into_scan(spark, tmp_path_factory) -> None:
     assert "StartsWith" in pushed
     assert "EndsWith" in pushed or "Not" in pushed
     assert {r["url"] for r in df.collect()} == {"docs/a.md"}
+
+
+def test_encode_postings_single_shuffle_and_bounded_files(spark, store, tmp_path_factory) -> None:
+    """The postings payload must be shuffled exactly once: the encode
+    shuffle is keyed (term_bucket, salt_slice), so write_postings streams
+    encoded blocks straight into the bucket-partitioned table — a second
+    exchange of the encoded bytes (the whole index payload) would double
+    the stage's wire traffic at 100 TB. File count must stay bounded by
+    buckets × splits, not grow with cluster parallelism."""
+    from rifflux_spark.operators.postings import encode_postings, term_frequencies
+
+    import re
+
+    tokenized = store.chunks().select("doc_ord", "dl", "tokens")
+    blocks = encode_postings(term_frequencies(tokenized), CONFIG)
+    plan = explain_str(blocks)
+    # exactly two exchanges end-to-end: the tf partial→final agg shuffle
+    # and the (term_bucket, salt_slice) encode shuffle — nothing more
+    assert len(set(re.findall(r"Exchange \(\d+\)", plan))) == 2, plan
+    # the encode (MapInPandas) is the plan root: NO exchange sits above
+    # it, i.e. the encoded block bytes are never reshuffled
+    tree_root = plan.split("AdaptiveSparkPlan", 1)[1].splitlines()[1]
+    assert "MapInPandas" in tree_root, plan
+
+    out = tmp_path_factory.mktemp("fusedw")
+    st2 = IndexStore(spark, str(out), CONFIG.n_term_buckets)
+    st2.write_postings(blocks)
+    files = list(out.glob("postings/term_bucket=*/*.parquet"))
+    assert 0 < len(files) <= CONFIG.n_term_buckets * CONFIG.n_bucket_splits
+
+    # written rows must round-trip with identical content vs the plan
+    assert st2.postings().count() == blocks.count()
