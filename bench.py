@@ -28,7 +28,7 @@ efficiency = thr_hi / (thr_lo * (cpus_hi/cpus_lo)).
 
 Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
 SPARK_GRAFT_SCALE_DOCS (0 disables the scaling passes),
-SPARK_GRAFT_SCALE_ITERS (measured builds per level, default 2).
+SPARK_GRAFT_SCALE_ITERS (measured builds per level, default 3); pass order alternates per pass to cancel within-pass window drift.
 """
 
 from __future__ import annotations
@@ -272,7 +272,7 @@ def main() -> None:
     page_scale = int(os.environ.get("SPARK_GRAFT_PAGE_SCALE", "4"))
     # clamp >= 1: pass 0 is always the discarded warm-up, so at least one
     # measured pass must follow or min(ts[1:]) has nothing to take
-    scale_iters = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "2")))
+    scale_iters = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "3")))
     # N→4N pair for the scaling evidence. Default hi=16 on a 32-vCPU host:
     # at 32 slots the JVM-side task threads (shuffle, parquet encode, GC)
     # have zero headroom and measurements degrade 2-4× run-to-run, which a
@@ -301,7 +301,11 @@ def main() -> None:
         all_times: dict[int, list[float]] = {lo_cpus: [], hi_cpus: []}
         best_stage_sec: dict[int, dict] = {lo_cpus: {}, hi_cpus: {}}
         for p in range(scale_iters + 1):
-            for n in (lo_cpus, hi_cpus):
+            # alternate which level goes first each pass: with a fixed
+            # (lo, hi) order, monotonic host-window drift within a pass
+            # systematically biases the lo/hi ratio in one direction
+            order = (lo_cpus, hi_cpus) if p % 2 == 0 else (hi_cpus, lo_cpus)
+            for n in order:
                 spark = fresh_session(n)
                 if p == 0:
                     warmup(spark, n)
