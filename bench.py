@@ -13,8 +13,9 @@ evidence (north rule: same job at N and 4N parallelism on identical
 input) runs the full index build over a deterministic synthetic web-pages
 corpus (SPARK_GRAFT_SCALE_DOCS pages of SPARK_GRAFT_PAGE_SCALE·1.5 KB,
 default 60000 × ~6 KB — the BENCH.md methodology corpus) at local[N] and
-local[4N] (SPARK_GRAFT_SCALE_HI sets 4N; default 16 — see the in-code
-note on slot headroom), measuring STEADY-STATE throughput: levels run
+local[4N] (SPARK_GRAFT_SCALE_HI sets 4N; default 8 — see the in-code
+note on slot headroom + the shared DRAM channel), measuring
+STEADY-STATE throughput: levels run
 INTERLEAVED (lo,hi,lo,hi,...) because the shared host drifts ±20% over
 minutes; pass 0 per level is the JIT warm-up pass and is discarded (it
 pays JVM C2 compilation of the codegen/parquet/Arrow paths — measured
@@ -273,12 +274,18 @@ def main() -> None:
     # clamp >= 1: pass 0 is always the discarded warm-up, so at least one
     # measured pass must follow or min(ts[1:]) has nothing to take
     scale_iters = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "3")))
-    # N→4N pair for the scaling evidence. Default hi=16 on a 32-vCPU host:
-    # at 32 slots the JVM-side task threads (shuffle, parquet encode, GC)
-    # have zero headroom and measurements degrade 2-4× run-to-run, which a
-    # real 4N-executor cluster (4× every resource, not just task slots)
-    # does not suffer. 4→16 keeps both levels resource-faithful.
-    hi_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_HI", str(min(16, cpus))))
+    # N→4N pair for the scaling evidence. Default 2→8 on this 32-vCPU
+    # shared VM, for two resource-faithfulness reasons (both measured,
+    # see BENCH.md): (a) at 32 slots the JVM task threads (shuffle,
+    # parquet encode, GC) have zero headroom and runs degrade 2-4×;
+    # (b) the host's DRAM channel is shared and burst-throttled — the
+    # in-band 64MB-copy probe scales 4→16 procs at 0.10-0.42 but 2→8 at
+    # 0.42-0.9 in the same windows. A real 4N-executor cluster multiplies
+    # every resource (per-node DRAM channels, disks, NICs), so the pair
+    # that stays inside the single host's bandwidth envelope is the
+    # faithful analog; a pair that oversubscribes the one shared channel
+    # measures the hypervisor's throttle, not the engine.
+    hi_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_HI", str(min(8, cpus))))
     lo_cpus = max(1, hi_cpus // 4)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
 
@@ -312,7 +319,10 @@ def main() -> None:
                 pages = spark.read.parquet(corpus_dir)
                 sec, d, stages = timed_build(spark, pages)
                 shutil.rmtree(d, ignore_errors=True)
-                all_times[n].append(round(sec, 2))
+                sec = round(sec, 2)  # compare rounded against rounded:
+                # an unrounded sec loses the <= tie against its own
+                # rounded entry and the best run's stages never land
+                all_times[n].append(sec)
                 if p > 0 and (not best_stage_sec[n] or sec <= min(all_times[n][1:])):
                     best_stage_sec[n] = stages
         results = {n: min(ts[1:]) for n, ts in all_times.items()}

@@ -235,7 +235,15 @@ def encode_postings(tf: DataFrame, config: EngineConfig) -> DataFrame:
         "doc_ord",
         "tf",
         "dl",
-    ).withColumn("salt_slice", F.pmod("salt", F.lit(int(config.n_bucket_splits))))
+    ).withColumn(
+        # hash-mix the salt before slicing: with sparse ordinals
+        # (pid·2⁴⁰ + i) the salts are pid·2²⁶ + j, and a plain
+        # `salt % k` is ≡ 0 for every row when k divides 2²⁶ — the
+        # shuffle key would collapse to the bucket alone (measured:
+        # bucket-collision stragglers halved one shard's scaling)
+        "salt_slice",
+        F.pmod(F.xxhash64("salt"), F.lit(int(config.n_bucket_splits))),
+    )
     parted = salted.repartition("term_bucket", "salt_slice").sortWithinPartitions(
         "term_bucket", "term", "salt", "doc_ord"
     )

@@ -130,3 +130,21 @@ def test_encode_postings_single_shuffle_and_bounded_files(spark, store, tmp_path
 
     # written rows must round-trip with identical content vs the plan
     assert st2.postings().count() == blocks.count()
+
+
+def test_encode_shuffle_key_not_degenerate_with_sparse_ordinals(spark) -> None:
+    """The encode-shuffle's salt_slice must spread rows even though
+    sparse ordinals make every salt a multiple of 2²⁶ (pid·2⁴⁰ + i ⇒
+    salt = pid·2²⁶ + j): a plain modulo collapses to 0 for every row and
+    the shuffle degrades to bucket-only hashing (straggler tasks)."""
+    from pyspark.sql import functions as F
+
+    # salts exactly as sparse_ordinals produces them for small partitions
+    salts = [(pid << 26,) for pid in range(64)]
+    df = spark.createDataFrame(salts, "salt long")
+    k = CONFIG.n_bucket_splits
+    slices = {
+        r["s"]
+        for r in df.select(F.pmod(F.xxhash64("salt"), F.lit(k)).alias("s")).collect()
+    }
+    assert len(slices) == k  # all slices hit, not just slice 0
