@@ -81,7 +81,7 @@ def _quiet_stop(session) -> None:
     session.stop()
 
 
-def fresh_session(cpus: int):
+def fresh_session(cpus: int, shuffle_partitions: int | None = None):
     from pyspark.sql import SparkSession
 
     active = SparkSession.getActiveSession()
@@ -90,7 +90,10 @@ def fresh_session(cpus: int):
     spark = get_spark(
         app_name=f"rifflux_bench_{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=cpus,
+        # scaling passes pin shuffle partitions to the SAME value at both
+        # levels (a real job's spark.sql.shuffle.partitions doesn't change
+        # with executor count); headline runs default to one per slot
+        shuffle_partitions=shuffle_partitions or cpus,
         # shuffle/spill scratch on tmpfs: the sandbox's one shared disk
         # serializes shuffle IO that a real cluster spreads across nodes
         extra_conf={"spark.local.dir": str(Path(work_dir()) / "spark-local")},
@@ -313,7 +316,7 @@ def main() -> None:
             # systematically biases the lo/hi ratio in one direction
             order = (lo_cpus, hi_cpus) if p % 2 == 0 else (hi_cpus, lo_cpus)
             for n in order:
-                spark = fresh_session(n)
+                spark = fresh_session(n, shuffle_partitions=32)
                 if p == 0:
                     warmup(spark, n)
                 pages = spark.read.parquet(corpus_dir)
