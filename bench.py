@@ -17,10 +17,11 @@ local[4N] (SPARK_GRAFT_SCALE_HI sets 4N; default 8 — see the in-code
 note on slot headroom + the shared DRAM channel), measuring
 STEADY-STATE throughput: levels run
 INTERLEAVED (lo,hi,lo,hi,...) because the shared host drifts ±20% over
-minutes; pass 0 per level is the JIT warm-up pass and is discarded (it
-pays JVM C2 compilation of the codegen/parquet/Arrow paths — measured
-3-6x inflation — which a long-lived cluster job pays once per executor,
-not once per input split); the min over remaining passes is reported.
+minutes; a small-corpus warm-up build runs first per level to absorb JVM
+C2 compilation of the codegen/parquet/Arrow paths (measured 3-6x
+inflation on cold runs — a cost a long-lived cluster job pays once per
+executor, not once per input split); the min over all full passes is
+reported (residual JIT only ever slows a pass, so min is safe).
 Work dirs and spark.local.dir live on /dev/shm when available so the
 sandbox's single shared disk (which a real cluster distributes per-node)
 doesn't serialize the measurement. A raw-CPU multiprocessing microbench
@@ -326,9 +327,14 @@ def main() -> None:
                 # an unrounded sec loses the <= tie against its own
                 # rounded entry and the best run's stages never land
                 all_times[n].append(sec)
-                if p > 0 and (not best_stage_sec[n] or sec <= min(all_times[n][1:])):
+                if not best_stage_sec[n] or sec <= min(all_times[n]):
                     best_stage_sec[n] = stages
-        results = {n: min(ts[1:]) for n, ts in all_times.items()}
+        # pass 0 runs after the small-corpus warmup (which absorbs the
+        # JIT/worker spin-up — pass-0 times sit inside normal spread now),
+        # and residual contamination only makes pass 0 SLOWER, so
+        # including it in the min is safe: 4 steady-state samples for the
+        # price of 3
+        results = {n: min(ts) for n, ts in all_times.items()}
         host_post = cpu_scaling(lo_cpus, hi_cpus)
         mem_post = mem_scaling(lo_cpus, hi_cpus)
         kern_post = kernel_scaling(lo_cpus, hi_cpus)
@@ -350,8 +356,8 @@ def main() -> None:
             # max/min across measured passes at CONSTANT parallelism —
             # when this exceeds the inter-level gap, the window's noise,
             # not the engine, dominates the measurement
-            "run_spread_lo": round(max(all_times[lo_cpus][1:]) / min(all_times[lo_cpus][1:]), 3),
-            "run_spread_hi": round(max(all_times[hi_cpus][1:]) / min(all_times[hi_cpus][1:]), 3),
+            "run_spread_lo": round(max(all_times[lo_cpus]) / min(all_times[lo_cpus]), 3),
+            "run_spread_hi": round(max(all_times[hi_cpus]) / min(all_times[hi_cpus]), 3),
             "stage_sec_lo": best_stage_sec[lo_cpus],
             "stage_sec_hi": best_stage_sec[hi_cpus],
             "docs_per_sec_lo": round(thr_lo, 2),
