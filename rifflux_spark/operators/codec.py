@@ -122,6 +122,11 @@ def encode_block(
         "dls": encode_varbyte(dls),
         "block_max_tf": int(tfs.max()),
         "block_min_dl": int(dls.min()),
+        # Σtf of the block: term_stats (df, cf) aggregates these metadata
+        # rows instead of re-reading the corpus-sized tf table (128× fewer
+        # rows at block_size=128 — the difference between a metadata agg
+        # and another full pass at 10¹² docs)
+        "block_tf_sum": int(tfs.sum()),
     }
 
 

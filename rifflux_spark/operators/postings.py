@@ -190,7 +190,8 @@ def encode_postings(tf: DataFrame, config: EngineConfig) -> DataFrame:
         ends = np.concatenate((change, [len(pdf)]))
         out = {k: [] for k in (
             "term", "salt", "block_seq", "n_docs", "first_doc", "last_doc",
-            "gaps", "tfs", "dls", "block_max_tf", "block_min_dl", "term_bucket",
+            "gaps", "tfs", "dls", "block_max_tf", "block_min_dl",
+            "block_tf_sum", "term_bucket",
         )}
         for s, e in zip(starts, ends):
             for seq, b0 in enumerate(range(s, e, block_size)):
@@ -201,7 +202,7 @@ def encode_postings(tf: DataFrame, config: EngineConfig) -> DataFrame:
                 out["block_seq"].append(seq)
                 out["term_bucket"].append(int(buckets[s]))
                 for k in ("n_docs", "first_doc", "last_doc", "gaps", "tfs",
-                          "dls", "block_max_tf", "block_min_dl"):
+                          "dls", "block_max_tf", "block_min_dl", "block_tf_sum"):
                     out[k].append(blk[k])
         return pd.DataFrame(out)
 
@@ -254,6 +255,19 @@ def term_stats(tf: DataFrame) -> DataFrame:
     """(term, df_docs, cf) — document and collection frequency per term."""
     return tf.groupBy("term").agg(
         F.count("*").alias("df_docs"), F.sum("tf").alias("cf")
+    )
+
+
+def term_stats_from_blocks(blocks: DataFrame) -> DataFrame:
+    """(term, df_docs, cf) aggregated from encoded block METADATA
+    (``n_docs``/``block_tf_sum`` per block row) instead of the tf table:
+    at block_size=128 that is ~128× fewer rows, so the build's stats
+    stage is a metadata aggregation rather than a third full pass over
+    the corpus-sized tf frame. Identical values by construction — each
+    (term, doc) pair lands in exactly one block."""
+    return blocks.groupBy("term").agg(
+        F.sum("n_docs").cast("long").alias("df_docs"),
+        F.sum("block_tf_sum").cast("long").alias("cf"),
     )
 
 

@@ -42,7 +42,7 @@ from rifflux_spark.operators.postings import (
     chunk_pages,
     encode_postings,
     term_frequencies,
-    term_stats,
+    term_stats_from_blocks,
     with_tokens,
 )
 from rifflux_spark.sources.tables import IndexStore
@@ -240,7 +240,7 @@ def build_index(
     # partition-prunes per shard, and survives a mid-build kill — a resumed
     # build reuses it instead of re-running the explode.
     shard_stages = [f"postings_shard_{s}" for s in range(config.n_build_shards)]
-    need_tf = any(st not in done for st in shard_stages) or "term_stats" not in done
+    need_tf = any(st not in done for st in shard_stages)
     if need_tf:
         # the staging table is deleted once every consumer committed, so a
         # resume whose lineage predates that cleanup must re-derive it
@@ -264,14 +264,17 @@ def build_index(
                 stage, None, store.path("postings"),
                 detail=f"shard {s}/{config.n_build_shards}",
             )
-        if "term_stats" not in done:
-            store.write_term_stats(term_stats(tf_staged))
-            _lap("term_stats")
-            mark("term_stats", None, store.path("term_stats"))
         # every consumer of tf has committed — drop the staging table
         import shutil as _shutil
 
         _shutil.rmtree(store.path("tf_stage"), ignore_errors=True)
+    if "term_stats" not in done:
+        # (df, cf) from encoded-block METADATA (n_docs / block_tf_sum):
+        # a ~block_size× smaller aggregation than re-reading tf, and it
+        # works on resume even after the staging table was cleaned up
+        store.write_term_stats(term_stats_from_blocks(store.postings()))
+        _lap("term_stats")
+        mark("term_stats", None, store.path("term_stats"))
 
     # --- corpus stats (driver-side; no Spark job) ---
     # total_tokens == Σ cf over term_stats (each (term,doc) tf summed ==

@@ -61,6 +61,7 @@ from rifflux_spark.operators.postings import (
     chunk_pages,
     encode_postings,
     term_frequencies,
+    term_stats_from_blocks,
     with_tokens,
 )
 from rifflux_spark.sources.catalog import diff_snapshot, snapshot_of
@@ -320,17 +321,12 @@ def _live_stats(store: IndexStore) -> dict:
 
 def _refresh_stats_and_term_stats(store: IndexStore) -> None:
     """Full recompute — used only by :func:`vacuum` (the periodic
-    heavyweight pass); the incremental path merges deltas instead."""
+    heavyweight pass); the incremental path merges deltas instead.
+    term_stats aggregates the freshly-rewritten blocks' METADATA
+    (n_docs / block_tf_sum), not a re-explode of the corpus."""
     stats = _live_stats(store)
     store.write_corpus_stats(stats["n_docs"], stats["total_tokens"], stats["avgdl"])
-    live = _live_chunks(store).select("doc_ord", "tokens")
-    tf = (
-        live.select("doc_ord", F.explode(F.split("tokens", " ")).alias("term"))
-        .filter(F.col("term") != "")
-        .groupBy("term", "doc_ord")
-        .agg(F.count("*").alias("tf"))
-    )
-    ts = tf.groupBy("term").agg(F.count("*").alias("df_docs"), F.sum("tf").alias("cf"))
+    ts = term_stats_from_blocks(store.postings())
     # write-aside then swap (readers never see a half-written table)
     store.write_term_stats(ts, name="term_stats_next")
     _swap_dir(store, "term_stats_next", "term_stats")

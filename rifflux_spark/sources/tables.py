@@ -63,6 +63,7 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("dls", T.BinaryType(), False),
         T.StructField("block_max_tf", T.LongType(), False),
         T.StructField("block_min_dl", T.LongType(), False),
+        T.StructField("block_tf_sum", T.LongType(), False),
     ]
 )
 
