@@ -177,6 +177,10 @@ def build_index(
     keep = [c for c in ("url", "warc_ts", "text") if c in pages.columns]
     pages = pages.select(*keep)
     store = IndexStore(spark, index_dir, config.n_term_buckets)
+    # record the physical layout FIRST: a killed build's resume (and every
+    # later incremental apply / reader) validates against these instead of
+    # trusting whatever config the caller passed
+    store.persist_layout(config.n_term_buckets, config.salt_range)
     source_fp = source_fingerprint(pages)
     build_id = build_id or make_build_id(pages, config, source_fp)
     done = completed_stages(store, build_id)

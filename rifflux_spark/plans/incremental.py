@@ -95,6 +95,10 @@ def apply_incremental(
     if config.n_term_buckets != store.n_term_buckets:
         # appended postings must land in the store's existing bucket layout
         config = dataclasses.replace(config, n_term_buckets=store.n_term_buckets)
+    if store.salt_range is not None and config.salt_range != store.salt_range:
+        # salt runs are contiguous doc-ord ranges of the BUILD-TIME width;
+        # appending with a different width would interleave runs
+        config = dataclasses.replace(config, salt_range=store.salt_range)
 
     catalog = store.catalog()
     # two-phase stat fast-path: sha2 runs only where (warc_ts, size) changed
@@ -235,9 +239,16 @@ def apply_incremental(
             "warc_ts",
             "size_bytes",
             "sha256",
+            # status NULL = url untouched by this batch (micro-batch mode
+            # filters its 'deleted' diff row out of d): keep the stored
+            # count — without the isNull arm every untouched url's
+            # n_chunks silently reset to 0 on partial-snapshot applies
             F.coalesce(
                 F.col("_new_n"),
-                F.when(F.col("status") == "unchanged", F.col("_old_n")),
+                F.when(
+                    (F.col("status") == "unchanged") | F.col("status").isNull(),
+                    F.col("_old_n"),
+                ),
                 F.lit(0),
             ).alias("n_chunks"),
         )

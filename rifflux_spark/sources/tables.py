@@ -146,10 +146,41 @@ METADATA_SCHEMA = T.StructType(
 class IndexStore:
     """Directory-backed index tables (parquet seam for Iceberg tables)."""
 
-    def __init__(self, spark: SparkSession, root: str, n_term_buckets: int = 32) -> None:
+    def __init__(self, spark: SparkSession, root: str, n_term_buckets: int | None = None) -> None:
         self.spark = spark
         self.root = str(root)
-        self.n_term_buckets = n_term_buckets
+        # Physical-layout parameters are PERSISTED at build time
+        # (metadata_kv "layout.*" keys) and validated here: a caller-
+        # supplied bucket count that disagrees with the on-disk index
+        # would silently break postings_for_terms' bucket pruning and
+        # mis-bucket appended postings. None = trust the store.
+        persisted_nb = self._persisted_layout("layout.n_term_buckets")
+        if n_term_buckets is None:
+            self.n_term_buckets = persisted_nb if persisted_nb is not None else 32
+        else:
+            if persisted_nb is not None and persisted_nb != int(n_term_buckets):
+                raise ValueError(
+                    f"index at {self.root!r} was built with n_term_buckets="
+                    f"{persisted_nb}, but {n_term_buckets} was requested — "
+                    "bucket pruning and appended postings would be wrong; "
+                    "pass the build-time value (or None to auto-detect)"
+                )
+            self.n_term_buckets = int(n_term_buckets)
+        self.salt_range = self._persisted_layout("layout.salt_range")
+
+    def _persisted_layout(self, key: str) -> int | None:
+        v = self.meta_get(key) if Path(self.path("metadata_kv")).exists() else None
+        return int(v) if v is not None else None
+
+    def persist_layout(self, n_term_buckets: int, salt_range: int) -> None:
+        """Record the physical-layout parameters the index was built with
+        (idempotent). Incremental appliers auto-align to these; readers
+        validate against them at construction."""
+        if self.meta_get("layout.n_term_buckets") is None:
+            self.meta_set("layout.n_term_buckets", str(int(n_term_buckets)))
+        if self.meta_get("layout.salt_range") is None:
+            self.meta_set("layout.salt_range", str(int(salt_range)))
+        self.salt_range = int(salt_range)
 
     def path(self, name: str) -> str:
         return str(Path(self.root) / name)

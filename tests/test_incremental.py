@@ -145,6 +145,52 @@ def test_partial_build_resumes_from_checkpoint(spark, tmp_path_factory) -> None:
     assert SearchService(spark, index_dir, CONFIG).lexical("the data", top_k=3)
 
 
+def test_partial_snapshot_keeps_untouched_n_chunks(spark, tmp_path_factory) -> None:
+    """Micro-batch mode (full_snapshot=False): urls absent from the batch
+    are untouched — their catalog n_chunks must survive the refresh (a
+    status-NULL row used to coalesce to 0 and stay there)."""
+    pages = synthetic_pages(spark, 30, seed=8)
+    index_dir = str(tmp_path_factory.mktemp("microbatch"))
+    build_index(spark, pages, index_dir, CONFIG)
+    store = IndexStore(spark, index_dir, CONFIG.n_term_buckets)
+    before = {r["url"]: r["n_chunks"] for r in store.catalog().collect()}
+    assert all(n > 0 for n in before.values())
+
+    # upsert batch touching ONE url
+    one = pages.orderBy("url").limit(1).withColumn(
+        "text", F.concat(F.col("text"), F.lit("\n\nmicro batch appended paragraph.\n"))
+    )
+    touched = one.collect()[0]["url"]
+    apply_incremental(spark, store, one, CONFIG, full_snapshot=False)
+    after = {r["url"]: r["n_chunks"] for r in store.catalog().collect()}
+    assert set(after) == set(before)
+    for url, n in before.items():
+        if url != touched:
+            assert after[url] == n, url
+    # a second no-op batch must not decay counts either
+    apply_incremental(spark, store, one, CONFIG, full_snapshot=False)
+    again = {r["url"]: r["n_chunks"] for r in store.catalog().collect()}
+    for url, n in before.items():
+        if url != touched:
+            assert again[url] == n, url
+
+
+def test_layout_params_persisted_and_validated(spark, tmp_path_factory) -> None:
+    """n_term_buckets/salt_range are written at build time; a conflicting
+    caller value errors (it would silently break bucket pruning), and
+    None auto-detects the build-time layout."""
+    pages = synthetic_pages(spark, 12, seed=9)
+    index_dir = str(tmp_path_factory.mktemp("layout"))
+    build_index(spark, pages, index_dir, CONFIG)
+    auto = IndexStore(spark, index_dir)  # no layout args: trust the store
+    assert auto.n_term_buckets == CONFIG.n_term_buckets
+    assert auto.salt_range == CONFIG.salt_range
+    with pytest.raises(ValueError, match="n_term_buckets"):
+        IndexStore(spark, index_dir, CONFIG.n_term_buckets * 2)
+    # matching value still fine
+    IndexStore(spark, index_dir, CONFIG.n_term_buckets)
+
+
 def test_force_rebuild_wipes_and_rebuilds(spark, tmp_path_factory) -> None:
     """force=True is the reference's destructive rebuild (cli.py:78-99):
     resume state is discarded and every stage runs again."""
