@@ -41,11 +41,9 @@ from rifflux_spark.sources.tables import IndexStore
 
 
 def _bucket_files(store: IndexStore, table: str, buckets: set[int]) -> list[Path]:
-    root = Path(store.path(table))
-    out: list[Path] = []
-    for b in sorted(buckets):
-        out.extend(sorted((root / f"term_bucket={b}").glob("*.parquet")))
-    return out
+    # manifest-level partition pruning: only the referenced buckets'
+    # current-generation files are even enumerated
+    return store.partition_files(table, buckets)
 
 
 def _read_filtered(files: list[Path], columns: list[str], terms: list[str]):
@@ -104,12 +102,9 @@ def local_idf(store: IndexStore, terms: list[str], n_docs: int) -> dict[str, flo
 
 
 def _ord_set(store: IndexStore, name: str) -> np.ndarray:
-    root = Path(store.path(name))
-    if not root.exists():
-        return np.empty(0, dtype=np.int64)
     parts = [
         pq.read_table(f, columns=["doc_ord"]).column("doc_ord").to_numpy()
-        for f in root.rglob("*.parquet")
+        for f in store.data_files(name)
     ]
     if not parts:
         return np.empty(0, dtype=np.int64)
@@ -250,10 +245,7 @@ def bm25_topk_local(
 
 
 def embeddings_bytes(store: IndexStore) -> int:
-    root = Path(store.path("embeddings"))
-    if not root.exists():
-        return 0
-    return sum(f.stat().st_size for f in root.rglob("*.parquet"))
+    return sum(f.stat().st_size for f in store.data_files("embeddings"))
 
 
 # One decoded (doc_ords, matrix, norms) per embeddings path, keyed by the
@@ -266,8 +258,7 @@ _EMB_CACHE: dict[str, tuple[tuple, np.ndarray, np.ndarray, np.ndarray]] = {}
 
 
 def _emb_matrix(store: IndexStore) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
-    root = Path(store.path("embeddings"))
-    files = sorted(root.rglob("*.parquet"))
+    files = store.data_files("embeddings")
     if not files:
         return None
     sig = tuple((str(f), f.stat().st_mtime_ns, f.stat().st_size) for f in files)
@@ -344,7 +335,7 @@ _CHUNK_RG_CACHE: dict[str, tuple[tuple, list[tuple[str, int, int, int]]]] = {}
 
 
 def _chunk_rg_index(store: IndexStore) -> list[tuple[str, int, int, int]]:
-    files = sorted(Path(store.path("chunks")).glob("*.parquet"))
+    files = store.data_files("chunks")
     sig = tuple((str(f), f.stat().st_mtime_ns, f.stat().st_size) for f in files)
     key = store.path("chunks")
     hit = _CHUNK_RG_CACHE.get(key)

@@ -55,7 +55,16 @@ def _dir_bytes(path: str) -> int:
     return sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
 
 
-_INDEX_MARKERS = ("lineage", "corpus_stats", "chunks", "postings")
+def _table_bytes(store: IndexStore, name: str) -> int:
+    """Bytes of the table's CURRENT snapshot (manifest-resolved); scratch
+    dirs (tf_stage) fall back to a plain directory walk."""
+    files = store.data_files(name)
+    if files:
+        return sum(f.stat().st_size for f in files)
+    return _dir_bytes(store.path(name))
+
+
+_INDEX_MARKERS = ("lineage", "corpus_stats", "chunks", "postings", "_manifest.json")
 
 
 def _guard_index_wipe(index_dir: str) -> None:
@@ -125,7 +134,7 @@ def _mark(
     build_id: str,
     stage: str,
     rows: int | None,
-    path: str,
+    table: str,
     detail: str | None = None,
     source_fp: str | None = None,
 ) -> None:
@@ -136,7 +145,7 @@ def _mark(
                 "stage": stage,
                 "status": "completed",
                 "rows": rows,
-                "bytes": _dir_bytes(path),
+                "bytes": _table_bytes(store, table),
                 "detail": detail,
                 "source_fp": source_fp,
                 "finished_at": _now(),
@@ -185,8 +194,8 @@ def build_index(
     build_id = build_id or make_build_id(pages, config, source_fp)
     done = completed_stages(store, build_id)
 
-    def mark(stage: str, rows: int | None, path: str, detail: str | None = None) -> None:
-        _mark(store, build_id, stage, rows, path, detail=detail, source_fp=source_fp)
+    def mark(stage: str, rows: int | None, table: str, detail: str | None = None) -> None:
+        _mark(store, build_id, stage, rows, table, detail=detail, source_fp=source_fp)
 
     metrics: dict = {"build_id": build_id, "source_fp": source_fp, "skipped_stages": sorted(done)}
     stage_sec: dict[str, float] = {}
@@ -232,7 +241,7 @@ def build_index(
     n_chunks = store.count_rows("chunks")
     metrics["n_chunks"] = n_chunks
     if not resuming_chunks:
-        mark("chunks", n_chunks, store.path("chunks"))
+        mark("chunks", n_chunks, "chunks")
     tokenized = staged
 
     # --- posting shards (checkpoint/resume unit) + term stats ---
@@ -256,7 +265,7 @@ def build_index(
             )
             tf.write.mode("overwrite").partitionBy("shard").parquet(store.path("tf_stage"))
             _lap("tf_stage")
-            mark("tf_stage", None, store.path("tf_stage"))
+            mark("tf_stage", None, "tf_stage")
         tf_staged = spark.read.parquet(store.path("tf_stage"))
         for s, stage in enumerate(shard_stages):
             if stage in done:
@@ -265,7 +274,7 @@ def build_index(
             store.write_postings(blocks, mode="overwrite")  # dynamic partition overwrite
             _lap(f"postings_{s}")
             mark(
-                stage, None, store.path("postings"),
+                stage, None, "postings",
                 detail=f"shard {s}/{config.n_build_shards}",
             )
         # every consumer of tf has committed — drop the staging table
@@ -278,7 +287,7 @@ def build_index(
         # works on resume even after the staging table was cleaned up
         store.write_term_stats(term_stats_from_blocks(store.postings()))
         _lap("term_stats")
-        mark("term_stats", None, store.path("term_stats"))
+        mark("term_stats", None, "term_stats")
 
     # --- corpus stats (driver-side; no Spark job) ---
     # total_tokens == Σ cf over term_stats (each (term,doc) tf summed ==
@@ -287,7 +296,7 @@ def build_index(
         total_tokens = store.sum_column("term_stats", "cf")
         avgdl = total_tokens / n_chunks if n_chunks else 0.0
         store.write_corpus_stats(n_chunks, total_tokens, avgdl)
-        mark("stats", 1, store.path("corpus_stats"))
+        mark("stats", 1, "corpus_stats")
     avgdl = float(store.corpus_stats()["avgdl"])
 
     # --- embeddings (reuses the staged content column) ---
@@ -305,7 +314,7 @@ def build_index(
         )
         store.write_embeddings(emb, ordered=True)
         _lap("embeddings")
-        mark("embeddings", n_chunks, store.path("embeddings"), detail=f"hash-{dim}")
+        mark("embeddings", n_chunks, "embeddings", detail=f"hash-{dim}")
 
     # --- catalog (for incremental diffing) ---
     # one groupBy over the staged chunk rows — no second corpus scan.
@@ -318,7 +327,7 @@ def build_index(
     # chunks) does a second pass run, and the anti-join shrinks the sha
     # hashing to exactly the zero-chunk pages.
     if "catalog" not in done:
-        staged_raw = spark.read.parquet(store.path("chunks"))
+        staged_raw = store.chunks_raw()
         cat = staged_raw.groupBy("url").agg(
             (F.first("warc_ts") if "warc_ts" in staged_raw.columns else F.lit(None).cast("timestamp")).alias("warc_ts"),
             F.first("size_bytes").alias("size_bytes"),
@@ -333,7 +342,7 @@ def build_index(
         n_pages = int(source_fp.split(":")[0])
         if store.count_rows("catalog") < n_pages:
             zero = pages.join(
-                spark.read.parquet(store.path("catalog")).select("url"),
+                store.catalog().select("url"),
                 on="url",
                 how="left_anti",
             )
@@ -344,9 +353,9 @@ def build_index(
                 F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("sha256"),
                 F.lit(0).cast("int").alias("n_chunks"),
             )
-            zero_cat.coalesce(1).write.mode("append").parquet(store.path("catalog"))
+            store.write_small(zero_cat, "catalog", mode="append")
         _lap("catalog")
-        mark("catalog", None, store.path("catalog"))
+        mark("catalog", None, "catalog")
 
     metrics["n_docs"] = int(store.corpus_stats()["n_docs"])
     metrics["avgdl"] = avgdl

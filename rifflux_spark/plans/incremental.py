@@ -108,6 +108,34 @@ def apply_incremental(
         d = d.filter(F.col("status") != "deleted")
     counts = {r["status"]: r["n"] for r in d.groupBy("status").agg(F.count("*").alias("n")).collect()}
 
+    # job-lifecycle record for the apply (reference background.py:75-218
+    # keeps per-job lifecycle rows; the build path already does) — a
+    # killed apply shows started-without-completed and, because every
+    # data mutation below stages into ONE manifest commit, leaves the
+    # index untouched: re-running the same snapshot is idempotent.
+    import datetime as _dt
+    import json as _json
+
+    from rifflux_spark.plans.build import source_fingerprint
+
+    apply_fp = source_fingerprint(new_pages)
+    apply_id = f"apply-{abs(hash(apply_fp)) % (1 << 48):012x}"
+    _utcnow = lambda: _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)  # noqa: E731
+    store.append_lineage(
+        [
+            {
+                "build_id": apply_id,
+                "stage": "incremental_apply",
+                "status": "started",
+                "rows": None,
+                "bytes": None,
+                "detail": _json.dumps(counts),
+                "source_fp": apply_fp,
+                "finished_at": _utcnow(),
+            }
+        ]
+    )
+
     changed_or_new = d.filter(F.col("status").isin(["new", "changed"])).select("url")
     gone_or_changed = d.filter(F.col("status").isin(["deleted", "changed"])).select("url")
 
@@ -121,142 +149,191 @@ def apply_incremental(
     new_dead = old_ords.join(F.broadcast(store.dead_ords()), on="doc_ord", how="left_anti").persist()
     n_tombstoned = new_dead.count()
 
-    # --- phase 2 (row-group pruned): re-read ONLY the dying rows' tokens
-    # for the minus-side stats (chunks is sorted by doc_ord) ---
-    minus_ts = None
-    n_minus, dl_minus = 0, 0
-    if n_tombstoned:
-        new_dead.coalesce(1).write.mode("append").parquet(store.path("tombstones"))
-        if n_tombstoned <= _ISIN_MAX:
-            ord_list = [r["doc_ord"] for r in new_dead.collect()]
-            dying = store.chunks().filter(F.col("doc_ord").isin(ord_list))
-        else:
-            dying = store.chunks().join(new_dead, on="doc_ord", how="inner")
-        dying = dying.select("doc_ord", "dl", "tokens")
-        agg = dying.agg(F.count("*").alias("n"), F.sum("dl").alias("sdl")).collect()[0]
-        n_minus, dl_minus = int(agg["n"]), int(agg["sdl"] or 0)
-        minus_ts = (
-            dying.select("doc_ord", F.explode(F.split("tokens", " ")).alias("term"))
-            .filter(F.col("term") != "")
-            .groupBy("term", "doc_ord")
-            .agg(F.count("*").alias("tf"))
-            .groupBy("term")
-            .agg(
-                (-F.count("*")).cast("long").alias("d_df"),
-                (-F.sum("tf")).cast("long").alias("d_cf"),
+    # pure no-op poll (the common watcher case): nothing to mutate, no
+    # snapshot commit, no catalog rewrite
+    if not (
+        counts.get("new", 0) or counts.get("changed", 0) or counts.get("deleted", 0)
+        or n_tombstoned
+    ):
+        new_dead.unpersist()
+        d.unpersist()
+        store.append_lineage(
+            [
+                {
+                    "build_id": apply_id,
+                    "stage": "incremental_apply",
+                    "status": "completed",
+                    "rows": 0,
+                    "bytes": None,
+                    "detail": "no-op",
+                    "source_fp": apply_fp,
+                    "finished_at": _utcnow(),
+                }
+            ]
+        )
+        return {"counts": counts, "tombstoned": 0, "appended_chunks": 0}
+
+    # Every mutation below runs inside ONE snapshot transaction: writers
+    # stage immutable generation dirs, in-pipeline readers see the staged
+    # state, and a single manifest-pointer swap publishes the whole apply
+    # atomically — concurrent queries observe either the full old index
+    # or the full new one, never a mix (tested), and a killed apply
+    # leaves only unreferenced gen dirs (gc'd later; re-run idempotent).
+    n_appended = 0
+    with store.transaction():
+        # --- phase 2 (row-group pruned): re-read ONLY the dying rows'
+        # tokens for the minus-side stats (chunks is sorted by doc_ord) ---
+        minus_ts = None
+        n_minus, dl_minus = 0, 0
+        if n_tombstoned:
+            store.write_small(new_dead, "tombstones", mode="append")
+            if n_tombstoned <= _ISIN_MAX:
+                ord_list = [r["doc_ord"] for r in new_dead.collect()]
+                dying = store.chunks().filter(F.col("doc_ord").isin(ord_list))
+            else:
+                dying = store.chunks().join(new_dead, on="doc_ord", how="inner")
+            dying = dying.select("doc_ord", "dl", "tokens")
+            agg = dying.agg(F.count("*").alias("n"), F.sum("dl").alias("sdl")).collect()[0]
+            n_minus, dl_minus = int(agg["n"]), int(agg["sdl"] or 0)
+            minus_ts = (
+                dying.select("doc_ord", F.explode(F.split("tokens", " ")).alias("term"))
+                .filter(F.col("term") != "")
+                .groupBy("term", "doc_ord")
+                .agg(F.count("*").alias("tf"))
+                .groupBy("term")
+                .agg(
+                    (-F.count("*")).cast("long").alias("d_df"),
+                    (-F.sum("tf")).cast("long").alias("d_cf"),
+                )
+            )
+
+        # --- appended runs for new/changed docs, ords above current max ---
+        dl_plus = 0
+        plus_ts = None
+        staged_new = None
+        if counts.get("new", 0) or counts.get("changed", 0):
+            pages_to_index = new_pages.join(F.broadcast(changed_or_new), on="url", how="inner")
+            cur_max = store.max_column("chunks", "doc_ord")
+            if cur_max is None:
+                cur_max = store.chunks().agg(F.max("doc_ord").alias("m")).collect()[0]["m"] or 0
+            # base offset at the next stride boundary above everything existing
+            base = ((cur_max // PARTITION_ORD_STRIDE) + 1) * PARTITION_ORD_STRIDE
+
+            n_part = max(1, spark.sparkContext.defaultParallelism // 2)
+            parted = pages_to_index.repartitionByRange(n_part, "url")
+            chunks = chunk_pages(parted, config).sortWithinPartitions("url", "chunk_index")
+            tokenized = sparse_ordinals(with_tokens(chunks)).withColumn(
+                "doc_ord", F.col("doc_ord") + F.lit(base)
+            )
+            # ONE UDF pass: append to the chunks table (a staged gen this
+            # same transaction can read), then every downstream consumer
+            # (postings, stats, embeddings) re-reads the appended rows
+            # row-group-pruned by doc_ord >= base
+            store.append_chunks(
+                tokenized.select([f.name for f in store.chunks().schema.fields])
+            )
+            staged_new = store.chunks().filter(F.col("doc_ord") >= base)
+
+            tf = term_frequencies(staged_new.select("doc_ord", "dl", "tokens"))
+            blocks = encode_postings(tf, config)
+            store.write_postings(blocks, mode="append")
+            agg = staged_new.agg(F.count("*").alias("n"), F.sum("dl").alias("sdl")).collect()[0]
+            n_appended, dl_plus = int(agg["n"]), int(agg["sdl"] or 0)
+            plus_ts = term_frequencies(staged_new.select("doc_ord", "dl", "tokens")).groupBy("term").agg(
+                F.count("*").cast("long").alias("d_df"), F.sum("tf").cast("long").alias("d_cf")
+            )
+
+            if with_embeddings:
+                dim = config.embedding_dim
+
+                @pandas_udf(T.BinaryType())
+                def embed_udf(texts: pd.Series) -> pd.Series:
+                    return embed_series_packed(texts, dim=dim)
+
+                emb = staged_new.select(
+                    "doc_ord",
+                    "chunk_id",
+                    F.lit(f"hash-{dim}").alias("model"),
+                    F.lit(dim).alias("dim"),
+                    embed_udf("content").alias("vec"),
+                )
+                store.write_embeddings(emb, ordered=True, mode="append")
+
+        # --- merged delta stats: O(delta vocab), only affected buckets ---
+        delta_ts = None
+        if plus_ts is not None and minus_ts is not None:
+            delta_ts = plus_ts.unionByName(minus_ts).groupBy("term").agg(
+                F.sum("d_df").alias("d_df"), F.sum("d_cf").alias("d_cf")
+            )
+        elif plus_ts is not None:
+            delta_ts = plus_ts
+        elif minus_ts is not None:
+            delta_ts = minus_ts
+        if delta_ts is not None:
+            _merge_term_stats(spark, store, delta_ts)
+
+        # corpus stats as running counters (never a corpus aggregation)
+        cs = store.corpus_stats()
+        n_docs = cs["n_docs"] + n_appended - n_minus
+        total_tokens = cs["total_tokens"] + dl_plus - dl_minus
+        store.write_corpus_stats(n_docs, total_tokens, (total_tokens / n_docs) if n_docs else 0.0)
+
+        # --- catalog refresh: O(delta) n_chunks (new counts from the
+        # staged batch, unchanged urls keep their stored count) ---
+        new_counts = (
+            staged_new.groupBy("url").agg(F.count("*").cast("int").alias("_new_n"))
+            if staged_new is not None
+            else spark.createDataFrame([], "url string, _new_n int")
+        )
+        old_counts = catalog.select("url", F.col("n_chunks").alias("_old_n"))
+        base_catalog = snap if full_snapshot else (
+            catalog.select("url", "warc_ts", "size_bytes", "sha256")
+            .join(snap.select("url"), on="url", how="left_anti")
+            .unionByName(snap)
+        )
+        next_catalog = (
+            base_catalog.join(d.select("url", "status"), on="url", how="left")
+            .join(old_counts, on="url", how="left")
+            .join(new_counts, on="url", how="left")
+            .select(
+                "url",
+                "warc_ts",
+                "size_bytes",
+                "sha256",
+                # status NULL = url untouched by this batch (micro-batch
+                # mode filters its 'deleted' diff row out of d): keep the
+                # stored count — without the isNull arm every untouched
+                # url's n_chunks reset to 0 on partial-snapshot applies
+                F.coalesce(
+                    F.col("_new_n"),
+                    F.when(
+                        (F.col("status") == "unchanged") | F.col("status").isNull(),
+                        F.col("_old_n"),
+                    ),
+                    F.lit(0),
+                ).alias("n_chunks"),
             )
         )
-
-    # --- build appended runs for new/changed docs, ords above current max ---
-    n_appended, dl_plus = 0, 0
-    plus_ts = None
-    staged_new = None
-    if counts.get("new", 0) or counts.get("changed", 0):
-        pages_to_index = new_pages.join(F.broadcast(changed_or_new), on="url", how="inner")
-        cur_max = store.max_column("chunks", "doc_ord")
-        if cur_max is None:
-            cur_max = store.chunks().agg(F.max("doc_ord").alias("m")).collect()[0]["m"] or 0
-        # base offset at the next stride boundary above everything existing
-        base = ((cur_max // PARTITION_ORD_STRIDE) + 1) * PARTITION_ORD_STRIDE
-
-        n_part = max(1, spark.sparkContext.defaultParallelism // 2)
-        parted = pages_to_index.repartitionByRange(n_part, "url")
-        chunks = chunk_pages(parted, config).sortWithinPartitions("url", "chunk_index")
-        tokenized = sparse_ordinals(with_tokens(chunks)).withColumn(
-            "doc_ord", F.col("doc_ord") + F.lit(base)
-        )
-        # ONE UDF pass: append to the chunks table, then every downstream
-        # consumer (postings, stats, embeddings) re-reads the appended
-        # rows row-group-pruned by doc_ord >= base
-        tokenized.select([f.name for f in store.chunks().schema.fields]).write.mode(
-            "append"
-        ).parquet(store.path("chunks"))
-        staged_new = store.chunks().filter(F.col("doc_ord") >= base)
-
-        tf = term_frequencies(staged_new.select("doc_ord", "dl", "tokens"))
-        blocks = encode_postings(tf, config)
-        store.write_postings(blocks, mode="append")
-        agg = staged_new.agg(F.count("*").alias("n"), F.sum("dl").alias("sdl")).collect()[0]
-        n_appended, dl_plus = int(agg["n"]), int(agg["sdl"] or 0)
-        plus_ts = term_frequencies(staged_new.select("doc_ord", "dl", "tokens")).groupBy("term").agg(
-            F.count("*").cast("long").alias("d_df"), F.sum("tf").cast("long").alias("d_cf")
-        )
-
-        if with_embeddings:
-            dim = config.embedding_dim
-
-            @pandas_udf(T.BinaryType())
-            def embed_udf(texts: pd.Series) -> pd.Series:
-                return embed_series_packed(texts, dim=dim)
-
-            emb = staged_new.select(
-                "doc_ord",
-                "chunk_id",
-                F.lit(f"hash-{dim}").alias("model"),
-                F.lit(dim).alias("dim"),
-                embed_udf("content").alias("vec"),
-            )
-            emb.write.mode("append").parquet(store.path("embeddings"))
-
-    # --- merged delta stats: O(delta vocab), touches only affected buckets ---
-    delta_ts = None
-    if plus_ts is not None and minus_ts is not None:
-        delta_ts = plus_ts.unionByName(minus_ts).groupBy("term").agg(
-            F.sum("d_df").alias("d_df"), F.sum("d_cf").alias("d_cf")
-        )
-    elif plus_ts is not None:
-        delta_ts = plus_ts
-    elif minus_ts is not None:
-        delta_ts = minus_ts
-    if delta_ts is not None:
-        _merge_term_stats(spark, store, delta_ts)
-
-    # corpus stats as running counters (never a corpus aggregation)
-    cs = store.corpus_stats()
-    n_docs = cs["n_docs"] + n_appended - n_minus
-    total_tokens = cs["total_tokens"] + dl_plus - dl_minus
-    store.write_corpus_stats(n_docs, total_tokens, (total_tokens / n_docs) if n_docs else 0.0)
-
-    # --- catalog refresh: O(delta) n_chunks (new counts from the staged
-    # batch, unchanged urls keep their stored count) ---
-    new_counts = (
-        staged_new.groupBy("url").agg(F.count("*").cast("int").alias("_new_n"))
-        if staged_new is not None
-        else spark.createDataFrame([], "url string, _new_n int")
-    )
-    old_counts = catalog.select("url", F.col("n_chunks").alias("_old_n"))
-    base_catalog = snap if full_snapshot else (
-        catalog.select("url", "warc_ts", "size_bytes", "sha256")
-        .join(snap.select("url"), on="url", how="left_anti")
-        .unionByName(snap)
-    )
-    next_catalog = (
-        base_catalog.join(d.select("url", "status"), on="url", how="left")
-        .join(old_counts, on="url", how="left")
-        .join(new_counts, on="url", how="left")
-        .select(
-            "url",
-            "warc_ts",
-            "size_bytes",
-            "sha256",
-            # status NULL = url untouched by this batch (micro-batch mode
-            # filters its 'deleted' diff row out of d): keep the stored
-            # count — without the isNull arm every untouched url's
-            # n_chunks silently reset to 0 on partial-snapshot applies
-            F.coalesce(
-                F.col("_new_n"),
-                F.when(
-                    (F.col("status") == "unchanged") | F.col("status").isNull(),
-                    F.col("_old_n"),
-                ),
-                F.lit(0),
-            ).alias("n_chunks"),
-        )
-    )
-    store.write_small(next_catalog, "catalog_next")
-    _swap_dir(store, "catalog_next", "catalog")
+        store.write_small(next_catalog, "catalog")
     new_dead.unpersist()
     d.unpersist()
+
+    store.append_lineage(
+        [
+            {
+                "build_id": apply_id,
+                "stage": "incremental_apply",
+                "status": "completed",
+                "rows": n_appended,
+                "bytes": None,
+                "detail": _json.dumps(
+                    {"counts": counts, "tombstoned": n_tombstoned, "appended_chunks": n_appended}
+                ),
+                "source_fp": apply_fp,
+                "finished_at": _utcnow(),
+            }
+        ]
+    )
 
     return {
         "counts": counts,
@@ -267,14 +344,13 @@ def apply_incremental(
 
 def _merge_term_stats(spark: SparkSession, store: IndexStore, delta: DataFrame) -> None:
     """Fold (term, d_df, d_cf) deltas into term_stats, rewriting ONLY the
-    term-bucket partitions the delta touches (dynamic partition
-    overwrite; the Iceberg analog is MERGE INTO). Terms whose df drops to
-    zero are removed; a bucket merged to empty has its stale partition
-    directory cleared explicitly (dynamic overwrite can't emit an empty
-    partition)."""
-    import shutil
-    from pathlib import Path
-
+    term-bucket partitions the delta touches (a snapshot-level dynamic
+    partition overwrite; the Iceberg analog is MERGE INTO). Terms whose
+    df drops to zero are removed; a bucket merged to empty simply leaves
+    the snapshot's partition map (no stale-dir cleanup — old generations
+    are immutable until gc). The merge reads the CURRENT generations and
+    writes a NEW one, so there is no read-from/overwrite-to cycle and no
+    write-aside staging."""
     delta = delta.withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(store.n_term_buckets))
     ).persist()
@@ -298,23 +374,7 @@ def _merge_term_stats(spark: SparkSession, store: IndexStore, delta: DataFrame) 
         )
         .filter(F.col("df_docs") > 0)
     )
-    # write-aside staging breaks the read-from/overwrite-to same-path cycle
-    tmp = store.path("term_stats_delta")
-    merged.write.mode("overwrite").parquet(tmp)
-    back = spark.read.parquet(tmp).withColumn(
-        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(store.n_term_buckets))
-    )
-    (
-        back.repartition(max(1, min(len(buckets), store.n_term_buckets // 4)), "term_bucket")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .partitionBy("term_bucket")
-        .parquet(store.path("term_stats"))
-    )
-    present = {int(r["term_bucket"]) for r in back.select("term_bucket").distinct().collect()}
-    for b in set(buckets) - present:
-        shutil.rmtree(Path(store.path("term_stats")) / f"term_bucket={b}", ignore_errors=True)
-    shutil.rmtree(tmp, ignore_errors=True)
+    store.write_term_stats(merged, full=False, expected_parts=buckets)
     delta.unpersist()
 
 
@@ -334,27 +394,12 @@ def _refresh_stats_and_term_stats(store: IndexStore) -> None:
     """Full recompute — used only by :func:`vacuum` (the periodic
     heavyweight pass); the incremental path merges deltas instead.
     term_stats aggregates the freshly-rewritten blocks' METADATA
-    (n_docs / block_tf_sum), not a re-explode of the corpus."""
+    (n_docs / block_tf_sum), not a re-explode of the corpus. Writes are
+    snapshot commits (new generation + manifest pointer) — readers never
+    see a half-written table."""
     stats = _live_stats(store)
     store.write_corpus_stats(stats["n_docs"], stats["total_tokens"], stats["avgdl"])
-    ts = term_stats_from_blocks(store.postings())
-    # write-aside then swap (readers never see a half-written table)
-    store.write_term_stats(ts, name="term_stats_next")
-    _swap_dir(store, "term_stats_next", "term_stats")
-
-
-def _swap_dir(store: IndexStore, src: str, dst: str) -> None:
-    """Directory-level atomic-ish swap (the parquet seam's stand-in for an
-    Iceberg snapshot commit)."""
-    import shutil
-    from pathlib import Path
-
-    src_p, dst_p = Path(store.path(src)), Path(store.path(dst))
-    tmp = dst_p.with_suffix(".old")
-    if dst_p.exists():
-        dst_p.rename(tmp)
-    src_p.rename(dst_p)
-    shutil.rmtree(tmp, ignore_errors=True)
+    store.write_term_stats(term_stats_from_blocks(store.postings()), full=True)
 
 
 _COMPACT_SCHEMA = POSTINGS_BUCKETED_SCHEMA
@@ -374,8 +419,17 @@ def compact(spark: SparkSession, store: IndexStore, config: EngineConfig | None 
     rows stay in place, filtered at read time, until :func:`vacuum`.
     The FTS5 'merge' analog, run as periodic maintenance."""
     config = config or EngineConfig()
-    tomb_rows = store.tombstones().distinct().collect()
-    ords = np.array(sorted(r["doc_ord"] for r in tomb_rows), dtype=np.int64)
+    # Load the tombstone set as ONE int64 numpy array straight from the
+    # parquet files (Arrow column → np, no Spark .collect() into Python
+    # Row objects — 8 bytes/ord at any scale, vs ~100× that for Rows).
+    # The array IS the purge predicate: it must reach every executor
+    # anyway, so a numpy broadcast is the floor, not a shortcut. Deferred
+    # compaction after millions of deltas stays driver-feasible
+    # (10^8 tombstones ≈ 800 MB; the Iceberg analog ships the same set
+    # as delete files). Tested with >_ISIN_MAX tombstones.
+    from rifflux_spark.operators.local_exec import local_tombstones
+
+    ords = np.unique(local_tombstones(store))
     if ords.size == 0:
         return {"affected_buckets": 0, "purged": 0}
     b_ords = spark.sparkContext.broadcast(ords)
@@ -427,33 +481,28 @@ def compact(spark: SparkSession, store: IndexStore, config: EngineConfig | None 
                     yield out
 
         rewritten = part.mapInPandas(rewrite_stream, schema=_COMPACT_SCHEMA)
-        # write-aside staging breaks the read/overwrite same-path cycle
-        import shutil
-        from pathlib import Path
 
-        tmp = store.path("postings_compact_stage")
-        rewritten.write.mode("overwrite").parquet(tmp)
-        back = spark.read.schema(_COMPACT_SCHEMA).parquet(tmp)
-        (
-            back.repartition(len(affected), "term_bucket")
-            .sortWithinPartitions("term", "salt", "block_seq")
-            .write.mode("overwrite")
-            .partitionBy("term_bucket")
-            .parquet(store.path("postings"))
-        )
-        present = {int(r["term_bucket"]) for r in back.select("term_bucket").distinct().collect()}
-        for b in set(affected) - present:
-            shutil.rmtree(Path(store.path("postings")) / f"term_bucket={b}", ignore_errors=True)
-        shutil.rmtree(tmp, ignore_errors=True)
-        n_rewritten = len(affected)
-
-    # tombstones are now physically absent from postings → purged set
-    import shutil
-    from pathlib import Path
-
-    purged = spark.createDataFrame([(int(o),) for o in ords], schema=TOMBSTONES_SCHEMA)
-    purged.coalesce(1).write.mode("append").parquet(store.path("purged"))
-    shutil.rmtree(Path(store.path("tombstones")), ignore_errors=True)
+    # ONE snapshot commit moves the index from (old blocks + tombstones)
+    # to (rewritten blocks + purged): a query racing the compaction sees
+    # either state in full — never rewritten blocks WITH the tombstone
+    # filter (double-delete is idempotent here, but half-states on object
+    # stores are not) and never a window with neither set present.
+    purged = spark.createDataFrame(
+        pd.DataFrame({"doc_ord": ords}), schema=TOMBSTONES_SCHEMA
+    )
+    with store.transaction():
+        if affected:
+            # reads the CURRENT postings generations, writes a NEW one —
+            # no same-path cycle, so no write-aside staging needed
+            store.overwrite_posting_buckets(
+                rewritten.repartition(len(affected), "term_bucket").sortWithinPartitions(
+                    "term", "salt", "block_seq"
+                ),
+                affected,
+            )
+            n_rewritten = len(affected)
+        store.write_small(purged, "purged", mode="append")
+        store.drop_table("tombstones")
     b_ords.unpersist()
     return {"affected_buckets": n_rewritten, "purged": int(ords.size)}
 
@@ -471,27 +520,27 @@ def vacuum(spark: SparkSession, store: IndexStore, config: EngineConfig | None =
     if n_dead == 0:
         return {"rewritten": 0, "purged": 0}
 
-    live = _live_chunks(store).select("doc_ord", "dl", "tokens")
-    tf = term_frequencies(live)
-    blocks = encode_postings(tf, config)
-    # encode output is already clustered+sorted by term_bucket — write-through
-    blocks.write.mode("overwrite").partitionBy("term_bucket").parquet(
-        store.path("postings_next")
-    )
-    _swap_dir(store, "postings_next", "postings")
+    # One snapshot transaction for the whole rewrite: plans read the OLD
+    # generations (entries are staged only as each write lands, and the
+    # dead-ord drops come last), the pointer swap publishes everything at
+    # once, and old generations survive for in-flight readers until gc.
+    with store.transaction():
+        live = _live_chunks(store).select("doc_ord", "dl", "tokens")
+        tf = term_frequencies(live)
+        blocks = encode_postings(tf, config)
+        # encode output is already clustered+sorted by term_bucket —
+        # write-through into a fresh full-table generation
+        gen = store._new_gen_dir("postings")
+        blocks.write.partitionBy("term_bucket").parquet(str(gen))
+        store._commit_partitioned("postings", gen, "full")
 
-    live_chunks = _live_chunks(store)
-    live_chunks.write.mode("overwrite").parquet(store.path("chunks_next"))
-    _swap_dir(store, "chunks_next", "chunks")
-    if store.exists("embeddings"):
-        emb = store.live_embeddings()
-        emb.write.mode("overwrite").parquet(store.path("embeddings_next"))
-        _swap_dir(store, "embeddings_next", "embeddings")
-
-    import shutil
-    from pathlib import Path
-
-    shutil.rmtree(Path(store.path("tombstones")), ignore_errors=True)
-    shutil.rmtree(Path(store.path("purged")), ignore_errors=True)
-    _refresh_stats_and_term_stats(store)
+        had_embeddings = store.exists("embeddings")
+        live_chunks = _live_chunks(store)  # still resolves OLD chunks + dead set
+        live_emb = store.live_embeddings() if had_embeddings else None
+        store.write_chunks(live_chunks, ordered=True)
+        if live_emb is not None:
+            store.write_embeddings(live_emb, ordered=True)
+        store.drop_table("tombstones")
+        store.drop_table("purged")
+        _refresh_stats_and_term_stats(store)
     return {"rewritten": 1, "purged": int(n_dead)}

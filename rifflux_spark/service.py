@@ -80,6 +80,12 @@ class SearchService:
     ) -> list[dict[str, Any]]:
         if engine not in {"auto", "local", "spark"}:
             raise ValueError(f"unknown engine: {engine}")
+        with self.store.read_snapshot():
+            return self._lexical(query, top_k, prune=prune, engine=engine)
+
+    def _lexical(
+        self, query: str, top_k: int, prune: bool = True, engine: str = "auto"
+    ) -> list[dict[str, Any]]:
         if engine != "spark":
             from rifflux_spark.operators import local_exec
 
@@ -145,6 +151,10 @@ class SearchService:
     def semantic(self, query_vector, top_k: int, engine: str = "auto") -> list[dict[str, Any]]:
         if query_vector is None:
             return []
+        with self.store.read_snapshot():
+            return self._semantic(query_vector, top_k, engine=engine)
+
+    def _semantic(self, query_vector, top_k: int, engine: str = "auto") -> list[dict[str, Any]]:
         if engine != "spark":
             from rifflux_spark.operators import local_exec
 
@@ -203,6 +213,13 @@ class SearchService:
     def search(self, query: str, *, top_k: int = 10, mode: str = "hybrid") -> list[dict[str, Any]]:
         if self.config.auto_reindex_on_search and self.pages_path:
             self.maybe_auto_reindex()
+        # ONE pinned snapshot for the whole search: lexical + semantic +
+        # rehydration all resolve the same manifest version even if a
+        # background reindex commits mid-query (snapshot isolation)
+        with self.store.read_snapshot():
+            return self._search(query, top_k=top_k, mode=mode)
+
+    def _search(self, query: str, *, top_k: int = 10, mode: str = "hybrid") -> list[dict[str, Any]]:
         cand = top_k * self.config.candidate_multiplier
         lexical = self.lexical(query, cand) if mode in {"hybrid", "lexical"} else []
         query_vec = (
@@ -255,6 +272,10 @@ class SearchService:
     # --- lookups (sqlite_store.py:202-229) ---
 
     def get_chunk(self, chunk_id: str) -> dict[str, Any] | None:
+        with self.store.read_snapshot():
+            return self._get_chunk(chunk_id)
+
+    def _get_chunk(self, chunk_id: str) -> dict[str, Any] | None:
         rows = (
             self.store.live_chunks()
             .filter(F.col("chunk_id") == chunk_id)
@@ -273,6 +294,10 @@ class SearchService:
         }
 
     def get_file(self, path: str) -> dict[str, Any] | None:
+        with self.store.read_snapshot():
+            return self._get_file(path)
+
+    def _get_file(self, path: str) -> dict[str, Any] | None:
         rows = (
             self.store.live_chunks()
             .filter(F.col("url") == path)
@@ -305,7 +330,14 @@ class SearchService:
         ``background=True`` mirrors the reference's background-queue submit
         (a daemon thread driving the Spark incremental job — Spark job
         submission is thread-safe); ``background=False`` runs inline and
-        returns the apply metrics."""
+        returns the apply metrics.
+
+        Concurrent searches during a background reindex are safe: every
+        apply mutation is a snapshot transaction (sources/manifest.py) —
+        readers resolve the old manifest pointer until the apply's single
+        atomic commit, so no query can observe missing/partial files. A
+        failed background run logs and RELEASES the throttle claim, so
+        the next search retries instead of silently never reindexing."""
         if not self.pages_path:
             return {"enabled": False, "executed": False, "reason": "no pages_path"}
         min_interval = max(0.0, self.config.auto_reindex_min_interval_seconds)
@@ -330,8 +362,21 @@ class SearchService:
             self._cstats = None  # corpus stats may have changed
             return metrics
 
+        def run_background() -> None:
+            try:
+                run()
+            except Exception:
+                import logging
+
+                logging.getLogger(__name__).exception("background auto-reindex failed")
+                # release the claim: the slot must not stay burned with no
+                # reindex done, or searches never retry until restart
+                with SearchService._reindex_lock:
+                    if SearchService._last_auto_reindex.get(key) == now:
+                        SearchService._last_auto_reindex.pop(key, None)
+
         if background:
-            t = threading.Thread(target=run, name="rifflux-auto-reindex", daemon=True)
+            t = threading.Thread(target=run_background, name="rifflux-auto-reindex", daemon=True)
             t.start()
             return {"enabled": True, "executed": "background", "thread": t.name}
         return {"enabled": True, "executed": True, "metrics": run()}
@@ -339,7 +384,8 @@ class SearchService:
     def index_status(self) -> dict[str, int]:
         """Live counts: dead (tombstoned/purged) rows still physically in
         the chunk/embedding files are excluded."""
-        files = self.store.catalog().count() if self.store.exists("catalog") else 0
+        with self.store.read_snapshot():
+            files = self.store.catalog().count() if self.store.exists("catalog") else 0
         chunks = self.store.live_chunks().count()
         embeddings = (
             self.store.live_embeddings().count() if self.store.exists("embeddings") else 0

@@ -1,0 +1,110 @@
+"""Snapshot manifest: atomic commits over immutable generation directories.
+
+The reference gets transactional visibility from SQLite WAL (reference
+src/rifflux/db/sqlite_store.py:17-20 — readers never see a half-written
+index); SURVEY.md maps that to Iceberg snapshot isolation on a cluster.
+This module is the parquet-seam shape of that commit protocol:
+
+- every mutation writes NEW files under a fresh generation directory
+  (``<table>/g-<hex>/``) — existing files are never modified or deleted
+  by a commit;
+- the index's current state is a single small JSON pointer file
+  (``_manifest.json``) mapping each table to the generation dirs (or,
+  for bucket-partitioned tables, the per-partition leaf dirs) that
+  compose it;
+- publishing is one atomic swap of that pointer (`os.replace`; on an
+  object store this becomes a conditional PUT / CAS of the same pointer
+  object — exactly an Iceberg snapshot commit, so the Iceberg writer is
+  a drop-in at this seam);
+- readers resolve the pointer once and then read immutable files: a
+  reader racing a commit sees either the old snapshot or the new one,
+  never a mix — no rename windows, no half-swapped tables;
+- a multi-table mutation (incremental apply: chunks + postings +
+  tombstones + stats + catalog) stages all its generation dirs first and
+  publishes ONE pointer swap, so the whole apply is atomic: a killed
+  apply leaves only unreferenced generation dirs (invisible to readers,
+  reclaimed by :meth:`IndexStore.gc`), and re-running it is idempotent;
+- old generations are garbage-collected LATER (:meth:`IndexStore.gc`),
+  never inline with a commit, so in-flight readers of the previous
+  snapshot keep valid files (snapshot-retention semantics).
+
+Table entry shapes::
+
+    {"dirs": ["chunks/g-ab12...", "chunks/g-cd34..."]}          # union
+    {"partition_col": "term_bucket",
+     "partitions": {"3": ["postings/g-ab12/term_bucket=3"]}}    # per-bucket
+
+Entries are kept (possibly empty) once a table is manifest-tracked; an
+absent entry means the table pre-dates the manifest and is resolved from
+the legacy flat layout (migration path for round-2 indexes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import uuid
+from pathlib import Path
+
+MANIFEST_NAME = "_manifest.json"
+HISTORY_DIR = "_manifests"
+
+
+class Manifest:
+    """Atomic pointer file over a store root. Thread-safe in-process;
+    cross-process safety comes from `os.replace` atomicity (POSIX) /
+    conditional-PUT (object store) — last committer wins, and committers
+    in this codebase re-read state under the lock before publishing."""
+
+    def __init__(self, root: str) -> None:
+        self.root = Path(root)
+        self._lock = threading.Lock()
+
+    @property
+    def file(self) -> Path:
+        return self.root / MANIFEST_NAME
+
+    def exists(self) -> bool:
+        return self.file.exists()
+
+    def load(self) -> dict:
+        if not self.file.exists():
+            return {"version": 0, "tables": {}}
+        return json.loads(self.file.read_text(encoding="utf-8"))
+
+    def version(self) -> int:
+        return int(self.load().get("version", 0))
+
+    def entry(self, name: str) -> dict | None:
+        return self.load()["tables"].get(name)
+
+    def commit(self, mutations: dict[str, dict]) -> dict:
+        """Publish a new snapshot applying ``mutations`` (table → entry).
+        Empty entries are KEPT (an explicitly-empty table must not fall
+        back to the legacy layout). Returns the new state."""
+        with self._lock:
+            state = self.load()
+            tables = dict(state.get("tables", {}))
+            tables.update(mutations)
+            out = {"version": int(state.get("version", 0)) + 1, "tables": tables}
+            payload = json.dumps(out, sort_keys=True)
+            tmp = self.root / f"{MANIFEST_NAME}.tmp-{uuid.uuid4().hex}"
+            self.root.mkdir(parents=True, exist_ok=True)
+            tmp.write_text(payload, encoding="utf-8")
+            os.replace(tmp, self.file)
+            # history copy: debuggability + the raw material for snapshot
+            # time-travel; gc() trims old versions
+            hist = self.root / HISTORY_DIR
+            hist.mkdir(exist_ok=True)
+            (hist / f"v{out['version']:08d}.json").write_text(payload, encoding="utf-8")
+            return out
+
+    def referenced_dirs(self) -> set[str]:
+        """Every store-relative data dir the CURRENT snapshot references."""
+        out: set[str] = set()
+        for entry in self.load()["tables"].values():
+            out.update(entry.get("dirs", []))
+            for dirs in entry.get("partitions", {}).values():
+                out.update(dirs)
+        return out

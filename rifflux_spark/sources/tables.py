@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from rifflux_spark.functions.xxhash64 import term_bucket
+from rifflux_spark.sources.manifest import Manifest
 
 CHUNKS_SCHEMA = T.StructType(
     [
@@ -80,6 +81,10 @@ TERM_STATS_SCHEMA = T.StructType(
         T.StructField("df_docs", T.LongType(), False),
         T.StructField("cf", T.LongType(), False),
     ]
+)
+
+TERM_STATS_BUCKETED_SCHEMA = T.StructType(
+    TERM_STATS_SCHEMA.fields + [T.StructField("term_bucket", T.IntegerType(), True)]
 )
 
 CORPUS_STATS_SCHEMA = T.StructType(
@@ -149,6 +154,18 @@ class IndexStore:
     def __init__(self, spark: SparkSession, root: str, n_term_buckets: int | None = None) -> None:
         self.spark = spark
         self.root = str(root)
+        self.manifest = Manifest(self.root)
+        # Per-THREAD overlay state (threading.local): a writer thread's
+        # in-flight transaction stages entries only it can see (its own
+        # pipeline reads its writes), while reader threads on the same
+        # store resolve the last committed snapshot — a background
+        # reindex never leaks half-applied state into foreground queries.
+        # Readers can additionally PIN a snapshot (:meth:`read_snapshot`)
+        # so one logical query resolves every table against ONE manifest
+        # version even if a commit lands mid-query.
+        import threading as _threading
+
+        self._tl = _threading.local()
         # Physical-layout parameters are PERSISTED at build time
         # (metadata_kv "layout.*" keys) and validated here: a caller-
         # supplied bucket count that disagrees with the on-disk index
@@ -185,11 +202,291 @@ class IndexStore:
     def path(self, name: str) -> str:
         return str(Path(self.root) / name)
 
-    def exists(self, name: str) -> bool:
-        p = Path(self.path(name))
-        return p.exists() and (any(p.glob("*.parquet")) or any(p.glob("*/*.parquet")) or any(p.glob("_SUCCESS")))
+    # --- snapshot resolution (manifest-aware, legacy fallback) ---
+    #
+    # Committed indexes are resolved through the manifest pointer (see
+    # sources/manifest.py): tables are unions of immutable generation
+    # dirs, and every mutation below stages new generations + one atomic
+    # pointer swap. Indexes built before the manifest existed (no entry
+    # for a table) fall back to the flat ``root/<name>`` layout.
 
-    # --- writers ---
+    @property
+    def _pending(self) -> dict | None:
+        return getattr(self._tl, "pending", None)
+
+    @_pending.setter
+    def _pending(self, value: dict | None) -> None:
+        self._tl.pending = value
+
+    @property
+    def _pinned(self) -> dict | None:
+        return getattr(self._tl, "pinned", None)
+
+    @_pinned.setter
+    def _pinned(self, value: dict | None) -> None:
+        self._tl.pinned = value
+
+    def _entry(self, name: str) -> dict | None:
+        if self._pending is not None and name in self._pending:
+            return self._pending[name]
+        if self._pinned is not None:
+            return self._pinned.get(name)
+        return self.manifest.entry(name)
+
+    def read_snapshot(self):
+        """Pin the CURRENT committed snapshot for every read on this
+        thread until exit — one logical operation (a search: stats +
+        term_stats + postings + chunks) resolves a single manifest
+        version even if a writer commits mid-flight. Re-entrant: an
+        outer pin wins, so nested service calls stay on one snapshot."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _pin():
+            if self._pinned is not None:
+                yield self
+                return
+            self._pinned = self.manifest.load()["tables"]
+            try:
+                yield self
+            finally:
+                self._pinned = None
+
+        return _pin()
+
+    def _legacy_exists(self, name: str) -> bool:
+        p = Path(self.path(name))
+        if not p.exists():
+            return False
+        if any(p.glob("*.parquet")) or any(p.glob("_SUCCESS")):
+            return True
+        # partitioned/staged legacy layouts (term_bucket=*/, shard=*/) —
+        # generation dirs (g-*) are manifest-owned, never legacy data
+        return any(
+            d.is_dir() and not d.name.startswith("g-") and any(d.glob("*.parquet"))
+            for d in p.iterdir()
+        )
+
+    def exists(self, name: str) -> bool:
+        e = self._entry(name)
+        if e is not None:
+            return bool(e.get("dirs") or e.get("partitions"))
+        return self._legacy_exists(name)
+
+    def data_dirs(self, name: str) -> list[Path]:
+        """Absolute directories composing the table's current snapshot."""
+        e = self._entry(name)
+        if e is None:
+            p = Path(self.path(name))
+            return [p] if p.exists() else []
+        root = Path(self.root)
+        if "partitions" in e:
+            return [root / d for dirs in e["partitions"].values() for d in dirs]
+        return [root / d for d in e.get("dirs", [])]
+
+    def data_files(self, name: str) -> list[Path]:
+        """Every parquet file in the table's current snapshot (sorted for
+        deterministic iteration), resolved via the manifest. The legacy
+        fallback enumerates only non-generation paths: an IN-FLIGHT
+        (uncommitted) generation under the same table dir must stay
+        invisible to concurrent readers."""
+        e = self._entry(name)
+        if e is not None:
+            out: list[Path] = []
+            for d in self.data_dirs(name):
+                for f in d.rglob("*.parquet"):
+                    rel = f.relative_to(d).parts
+                    # a referenced dir may be an ADOPTED legacy table root
+                    # with in-flight generations nested under it — those
+                    # belong to uncommitted snapshots, never to this one
+                    if any(p.startswith("g-") or p == "_temporary" for p in rel[:-1]):
+                        continue
+                    out.append(f)
+            return sorted(out)
+        p = Path(self.path(name))
+        if not p.exists():
+            return []
+        out = list(p.glob("*.parquet"))
+        for d in p.iterdir():
+            if d.is_dir() and not d.name.startswith(("g-", "_")):
+                out.extend(f for f in d.rglob("*.parquet") if "_temporary" not in f.parts)
+        return sorted(out)
+
+    def _adopt_legacy(self, name: str, partitioned: bool = False) -> None:
+        """Record a legacy flat-layout table in the manifest BEFORE its
+        first generation write begins, so concurrent readers resolve the
+        committed entry and can never glob an in-flight generation dir.
+        Pure bookkeeping of what is already on disk — safe to commit
+        immediately even mid-transaction."""
+        if self._entry(name) is not None or not self._legacy_exists(name):
+            return
+        if partitioned:
+            entry: dict = {
+                "partition_col": "term_bucket",
+                "partitions": self._partitions_for_update(name),
+            }
+        else:
+            entry = {"dirs": [name]}
+        self.manifest.commit({name: entry})
+
+    def partition_files(self, name: str, values: set[int] | list[int]) -> list[Path]:
+        """Parquet files for specific bucket partitions — manifest-level
+        partition pruning (the Iceberg manifest-file prune): unreferenced
+        buckets are never even enumerated."""
+        e = self._entry(name)
+        out: list[Path] = []
+        if e is None:
+            root = Path(self.path(name))
+            for b in sorted(values):
+                out.extend(sorted((root / f"term_bucket={b}").glob("*.parquet")))
+            return out
+        parts = e.get("partitions", {})
+        for b in sorted(values):
+            for d in parts.get(str(b), []):
+                out.extend(sorted((Path(self.root) / d).glob("*.parquet")))
+        return out
+
+    def _new_gen_dir(self, name: str) -> Path:
+        return Path(self.root) / name / f"g-{uuid.uuid4().hex[:12]}"
+
+    def _rel(self, p: Path) -> str:
+        return str(p.relative_to(self.root))
+
+    def _stage(self, name: str, entry: dict) -> None:
+        """Record a table's new entry: buffered when inside a
+        :meth:`transaction`, otherwise committed immediately (a
+        single-table commit is still one atomic pointer swap)."""
+        if self._pending is not None:
+            self._pending[name] = entry
+        else:
+            self.manifest.commit({name: entry})
+
+    def transaction(self):
+        """Context manager: every store mutation inside it stages
+        generation dirs + entries, then ONE manifest commit publishes all
+        of them atomically. Same-store readers observe staged state (the
+        apply pipeline reads its own writes); external readers see the
+        old snapshot until the swap. On error nothing is published — the
+        orphan generation dirs are reclaimed by :meth:`gc`."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _txn():
+            if self._pending is not None:
+                raise RuntimeError("nested IndexStore.transaction")
+            self._pending = {}
+            try:
+                yield self
+                staged = self._pending
+                self._pending = None
+                if staged:
+                    self.manifest.commit(staged)
+            finally:
+                self._pending = None
+
+        return _txn()
+
+    def _plain_dirs_for_update(self, name: str) -> list[str]:
+        e = self._entry(name)
+        if e is not None:
+            return list(e.get("dirs", []))
+        return [name] if self._legacy_exists(name) else []
+
+    def _partitions_for_update(self, name: str) -> dict[str, list[str]]:
+        e = self._entry(name)
+        if e is not None:
+            return {k: list(v) for k, v in e.get("partitions", {}).items()}
+        out: dict[str, list[str]] = {}
+        root = Path(self.path(name))
+        if root.exists():
+            for d in sorted(root.glob("term_bucket=*")):
+                if any(d.glob("*.parquet")):
+                    out[d.name.split("=", 1)[1]] = [self._rel(d)]
+        return out
+
+    def _gen_partition_leaves(self, gen: Path) -> dict[str, list[str]]:
+        return {
+            d.name.split("=", 1)[1]: [self._rel(d)]
+            for d in sorted(gen.glob("term_bucket=*"))
+            if any(d.glob("*.parquet"))
+        }
+
+    def drop_table(self, name: str) -> None:
+        """Snapshot-level drop: the entry becomes explicitly empty; the
+        old generation files stay on disk for in-flight readers until
+        :meth:`gc` (never an inline rmtree)."""
+        self._stage(name, {"dirs": []})
+
+    def gc(self) -> dict:
+        """Reclaim generation dirs (and stale legacy gen leaves) that the
+        CURRENT manifest no longer references, plus old history files.
+        Run out-of-band, after in-flight readers of prior snapshots are
+        done — the snapshot-retention knob of a real table format."""
+        import shutil
+
+        if self._pending is not None:
+            raise RuntimeError("gc inside a transaction")
+        referenced = self.manifest.referenced_dirs()
+        if not self.manifest.exists():
+            return {"removed": 0}
+        removed = 0
+        root = Path(self.root)
+        for table_dir in root.iterdir():
+            if not table_dir.is_dir() or table_dir.name.startswith("_"):
+                continue
+            for gen in table_dir.glob("g-*"):
+                rel = self._rel(gen)
+                if rel in referenced:
+                    continue
+                leaves = [d for d in gen.glob("*=*") if d.is_dir()]
+                if leaves:
+                    kept_any = False
+                    for leaf in leaves:
+                        if self._rel(leaf) in referenced:
+                            kept_any = True
+                        else:
+                            shutil.rmtree(leaf, ignore_errors=True)
+                            removed += 1
+                    if not kept_any:
+                        shutil.rmtree(gen, ignore_errors=True)
+                else:
+                    shutil.rmtree(gen, ignore_errors=True)
+                    removed += 1
+        hist = sorted((root / "_manifests").glob("v*.json"))
+        for f in hist[:-10]:
+            f.unlink(missing_ok=True)
+        return {"removed": removed}
+
+    # --- writers (all snapshot commits: new generation dir + pointer) ---
+
+    def _commit_plain(self, name: str, gen: Path, mode: str) -> None:
+        rel = self._rel(gen)
+        if mode == "append":
+            self._stage(name, {"dirs": self._plain_dirs_for_update(name) + [rel]})
+        else:
+            self._stage(name, {"dirs": [rel]})
+
+    def _commit_partitioned(
+        self, name: str, gen: Path, mode: str = "dynamic", expected_parts=None
+    ) -> None:
+        """Publish a partitioned generation. ``dynamic`` = dynamic
+        partition overwrite (partitions present in the gen replace their
+        old dirs; ``expected_parts`` that came out EMPTY vanish from the
+        map — no rmtree of stale partition dirs); ``append`` = per-bucket
+        union; ``full`` = whole-table replacement."""
+        found = self._gen_partition_leaves(gen)
+        if mode == "append":
+            parts = self._partitions_for_update(name)
+            for v, ds in found.items():
+                parts[v] = parts.get(v, []) + ds
+        elif mode == "full":
+            parts = found
+        else:
+            parts = self._partitions_for_update(name)
+            for v in expected_parts or []:
+                parts.pop(str(int(v)), None)
+            parts.update(found)
+        self._stage(name, {"partition_col": "term_bucket", "partitions": parts})
 
     def write_chunks(self, df: DataFrame, ordered: bool = False, extra_cols: tuple[str, ...] = ()) -> None:
         """``ordered=True``: the frame is already globally ordered by
@@ -197,12 +494,24 @@ class IndexStore:
         without paying another range shuffle. ``extra_cols`` (e.g. carried
         catalog metadata) are written too; schema-projected readers
         (:meth:`chunks`) prune them for free."""
+        self._adopt_legacy("chunks")
         out = df.select([f.name for f in CHUNKS_SCHEMA.fields] + list(extra_cols))
         if not ordered:
             out = out.repartitionByRange(
                 max(1, self.n_term_buckets // 2), "doc_ord"
             ).sortWithinPartitions("doc_ord")
-        out.write.mode("overwrite").parquet(self.path("chunks"))
+        gen = self._new_gen_dir("chunks")
+        out.write.parquet(str(gen))
+        self._commit_plain("chunks", gen, "overwrite")
+
+    def append_chunks(self, df: DataFrame) -> None:
+        """Append a sorted batch as a new generation (incremental runs:
+        appended doc_ords sit above every existing ordinal, so row-group
+        pruning semantics are preserved per generation)."""
+        self._adopt_legacy("chunks")
+        gen = self._new_gen_dir("chunks")
+        df.write.parquet(str(gen))
+        self._commit_plain("chunks", gen, "append")
 
     def write_postings(self, df: DataFrame, mode: str = "overwrite") -> None:
         """Persist encoded block rows partitioned by term bucket.
@@ -222,10 +531,26 @@ class IndexStore:
                 .repartition(self.n_term_buckets, "term_bucket")
                 .sortWithinPartitions("term_bucket", "term", "salt", "block_seq")
             )
-        df.write.mode(mode).partitionBy("term_bucket").parquet(self.path("postings"))
+        self._adopt_legacy("postings", partitioned=True)
+        gen = self._new_gen_dir("postings")
+        df.write.partitionBy("term_bucket").parquet(str(gen))
+        self._commit_partitioned("postings", gen, "append" if mode == "append" else "dynamic")
+
+    def overwrite_posting_buckets(self, df: DataFrame, affected: list[int]) -> None:
+        """Compaction commit: replace exactly the ``affected`` bucket
+        partitions with the gen's contents (buckets rewritten to empty
+        disappear from the snapshot — files of untouched buckets are not
+        rewritten, not even touched)."""
+        self._adopt_legacy("postings", partitioned=True)
+        gen = self._new_gen_dir("postings")
+        df.write.partitionBy("term_bucket").parquet(str(gen))
+        self._commit_partitioned("postings", gen, "dynamic", expected_parts=affected)
 
     def write_small(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
-        df.coalesce(1).write.mode(mode).parquet(self.path(name))
+        self._adopt_legacy(name)
+        gen = self._new_gen_dir(name)
+        df.coalesce(1).write.parquet(str(gen))
+        self._commit_plain(name, gen, mode)
 
     def write_corpus_stats(self, n_docs: int, total_tokens: int, avgdl: float) -> None:
         """One-row table: write driver-side via pyarrow — a Spark job for
@@ -234,8 +559,9 @@ class IndexStore:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        out = Path(self.path("corpus_stats"))
-        out.mkdir(parents=True, exist_ok=True)
+        self._adopt_legacy("corpus_stats")
+        gen = self._new_gen_dir("corpus_stats")
+        gen.mkdir(parents=True, exist_ok=True)
         table = pa.table(
             {
                 "n_docs": pa.array([n_docs], pa.int64()),
@@ -243,21 +569,31 @@ class IndexStore:
                 "avgdl": pa.array([avgdl], pa.float64()),
             }
         )
-        pq.write_table(table, out / "part-0.parquet")
+        pq.write_table(table, gen / "part-0.parquet")
+        self._commit_plain("corpus_stats", gen, "overwrite")
 
-    def write_term_stats(self, df: DataFrame, name: str = "term_stats") -> None:
+    def write_term_stats(
+        self, df: DataFrame, full: bool = True, expected_parts=None
+    ) -> None:
+        """``full=True``: whole-table snapshot (build / vacuum).
+        ``full=False``: dynamic partition merge — only the buckets present
+        in ``df`` change; ``expected_parts`` merged-to-empty vanish."""
+        self._adopt_legacy("term_stats", partitioned=True)
         with_bucket = df.withColumn(
             "term_bucket", F.pmod(F.xxhash64("term"), F.lit(self.n_term_buckets))
         )
+        gen = self._new_gen_dir("term_stats")
         (
             with_bucket.repartition(max(1, self.n_term_buckets // 4), "term_bucket")
             .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .partitionBy("term_bucket")
-            .parquet(self.path(name))
+            .write.partitionBy("term_bucket")
+            .parquet(str(gen))
+        )
+        self._commit_partitioned(
+            "term_stats", gen, "full" if full else "dynamic", expected_parts=expected_parts
         )
 
-    def write_embeddings(self, df: DataFrame, ordered: bool = False) -> None:
+    def write_embeddings(self, df: DataFrame, ordered: bool = False, mode: str = "overwrite") -> None:
         out = df.select([f.name for f in EMBEDDINGS_SCHEMA.fields])
         if not ordered:
             out = out.repartitionByRange(
@@ -265,9 +601,10 @@ class IndexStore:
             ).sortWithinPartitions("doc_ord")
         # packed L2-normalized float32 is ~incompressible; snappy would
         # only burn encode CPU on the build's second-biggest write
-        out.write.mode("overwrite").option("compression", "uncompressed").parquet(
-            self.path("embeddings")
-        )
+        self._adopt_legacy("embeddings")
+        gen = self._new_gen_dir("embeddings")
+        out.write.option("compression", "uncompressed").parquet(str(gen))
+        self._commit_plain("embeddings", gen, mode)
 
     # --- driver-side metadata reads (no Spark job) ---
 
@@ -276,10 +613,7 @@ class IndexStore:
         snapshot's row-count summary."""
         import pyarrow.parquet as pq
 
-        return sum(
-            pq.ParquetFile(f).metadata.num_rows
-            for f in Path(self.path(name)).rglob("*.parquet")
-        )
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in self.data_files(name))
 
     def max_column(self, name: str, col: str) -> int | None:
         """Column max from parquet row-group statistics only (no data
@@ -289,7 +623,7 @@ class IndexStore:
         import pyarrow.parquet as pq
 
         best: int | None = None
-        for f in Path(self.path(name)).rglob("*.parquet"):
+        for f in self.data_files(name):
             md = pq.ParquetFile(f).metadata
             try:
                 ci = [md.schema.column(i).name for i in range(md.num_columns)].index(col)
@@ -309,7 +643,7 @@ class IndexStore:
         import pyarrow.parquet as pq
 
         total = 0
-        for f in Path(self.path(name)).rglob("*.parquet"):
+        for f in self.data_files(name):
             t = pq.read_table(f, columns=[col])
             s = t.column(0).to_pandas().sum()
             total += int(s) if s == s else 0  # NaN-safe on empty files
@@ -345,30 +679,81 @@ class IndexStore:
                     out.append(json.loads(line))
         return out
 
-    # --- readers ---
+    # --- readers (resolve the current snapshot via the manifest) ---
+
+    def _read_plain(self, name: str, schema: T.StructType | None = None) -> DataFrame:
+        e = self._entry(name)
+        reader = self.spark.read.schema(schema) if schema is not None else self.spark.read
+        if e is None:
+            return reader.parquet(self.path(name))  # legacy flat layout
+        # explicit FILE list, not dirs: an adopted legacy entry points at
+        # the table root, which may contain in-flight generation subdirs
+        # that must stay invisible (data_files excludes them)
+        files = [str(f) for f in self.data_files(name)]
+        if not files:
+            if schema is None:
+                raise FileNotFoundError(f"table {name!r} is empty and has no schema")
+            return self.spark.createDataFrame([], schema=schema)
+        return reader.parquet(*files)
+
+    def _read_partitioned(
+        self, name: str, empty_schema: T.StructType, part_values: set[int] | None = None
+    ) -> DataFrame:
+        """Union of the snapshot's generation scans. One generation (the
+        common post-build state) = one scan, the same plan as a flat
+        partitioned read; each scan keeps partition-dir discovery via its
+        own basePath so partition pruning still pushes down.
+        ``part_values`` prunes at the MANIFEST level — unreferenced
+        buckets never reach the scan at all (Iceberg manifest pruning)."""
+        e = self._entry(name)
+        if e is None:
+            return self.spark.read.parquet(self.path(name))  # legacy flat layout
+        groups: dict[str, list[str]] = {}
+        for v, ds in e.get("partitions", {}).items():
+            if part_values is not None and int(v) not in part_values:
+                continue
+            for d in ds:
+                leaf = Path(self.root) / d
+                groups.setdefault(str(leaf.parent), []).append(str(leaf))
+        if not groups:
+            return self.spark.createDataFrame([], schema=empty_schema)
+        dfs = [
+            self.spark.read.option("basePath", base).parquet(*sorted(leafs))
+            for base, leafs in sorted(groups.items())
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
 
     def chunks(self) -> DataFrame:
-        return self.spark.read.schema(CHUNKS_SCHEMA).parquet(self.path("chunks"))
+        return self._read_plain("chunks", CHUNKS_SCHEMA)
+
+    def chunks_raw(self) -> DataFrame:
+        """The staged chunk table with every carried column (catalog
+        metadata riders included) — schema inferred."""
+        return self._read_plain("chunks", None)
 
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(self.path("postings"))
+        return self._read_partitioned("postings", POSTINGS_BUCKETED_SCHEMA)
 
     def postings_for_terms(self, terms: list[str]) -> DataFrame:
-        """Bucket + term filter — both push into the parquet scan."""
+        """Bucket + term filter: buckets prune at the manifest level AND
+        in each scan; the term filter pushes into parquet row groups."""
         if not terms:
             return self.postings().limit(0)
         buckets = sorted({term_bucket(t, self.n_term_buckets) for t in terms})
-        return self.postings().filter(
-            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
-        )
+        return self._read_partitioned(
+            "postings", POSTINGS_BUCKETED_SCHEMA, part_values=set(buckets)
+        ).filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
 
     def term_stats(self) -> DataFrame:
-        return self.spark.read.parquet(self.path("term_stats"))
+        return self._read_partitioned("term_stats", TERM_STATS_BUCKETED_SCHEMA)
 
     def corpus_stats(self) -> dict:
         import pyarrow.parquet as pq
 
-        files = sorted(Path(self.path("corpus_stats")).glob("*.parquet"))
+        files = self.data_files("corpus_stats")
         table = pq.read_table(files[0])
         row = table.to_pylist()[0]
         return {
@@ -378,10 +763,10 @@ class IndexStore:
         }
 
     def embeddings(self) -> DataFrame:
-        return self.spark.read.schema(EMBEDDINGS_SCHEMA).parquet(self.path("embeddings"))
+        return self._read_plain("embeddings", EMBEDDINGS_SCHEMA)
 
     def catalog(self) -> DataFrame:
-        return self.spark.read.schema(CATALOG_SCHEMA).parquet(self.path("catalog"))
+        return self._read_plain("catalog", CATALOG_SCHEMA)
 
     def lineage(self) -> DataFrame:
         rows = self.read_lineage_rows()
@@ -406,7 +791,7 @@ class IndexStore:
         from the posting blocks and moves the ords to ``purged``."""
         if not self.exists("tombstones"):
             return self.spark.createDataFrame([], schema=TOMBSTONES_SCHEMA)
-        return self.spark.read.schema(TOMBSTONES_SCHEMA).parquet(self.path("tombstones"))
+        return self._read_plain("tombstones", TOMBSTONES_SCHEMA)
 
     def purged(self) -> DataFrame:
         """doc_ords physically removed from postings by compaction but
@@ -415,7 +800,7 @@ class IndexStore:
         contract). Cleared by :func:`plans.incremental.vacuum`."""
         if not self.exists("purged"):
             return self.spark.createDataFrame([], schema=TOMBSTONES_SCHEMA)
-        return self.spark.read.schema(TOMBSTONES_SCHEMA).parquet(self.path("purged"))
+        return self._read_plain("purged", TOMBSTONES_SCHEMA)
 
     def dead_ords(self) -> DataFrame:
         """tombstoned ∪ purged — everything chunk/embedding readers must

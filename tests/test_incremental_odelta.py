@@ -66,12 +66,21 @@ def _bucket_pages(spark, n_per_bucket: int = 3):
     return spark.createDataFrame(rows, "url string, text string")
 
 
-def _pq_state(root: str | Path) -> dict[str, str]:
-    root = Path(root)
+def _pq_state(store: IndexStore, name: str) -> dict[str, str]:
+    """Per-file sha of the table's CURRENT snapshot (manifest-resolved).
+    Untouched partitions must keep the IDENTICAL files — same absolute
+    path, same bytes — across a delta merge; only affected partitions may
+    point at new-generation files."""
     return {
-        str(f.relative_to(root)): hashlib.sha256(f.read_bytes()).hexdigest()
-        for f in sorted(root.rglob("*.parquet"))
+        str(f): hashlib.sha256(f.read_bytes()).hexdigest()
+        for f in store.data_files(name)
     }
+
+
+def _changed_partitions(before: dict[str, str], after: dict[str, str]) -> set[str]:
+    sym = set(before) ^ set(after)
+    sym |= {p for p in before if p in after and before[p] != after[p]}
+    return {Path(p).parent.name for p in sym}
 
 
 def _full_term_stats(store: IndexStore) -> dict[str, tuple[int, int]]:
@@ -99,7 +108,7 @@ def test_delta_stats_touch_only_affected_buckets(spark, tmp_path_factory) -> Non
     build_index(spark, pages, index_dir, CONFIG, with_embeddings=False)
     store = IndexStore(spark, index_dir, CONFIG.n_term_buckets)
 
-    ts_before = _pq_state(store.path("term_stats"))
+    ts_before = _pq_state(store, "term_stats")
 
     # delta: mutate one bucket-0 page, delete another, all other buckets idle
     nxt = pages.filter(~F.col("url").endswith("b0.example.com/page/2")).withColumn(
@@ -120,13 +129,8 @@ def test_delta_stats_touch_only_affected_buckets(spark, tmp_path_factory) -> Non
     assert cs["total_tokens"] == int(live["s"])
 
     # only the bucket-0 term_stats partition was rewritten
-    ts_after = _pq_state(store.path("term_stats"))
-    changed_buckets = {
-        p.split("/")[0]
-        for p in (set(ts_before) ^ set(ts_after))
-        | {p for p in ts_before if p in ts_after and ts_before[p] != ts_after[p]}
-    }
-    assert changed_buckets == {"term_bucket=0"}
+    ts_after = _pq_state(store, "term_stats")
+    assert _changed_partitions(ts_before, ts_after) == {"term_bucket=0"}
 
 
 def test_compact_rewrites_only_affected_posting_buckets(spark, tmp_path_factory) -> None:
@@ -138,7 +142,7 @@ def test_compact_rewrites_only_affected_posting_buckets(spark, tmp_path_factory)
     # delete one bucket-0 page → tombstones confined to bucket-0 blocks
     nxt = pages.filter(F.col("url") != "https://b0.example.com/page/1")
     apply_incremental(spark, store, nxt, CONFIG, with_embeddings=False)
-    post_before = _pq_state(store.path("postings"))
+    post_before = _pq_state(store, "postings")
 
     c = compact(spark, store, CONFIG)
     assert c["purged"] > 0
@@ -146,13 +150,8 @@ def test_compact_rewrites_only_affected_posting_buckets(spark, tmp_path_factory)
     assert not store.exists("tombstones")
     assert store.exists("purged")
 
-    post_after = _pq_state(store.path("postings"))
-    changed = {
-        p.split("/")[0]
-        for p in (set(post_before) ^ set(post_after))
-        | {p for p in post_before if p in post_after and post_before[p] != post_after[p]}
-    }
-    assert changed == {"term_bucket=0"}
+    post_after = _pq_state(store, "postings")
+    assert _changed_partitions(post_before, post_after) == {"term_bucket=0"}
 
     # queries match a from-scratch rebuild over the same snapshot
     full_dir = str(tmp_path_factory.mktemp("odelta_full"))

@@ -125,7 +125,7 @@ def test_encode_postings_single_shuffle_and_bounded_files(spark, store, tmp_path
     out = tmp_path_factory.mktemp("fusedw")
     st2 = IndexStore(spark, str(out), CONFIG.n_term_buckets)
     st2.write_postings(blocks)
-    files = list(out.glob("postings/term_bucket=*/*.parquet"))
+    files = st2.data_files("postings")
     assert 0 < len(files) <= CONFIG.n_term_buckets * CONFIG.n_bucket_splits
 
     # written rows must round-trip with identical content vs the plan
