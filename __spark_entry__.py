@@ -18,8 +18,10 @@ from __future__ import annotations
 from collections.abc import Callable
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from rifflux_spark.functions import text_analysis as TA
 from rifflux_spark.operators.ann import ann_topk, bucketize, ivf_index, ivf_topk, train_centroids
@@ -321,6 +323,39 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode (not the deterministic fake): each doc gets a
+    synthetic PNG whose IHDR chunk encodes dimensions derived from its
+    doc_id; ``extract_media_meta`` must parse width/height out of the
+    BYTES (operators/multimodal.real_decode — stdlib struct over the
+    IHDR header, PNG spec §11.2.2) while the oracle recomputes the same
+    dimensions arithmetically. A decode bug cannot cancel out."""
+    import struct
+
+    @F.pandas_udf(T.BinaryType())
+    def png_bytes(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            w = 16 + int(d) % 512
+            h = 16 + (int(d) * 7) % 512
+            ihdr = struct.pack(">I", 13) + b"IHDR" + struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            out.append(b"\x89PNG\r\n\x1a\n" + ihdr)
+        return pd.Series(out)
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
+    media = docs.select(
+        "doc_id", png_bytes("doc_id").alias("payload"), F.lit("image").alias("media_type")
+    )
+    meta = extract_media_meta(media)
+    return meta.select(
+        "doc_id",
+        F.col("meta.format").alias("fmt"),
+        F.col("meta.width").cast("long").alias("width"),
+        F.col("meta.height").cast("long").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    ).orderBy("doc_id")
+
+
 # ------------------------------------------------------------- text analysis
 
 
@@ -479,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "multimodal_meta": q_multimodal_meta,
+        "png_decode": q_png_decode,
         "ngram_jaccard": q_ngram_jaccard,
         "fingerprint": q_fingerprint,
         "text_quality": q_text_quality,
@@ -729,6 +765,14 @@ SELECT doc_id,
        sha256(text) AS payload_sha256,
        64 + (CAST('0x' || substr(sha256(text), 1, 2) AS INTEGER) % 192) AS width,
        64 + (CAST('0x' || substr(sha256(text), 3, 2) AS INTEGER) % 192) AS height
+FROM documents WHERE doc_id < 40 ORDER BY doc_id
+""",
+        "png_decode": """
+SELECT doc_id,
+       'png' AS fmt,
+       16 + doc_id % 512 AS width,
+       16 + (doc_id * 7) % 512 AS height,
+       CAST(29 AS BIGINT) AS n_bytes
 FROM documents WHERE doc_id < 40 ORDER BY doc_id
 """,
         "dedup_exact": """

@@ -178,8 +178,20 @@ def _parse_blocks(markdown_text: str):
                 m2 = _LIST_RE.match(cur)
                 if m2:
                     parts.append(_inline_text((m2.group(3) or "").strip()))
-                elif cur.startswith("  ") or parts:
-                    # continuation (indented) or lazy continuation
+                elif cur.startswith("  "):
+                    # indented line: true item continuation content
+                    parts.append(_inline_text(cur.strip()))
+                elif parts and not (
+                    _HEADING_RE.match(cur)
+                    or _FENCE_RE.match(cur.strip())
+                    or _THEMATIC_RE.match(cur)
+                    or cur.strip().startswith(">")
+                ):
+                    # lazy continuation applies to PLAIN PARAGRAPH text
+                    # only (CommonMark): an ATX heading, fence, thematic
+                    # break, or blockquote INTERRUPTS the list — letting
+                    # it be swallowed here corrupted heading_path and
+                    # section boundaries vs the mistune reference
                     parts.append(_inline_text(cur.strip()))
                 else:
                     break

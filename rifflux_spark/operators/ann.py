@@ -101,9 +101,12 @@ def probe_buckets(query_vector, n_planes: int, seed: int, n_probe: int) -> list[
     planes whose sign they flip (Lv et al., multi-probe LSH) — a plane
     the query sits close to is the one most likely to misclassify a true
     neighbor, so flip it first. Deterministic; the exact (all-buckets)
-    case enumerates everything. For large n_planes only the 16
-    smallest-margin planes are considered for flipping, bounding the
-    enumeration at 2^16 masks."""
+    case enumerates everything. Probes are generated lazily best-first
+    (heap over flip subsets), so the per-query driver cost is O(n_probe
+    log n_probe) regardless of n_planes; only the 16 smallest-margin
+    planes are flip candidates."""
+    import heapq
+
     q = np.asarray(query_vector, dtype=np.float64)
     planes = hyperplanes(len(q), n_planes, seed)
     proj = planes @ q
@@ -112,16 +115,31 @@ def probe_buckets(query_vector, n_planes: int, seed: int, n_probe: int) -> list[
         base |= int(s) << i
     flip_order = np.argsort(np.abs(proj), kind="stable")[:16]
     margins = np.abs(proj)[flip_order]
-    scored: list[tuple[float, int]] = []
-    for bits in range(1 << len(flip_order)):
-        mask, score = 0, 0.0
-        for j in range(len(flip_order)):
-            if bits & (1 << j):
-                mask |= 1 << int(flip_order[j])
-                score += float(margins[j])
-        scored.append((score, mask))
-    scored.sort()
-    return [base ^ mask for _, mask in scored[:n_probe]]
+    L = len(flip_order)
+    # Best-first enumeration of flip SUBSETS in ascending total-margin
+    # order (the Lv et al. expand/shift scheme over margins sorted
+    # ascending): each heap pop yields the next-best probe, so exactly
+    # n_probe subsets are materialized — never all 2^L masks. A subset is
+    # encoded as a tuple of indices into flip_order; from (..., j) the
+    # successors are extend (..., j, j+1) and shift (..., j+1), which
+    # generate every subset exactly once.
+    out = [base]  # the empty flip set: the query's own bucket
+    if n_probe <= 1 or L == 0:
+        return out[:n_probe]
+    heap: list[tuple[float, tuple[int, ...]]] = [(float(margins[0]), (0,))]
+    while heap and len(out) < n_probe:
+        score, subset = heapq.heappop(heap)
+        mask = 0
+        for j in subset:
+            mask |= 1 << int(flip_order[j])
+        out.append(base ^ mask)
+        j = subset[-1]
+        if j + 1 < L:
+            heapq.heappush(heap, (score + float(margins[j + 1]), subset + (j + 1,)))
+            heapq.heappush(
+                heap, (score - float(margins[j]) + float(margins[j + 1]), subset[:-1] + (j + 1,))
+            )
+    return out
 
 
 def ann_topk(

@@ -48,10 +48,29 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def real_decode(payload: bytes, media_type: str):  # pragma: no cover
-    """The real codec seam. Container has no media libs — see module doc."""
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def real_decode(payload: bytes, media_type: str) -> dict:
+    """The real codec seam — stdlib-only where the container format
+    allows it: a PNG's width/height live in the IHDR chunk (the first
+    chunk after the 8-byte signature; big-endian u32 pair at bytes
+    16-24, PNG spec §11.2.2), so image dimensions decode with a struct
+    unpack and no media library. Everything else (JPEG entropy decode,
+    audio/video containers) needs PIL/soundfile/ffmpeg — wire them here;
+    callers fall back to the deterministic fake on NotImplementedError."""
+    import struct
+
+    if (
+        media_type == "image"
+        and len(payload) >= 24
+        and payload[:8] == _PNG_SIG
+        and payload[12:16] == b"IHDR"
+    ):
+        width, height = struct.unpack(">II", payload[16:24])
+        return {"format": "png", "width": int(width), "height": int(height)}
     raise NotImplementedError(
-        "media decoding requires PIL/soundfile/ffmpeg; wire them here"
+        "media decoding beyond PNG headers requires PIL/soundfile/ffmpeg; wire them here"
     )
 
 
@@ -70,11 +89,23 @@ def extract_media_meta(df: DataFrame, payload_col: str = "payload", media_type_c
             for payload, mtype in zip(pdf[payload_col], pdf[media_type_col]):
                 payload = bytes(payload) if payload is not None else b""
                 digest = hashlib.sha256(payload).digest()
+                # real decode first (PNG headers parse stdlib-only);
+                # non-decodable payloads keep the deterministic fake
+                try:
+                    decoded = real_decode(payload, mtype)
+                except NotImplementedError:
+                    decoded = None
                 w, h = _fake_dims(digest)
+                if decoded is not None:
+                    w, h = decoded["width"], decoded["height"]
                 metas.append(
                     {
                         "media_type": mtype,
-                        "format": {"image": "png", "audio": "wav", "video": "mp4"}.get(mtype),
+                        "format": (
+                            decoded["format"]
+                            if decoded is not None
+                            else {"image": "png", "audio": "wav", "video": "mp4"}.get(mtype)
+                        ),
                         "n_bytes": len(payload),
                         "sha256": digest.hex(),
                         "width": w if mtype in ("image", "video") else None,

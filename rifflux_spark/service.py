@@ -51,7 +51,19 @@ class SearchService:
         self.spark = spark
         self.config = config or EngineConfig()
         self.index_dir = index_dir
-        self.store = IndexStore(spark, index_dir, self.config.n_term_buckets)
+        # The index's persisted layout wins: a service config that
+        # disagrees would silently break bucket pruning, so on conflict
+        # auto-detect and align the config. Legacy indexes (no persisted
+        # layout) keep the caller's value.
+        try:
+            self.store = IndexStore(spark, index_dir, self.config.n_term_buckets)
+        except ValueError:
+            import dataclasses
+
+            self.store = IndexStore(spark, index_dir)
+            self.config = dataclasses.replace(
+                self.config, n_term_buckets=self.store.n_term_buckets
+            )
         self.embed_query = embed_query or (
             lambda q: hash_embed(q, dim=self.config.embedding_dim)
         )

@@ -72,3 +72,70 @@ def run_available_now(
     )
     query.awaitTermination()
     return results
+
+
+def run_continuous(
+    spark: SparkSession,
+    pages_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    config: EngineConfig | None = None,
+    with_embeddings: bool = True,
+    processing_interval: str = "1 second",
+    max_files_per_trigger: int = 64,
+    stop_after_batches: int | None = None,
+    timeout_s: float = 120.0,
+):
+    """The ALWAYS-ON watcher analog (reference watcher.py:35-243 live
+    loop): a ``processingTime`` trigger keeps polling ``pages_dir`` and
+    every non-empty micro-batch runs the same O(delta) incremental plan
+    — the drain-once semantics of :func:`run_available_now`, unattended.
+
+    ``stop_after_batches=N`` bounds the run (tests, maintenance
+    windows): the query stops after N applied batches or ``timeout_s``
+    and the per-batch metrics are returned. With ``None`` the live
+    StreamingQuery is returned immediately and the caller owns its
+    lifecycle (``session.graceful_shutdown`` stops it on driver exit,
+    S5)."""
+    import time
+
+    config = config or EngineConfig()
+    store = IndexStore(spark, index_dir, config.n_term_buckets)
+    results: list[dict] = []
+
+    stream = (
+        spark.readStream.schema(PAGES_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_dir)
+    )
+
+    def handle(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        metrics = apply_incremental(
+            spark,
+            store,
+            batch_df,
+            config,
+            with_embeddings=with_embeddings,
+            full_snapshot=False,
+        )
+        metrics["batch_id"] = batch_id
+        results.append(metrics)
+
+    query = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=processing_interval)
+        .start()
+    )
+    if stop_after_batches is None:
+        return query
+    try:
+        t0 = time.monotonic()
+        while len(results) < stop_after_batches and time.monotonic() - t0 < timeout_s:
+            time.sleep(0.2)
+    finally:
+        query.stop()
+        query.awaitTermination(30)
+    return results

@@ -67,7 +67,9 @@ def main() -> None:
         from rifflux_spark.plans.incremental import apply_incremental
         from rifflux_spark.sources.tables import IndexStore
 
-        store = IndexStore(spark, args.index_dir, base.n_term_buckets)
+        # None = auto-detect the build-time layout; an EXPLICIT
+        # --term-buckets that disagrees with the on-disk index errors
+        store = IndexStore(spark, args.index_dir, args.term_buckets)
         metrics = apply_incremental(
             spark, store, pages, base, with_embeddings=not args.no_embeddings
         )

@@ -114,3 +114,23 @@ def test_golden_list_interruption_rules() -> None:
 def test_golden_lazy_continuation_stays_in_list() -> None:
     text = "- item start\ncontinues lazily\n\nnew paragraph\n"
     assert _contents(text) == [("", "item startcontinues lazily\n\nnew paragraph")]
+
+
+def test_golden_heading_interrupts_list() -> None:
+    # CommonMark/mistune: an ATX heading interrupts a list — lazy
+    # continuation applies only to plain paragraph text. Without the
+    # interrupt the heading is swallowed into the item text and the
+    # section boundary (heading_path) is lost.
+    text = "# L\n\n- item one\n# Next\n\nafter heading text\n"
+    assert _contents(text) == [("L", "item one"), ("Next", "after heading text")]
+
+
+def test_golden_fence_quote_and_break_interrupt_list() -> None:
+    # the interrupted list and the interrupting block are SEPARATE nodes
+    # → their texts join with the reference's "\n\n" part separator
+    text = "# F\n\n- item a\n```py\ncode()\n```\n"
+    assert _contents(text) == [("F", "item a\n\n```py\ncode()\n\n```")]
+    text2 = "# Q\n\n- item b\n> quoted\n"
+    assert _contents(text2) == [("Q", "item b\n\nquoted")]
+    text3 = "# T\n\n- item c\n---\nafter break\n"
+    assert _contents(text3) == [("T", "item c\n\nafter break")]

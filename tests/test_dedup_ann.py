@@ -179,9 +179,41 @@ def test_multimodal_meta_and_features(spark) -> None:
     assert all(f["frame_ts_ms"] % 1000 == 0 for f in frames)
 
 
-def test_real_decode_is_explicit_stub() -> None:
+def test_real_decode_parses_png_ihdr(spark) -> None:
+    """A REAL committed PNG byte string (1×1 transparent pixel, full
+    valid file): real_decode must read width/height straight from the
+    IHDR header, and extract_media_meta must prefer those over the
+    deterministic fake. Non-PNG media still raise (explicit stub)."""
+    import struct
+
+    png_1x1 = bytes.fromhex(
+        "89504e470d0a1a0a0000000d49484452000000010000000108060000001f15c489"
+        "0000000d49444154789c626001000000ffff03000006000557bfabd4000000004945"
+        "4e44ae426082"
+    )
+    d = real_decode(png_1x1, "image")
+    assert d == {"format": "png", "width": 1, "height": 1}
+    # synthetic header with arbitrary dims parses too
+    hdr = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">IIBBBBB", 320, 200, 8, 2, 0, 0, 0)
+    )
+    assert real_decode(hdr, "image") == {"format": "png", "width": 320, "height": 200}
+
+    df = spark.createDataFrame(
+        [(0, png_1x1, "image"), (1, b"not a png", "image")],
+        "doc_id long, payload binary, media_type string",
+    )
+    meta = {r["doc_id"]: r["meta"] for r in extract_media_meta(df).collect()}
+    assert (meta[0]["width"], meta[0]["height"], meta[0]["format"]) == (1, 1, "png")
+    assert meta[1]["width"] is not None  # fake fallback still fills dims
+
     with pytest.raises(NotImplementedError):
         real_decode(b"x", "image")
+    with pytest.raises(NotImplementedError):
+        real_decode(png_1x1, "audio")
 
 
 def test_lsh_bucket_cap_bounds_pathological_corpus(spark) -> None:

@@ -148,3 +148,23 @@ def test_encode_shuffle_key_not_degenerate_with_sparse_ordinals(spark) -> None:
         for r in df.select(F.pmod(F.xxhash64("salt"), F.lit(k)).alias("s")).collect()
     }
     assert len(slices) == k  # all slices hit, not just slice 0
+
+
+def test_cap_buckets_adds_no_extra_shuffle(spark) -> None:
+    """_cap_buckets' window counts over the SAME key the self-join
+    shuffles on — Catalyst satisfies the join's distribution from the
+    window's exchange, so the capped plan has exactly as many exchanges
+    as the uncapped one (the 'no extra shuffle' claim, pinned)."""
+    import re
+
+    from rifflux_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    rows = [(i, f"some text document number {i} shared tokens alpha beta") for i in range(40)]
+    sigs = minhash_signatures(spark.createDataFrame(rows, "doc_id long, text string"))
+
+    def n_exchanges(df) -> int:
+        return len(set(re.findall(r"Exchange \(\d+\)", explain_str(df))))
+
+    capped = n_exchanges(lsh_candidate_pairs(sigs, max_bucket_size=100))
+    uncapped = n_exchanges(lsh_candidate_pairs(sigs, max_bucket_size=None))
+    assert capped == uncapped
