@@ -141,13 +141,71 @@ def explode_terms(tokenized: DataFrame) -> DataFrame:
     ).filter(F.col("term") != "")
 
 
+TF_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_ord", T.LongType(), False),
+        T.StructField("dl", T.IntegerType(), True),
+        T.StructField("tf", T.LongType(), False),
+    ]
+)
+
+
 def term_frequencies(tokenized: DataFrame) -> DataFrame:
-    """(term, doc_ord, dl, tf) — partial agg happens map-side before the
-    term/doc shuffle. dl rides along (functionally dependent on doc_ord)
-    so scoring data stays join-free."""
-    return explode_terms(tokenized).groupBy("term", "doc_ord", "dl").agg(
-        F.count("*").alias("tf")
-    )
+    """(term, doc_ord, dl, tf) — computed MAP-SIDE with ZERO shuffle.
+
+    tf is a per-DOCUMENT aggregate, and every token of a document sits in
+    one row of the staged chunk table — so no exchange is needed at all.
+    The former ``explode + groupBy(term, doc_ord)`` implementation
+    shuffled the fully-exploded token stream (~dl rows per doc; the
+    partial agg only helps within a task) and was the worst-scaling
+    stage of the build on a bandwidth-throttled host (2→8 cores: 1.8× of
+    the 4× ideal, vs 2.6-3.5× for the map stages — BENCH.md). This
+    version is one ``mapInArrow`` pass: Arrow-native split of the token
+    stream (no Python string objects), ``dictionary_encode`` as the term
+    factorizer (C++ hash), and one np.unique over packed
+    (row, term_code) int64 keys for the per-doc counts. dl rides along
+    (functionally dependent on doc_ord) so scoring stays join-free."""
+
+    def gen(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            toks = pc.fill_null(rb.column("tokens"), "")
+            split = pc.split_pattern(toks, " ")
+            lens = pc.list_value_length(split).to_numpy().astype(np.int64)
+            flat = pc.list_flatten(split)
+            dic = pc.dictionary_encode(flat)
+            codes = dic.combine_chunks().indices.to_numpy().astype(np.int64) \
+                if isinstance(dic, pa.ChunkedArray) else dic.indices.to_numpy().astype(np.int64)
+            vocab = dic.combine_chunks().dictionary if isinstance(dic, pa.ChunkedArray) else dic.dictionary
+            n_vocab = len(vocab)
+            row_idx = np.repeat(np.arange(rb.num_rows, dtype=np.int64), lens)
+            # empty-string tokens (blank streams) are not terms
+            empty_mask = pc.equal(vocab, "").to_numpy(zero_copy_only=False)
+            empty_code = int(np.flatnonzero(empty_mask)[0]) if empty_mask.any() else -1
+            if empty_code >= 0:
+                keep = codes != empty_code
+                codes, row_idx = codes[keep], row_idx[keep]
+            key, counts = np.unique(row_idx * n_vocab + codes, return_counts=True)
+            d_i = key // n_vocab
+            c_i = key % n_vocab
+            doc_ord = rb.column("doc_ord").to_numpy()[d_i]
+            dl = rb.column("dl").to_numpy(zero_copy_only=False)[d_i]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.take(vocab, pa.array(c_i)),
+                    pa.array(doc_ord, pa.int64()),
+                    pa.array(dl, pa.int32()),
+                    pa.array(counts.astype(np.int64), pa.int64()),
+                ],
+                names=["term", "doc_ord", "dl", "tf"],
+            )
+
+    return tokenized.select("doc_ord", "dl", "tokens").mapInArrow(gen, schema=TF_SCHEMA)
 
 
 def encode_postings(tf: DataFrame, config: EngineConfig) -> DataFrame:

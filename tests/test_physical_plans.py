@@ -114,9 +114,11 @@ def test_encode_postings_single_shuffle_and_bounded_files(spark, store, tmp_path
     tokenized = store.chunks().select("doc_ord", "dl", "tokens")
     blocks = encode_postings(term_frequencies(tokenized), CONFIG)
     plan = explain_str(blocks)
-    # exactly two exchanges end-to-end: the tf partial→final agg shuffle
-    # and the (term_bucket, salt_slice) encode shuffle — nothing more
-    assert len(set(re.findall(r"Exchange \(\d+\)", plan))) == 2, plan
+    # exactly ONE exchange end-to-end: the (term_bucket, salt_slice)
+    # encode shuffle. tf is computed map-side (per-doc aggregate — zero
+    # shuffle; the old explode+groupBy exchanged the exploded token
+    # stream and was the worst-scaling stage on a throttled host)
+    assert len(set(re.findall(r"Exchange \(\d+\)", plan))) == 1, plan
     # the encode (MapInPandas) is the plan root: NO exchange sits above
     # it, i.e. the encoded block bytes are never reshuffled
     tree_root = plan.split("AdaptiveSparkPlan", 1)[1].splitlines()[1]
