@@ -2,10 +2,13 @@
 
 The reference persists everything in one SQLite file (reference
 src/rifflux/db/schema.sql); the rebuild persists columnar tables under an
-index root directory. In the sandbox this is parquet-by-path; on a cluster
-the same calls target Iceberg (``df.writeTo(table)``) — the seam isolates
-that choice. Explicit StructType schemas everywhere; no inference on the
-hot path (SURVEY.md §1.2).
+index root directory, resolved through an atomic snapshot manifest
+(sources/manifest.py): every mutation writes immutable generation dirs
+and publishes one pointer swap, so readers get the WAL-grade isolation
+the reference inherits from SQLite. On a cluster the same calls target
+Iceberg (``df.writeTo(table)`` — the manifest maps 1:1 onto a snapshot
+commit) — the seam isolates that choice. Explicit StructType schemas
+everywhere; no inference on the hot path (SURVEY.md §1.2).
 
 Physical layout decisions that matter at 10^12 docs:
 
@@ -677,6 +680,9 @@ class IndexStore:
             for line in f.read_text(encoding="utf-8").splitlines():
                 if line.strip():
                     out.append(json.loads(line))
+        # file names are uuid-random — return rows in event order so a
+        # lifecycle read (started → completed) is chronological
+        out.sort(key=lambda r: (r.get("finished_at") or ""))
         return out
 
     # --- readers (resolve the current snapshot via the manifest) ---

@@ -33,6 +33,13 @@ def main() -> None:
     ap.add_argument("--incremental", action="store_true", help="diff-apply against the existing index instead of building")
     ap.add_argument("--force", action="store_true", help="destructive rebuild (wipes index-dir; refuses non-index dirs)")
     ap.add_argument("--no-embeddings", action="store_true")
+    ap.add_argument(
+        "--gc",
+        action="store_true",
+        help="after the build/apply, reclaim generation dirs the current "
+        "manifest snapshot no longer references (run once in-flight "
+        "readers of older snapshots are done)",
+    )
     ap.add_argument("--embedding-dim", type=int, default=None)
     ap.add_argument("--block-size", type=int, default=None)
     ap.add_argument("--salt-range", type=int, default=None)
@@ -84,6 +91,10 @@ def main() -> None:
             with_embeddings=not args.no_embeddings,
             force=args.force,
         )
+    if args.gc:
+        from rifflux_spark.sources.tables import IndexStore
+
+        metrics["gc"] = IndexStore(spark, args.index_dir).gc()
     print(json.dumps(metrics, default=str))
 
 
