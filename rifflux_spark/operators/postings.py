@@ -150,6 +150,59 @@ TF_SCHEMA = T.StructType(
     ]
 )
 
+# Map-side packed postings: ONE row per (term, salt, source-batch) with
+# the postings as little-endian binary arrays (doc offsets within the
+# salt range as u4, tf/dl as u2 — validated). ~8 bytes/posting through
+# the encode shuffle instead of a ~64-byte UnsafeRow per posting: the
+# encode exchange is the build's ONLY shuffle, and on a
+# bandwidth-throttled host its byte volume IS the scaling ceiling.
+PACKED_TF_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("salt", T.LongType(), False),
+        T.StructField("first_doc", T.LongType(), False),
+        T.StructField("n", T.IntegerType(), False),
+        T.StructField("tf_sum", T.LongType(), False),
+        T.StructField("doc_offs", T.BinaryType(), False),  # u4 LE
+        T.StructField("tfs", T.BinaryType(), False),  # u2 LE
+        T.StructField("dls", T.BinaryType(), False),  # u2 LE
+    ]
+)
+
+_U2_MAX = (1 << 16) - 1
+
+
+def _pack_groups(codes, docs, tfs, dls, vocab, salt_range: int):
+    """Vectorized packing of (term-code, doc, tf, dl) arrays into
+    PACKED_TF_SCHEMA arrow arrays. Input need not be sorted."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    salts = docs // salt_range
+    perm = np.lexsort((docs, salts, codes))
+    c_s, d_s, t_s, dl_s, salt_s = codes[perm], docs[perm], tfs[perm], dls[perm], salts[perm]
+    if t_s.size and (int(t_s.max()) > _U2_MAX or int(dl_s.max()) > _U2_MAX):
+        raise ValueError(
+            "packed postings require tf and dl < 65536 per chunk — "
+            "max_chunk_chars is far beyond any sane configuration"
+        )
+    change = np.flatnonzero((c_s[1:] != c_s[:-1]) | (salt_s[1:] != salt_s[:-1])) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(c_s)]))
+    offs_b = (d_s - salt_s * salt_range).astype("<u4").tobytes()
+    tfs_b = t_s.astype("<u2").tobytes()
+    dls_b = dl_s.astype("<u2").tobytes()
+    return [
+        pc.take(vocab, pa.array(c_s[starts])),
+        pa.array(salt_s[starts], pa.int64()),
+        pa.array(d_s[starts], pa.int64()),
+        pa.array((ends - starts).astype(np.int32), pa.int32()),
+        pa.array(np.add.reduceat(t_s, starts) if len(c_s) else np.array([], np.int64), pa.int64()),
+        pa.array([offs_b[4 * s : 4 * e] for s, e in zip(starts, ends)], pa.binary()),
+        pa.array([tfs_b[2 * s : 2 * e] for s, e in zip(starts, ends)], pa.binary()),
+        pa.array([dls_b[2 * s : 2 * e] for s, e in zip(starts, ends)], pa.binary()),
+    ]
+
 
 def term_frequencies(tokenized: DataFrame) -> DataFrame:
     """(term, doc_ord, dl, tf) — computed MAP-SIDE with ZERO shuffle.
@@ -174,27 +227,7 @@ def term_frequencies(tokenized: DataFrame) -> DataFrame:
         for rb in batches:
             if rb.num_rows == 0:
                 continue
-            toks = pc.fill_null(rb.column("tokens"), "")
-            split = pc.split_pattern(toks, " ")
-            lens = pc.list_value_length(split).to_numpy().astype(np.int64)
-            flat = pc.list_flatten(split)
-            dic = pc.dictionary_encode(flat)
-            codes = dic.combine_chunks().indices.to_numpy().astype(np.int64) \
-                if isinstance(dic, pa.ChunkedArray) else dic.indices.to_numpy().astype(np.int64)
-            vocab = dic.combine_chunks().dictionary if isinstance(dic, pa.ChunkedArray) else dic.dictionary
-            n_vocab = len(vocab)
-            row_idx = np.repeat(np.arange(rb.num_rows, dtype=np.int64), lens)
-            # empty-string tokens (blank streams) are not terms
-            empty_mask = pc.equal(vocab, "").to_numpy(zero_copy_only=False)
-            empty_code = int(np.flatnonzero(empty_mask)[0]) if empty_mask.any() else -1
-            if empty_code >= 0:
-                keep = codes != empty_code
-                codes, row_idx = codes[keep], row_idx[keep]
-            key, counts = np.unique(row_idx * n_vocab + codes, return_counts=True)
-            d_i = key // n_vocab
-            c_i = key % n_vocab
-            doc_ord = rb.column("doc_ord").to_numpy()[d_i]
-            dl = rb.column("dl").to_numpy(zero_copy_only=False)[d_i]
+            c_i, doc_ord, dl, counts, vocab = _tf_arrays(rb)
             yield pa.RecordBatch.from_arrays(
                 [
                     pc.take(vocab, pa.array(c_i)),
@@ -208,52 +241,152 @@ def term_frequencies(tokenized: DataFrame) -> DataFrame:
     return tokenized.select("doc_ord", "dl", "tokens").mapInArrow(gen, schema=TF_SCHEMA)
 
 
+def _tf_arrays(rb):
+    """Per-batch tf kernel: (term_code, doc_ord, dl, tf, vocab) arrays.
+    Arrow-native token split + dictionary_encode, one np.unique over
+    packed (row, code) int64 keys."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    toks = pc.fill_null(rb.column("tokens"), "")
+    split = pc.split_pattern(toks, " ")
+    lens = pc.list_value_length(split).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(split)
+    dic = pc.dictionary_encode(flat)
+    if isinstance(dic, pa.ChunkedArray):
+        dic = dic.combine_chunks()
+    codes = dic.indices.to_numpy().astype(np.int64)
+    vocab = dic.dictionary
+    n_vocab = len(vocab)
+    row_idx = np.repeat(np.arange(rb.num_rows, dtype=np.int64), lens)
+    # empty-string tokens (blank streams) are not terms
+    empty_mask = pc.equal(vocab, "").to_numpy(zero_copy_only=False)
+    empty_code = int(np.flatnonzero(empty_mask)[0]) if empty_mask.any() else -1
+    if empty_code >= 0:
+        keep = codes != empty_code
+        codes, row_idx = codes[keep], row_idx[keep]
+    key, counts = np.unique(row_idx * n_vocab + codes, return_counts=True)
+    d_i = key // n_vocab
+    c_i = key % n_vocab
+    doc_ord = rb.column("doc_ord").to_numpy()[d_i]
+    dl = rb.column("dl").to_numpy(zero_copy_only=False)[d_i]
+    return c_i, doc_ord, dl, counts, vocab
+
+
+def packed_term_frequencies(tokenized: DataFrame, config: EngineConfig) -> DataFrame:
+    """Map-side tf packed into per-(term, salt, batch) binary arrays
+    (PACKED_TF_SCHEMA) — same kernel as :func:`term_frequencies`, but
+    the output ships ~8 bytes/posting instead of one row/posting. Packs
+    from different batches/partitions cover pairwise doc-disjoint ranges
+    (batches are consecutive rows of the doc_ord-sorted chunk table), so
+    the encoder just orders packs by ``first_doc`` and concatenates —
+    and verifies sortedness, so arbitrary inputs stay correct."""
+    salt_range = int(config.salt_range)
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            c_i, doc_ord, dl, counts, vocab = _tf_arrays(rb)
+            arrays = _pack_groups(
+                c_i, doc_ord.astype(np.int64), counts.astype(np.int64),
+                dl.astype(np.int64), vocab, salt_range,
+            )
+            yield pa.RecordBatch.from_arrays(arrays, names=[f.name for f in PACKED_TF_SCHEMA.fields])
+
+    return tokenized.select("doc_ord", "dl", "tokens").mapInArrow(gen, schema=PACKED_TF_SCHEMA)
+
+
+def pack_tf(tf: DataFrame, config: EngineConfig) -> DataFrame:
+    """Pack a THIN (term, doc_ord, dl, tf) frame into PACKED_TF_SCHEMA
+    (batch-local groups; any row order). Lets hand-built tf frames and
+    the incremental delta path share the packed encoder."""
+    salt_range = int(config.salt_range)
+
+    def gen(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            dic = pc.dictionary_encode(rb.column("term"))
+            if isinstance(dic, pa.ChunkedArray):
+                dic = dic.combine_chunks()
+            arrays = _pack_groups(
+                dic.indices.to_numpy().astype(np.int64),
+                rb.column("doc_ord").to_numpy().astype(np.int64),
+                rb.column("tf").to_numpy().astype(np.int64),
+                rb.column("dl").to_numpy(zero_copy_only=False).astype(np.int64),
+                dic.dictionary,
+                salt_range,
+            )
+            yield pa.RecordBatch.from_arrays(arrays, names=[f.name for f in PACKED_TF_SCHEMA.fields])
+
+    return tf.select("term", "doc_ord", "dl", "tf").mapInArrow(gen, schema=PACKED_TF_SCHEMA)
+
+
 def encode_postings(tf: DataFrame, config: EngineConfig) -> DataFrame:
-    """Salted-run block encoding. Each (term, salt) group holds at most
-    ``salt_range`` postings — bounded memory regardless of term skew.
+    """Salted-run block encoding over PACKED postings. Each (term, salt)
+    group holds at most ``salt_range`` postings — bounded memory
+    regardless of term skew. Accepts a thin (term, doc_ord, dl, tf)
+    frame too (packed on the fly via :func:`pack_tf`).
 
-    Physical shape: ONE shuffle keyed on ``(term_bucket, salt_slice)`` +
-    sortWithinPartitions(term_bucket, term, salt, doc_ord), so every
-    (term, salt) group arrives contiguous and doc-ordered AND the output
-    block rows are already clustered+sorted by their ``term_bucket``
-    partition value — ``write_postings`` streams them straight into the
-    partitioned table with no second shuffle of the encoded bytes (the
-    encoded blocks ARE the index payload; re-shuffling them doubled the
-    stage's byte traffic). ``salt_slice = salt % n_bucket_splits`` keeps a
-    hot term's groups spread over ``n_bucket_splits`` tasks (skew) while
-    bounding the table at ≤ buckets × splits files regardless of cluster
-    size — a per-(task, bucket) file scheme would write
-    O(executors × buckets) files and serialize the commit at 1000
-    executors.
+    Physical shape: ONE shuffle keyed on ``(term_bucket, salt_slice)``
+    carrying PACKS (~8 bytes/posting as binary arrays instead of a
+    ~64-byte row/posting — the exchange is the build's only shuffle and
+    its byte volume is the scaling ceiling on bandwidth-bound hosts) +
+    sortWithinPartitions(term_bucket, term, salt, first_doc), so every
+    (term, salt) group's packs arrive contiguous in doc-range order AND
+    the output block rows are already clustered+sorted by their
+    ``term_bucket`` partition value — ``write_postings`` streams them
+    straight into the partitioned table with no second shuffle of the
+    encoded bytes. ``salt_slice = pmod(xxhash64(salt), n_bucket_splits)``
+    keeps a hot term's groups spread over ``n_bucket_splits`` tasks
+    (skew) while bounding the table at ≤ buckets × splits files
+    regardless of cluster size. (The hash-mix matters: with sparse
+    ordinals (pid·2⁴⁰ + i) the salts are pid·2²⁶ + j and a plain
+    ``salt % k`` collapses to 0 — measured straggler pathology.)
 
-    The encode itself is ONE streaming ``mapInPandas`` over the sorted
-    partitions: numpy slicing per Arrow batch with a carry for the group a
-    batch boundary splits. groupBy().applyInPandas would pay per-group
-    pandas/Arrow machinery — with a realistic open vocabulary most groups
-    are tiny and that overhead dominated the stage (measured 5-7×); the
-    stream encoder pays it once per Arrow batch.
+    The encode is ONE streaming ``mapInPandas`` over the sorted
+    partitions: per (term, salt) group the packs' offset arrays are
+    unpacked, concatenated (packs cover disjoint doc ranges; sortedness
+    is verified and repaired if an arbitrary input violates it) and cut
+    into ``block_size`` blocks.
     """
+    if "doc_ord" in tf.columns:
+        tf = pack_tf(tf, config)
     block_size = config.block_size
-    cols = ["term_bucket", "term", "salt", "doc_ord", "tf", "dl"]
+    salt_range = int(config.salt_range)
+    cols = ["term_bucket", "term", "salt", "first_doc", "doc_offs", "tfs", "dls"]
 
     def encode_body(pdf: pd.DataFrame) -> pd.DataFrame:
         terms = pdf["term"].to_numpy()
         buckets = pdf["term_bucket"].to_numpy(dtype=np.int32)
         salts = pdf["salt"].to_numpy(dtype=np.int64)
-        docs = pdf["doc_ord"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dls = pdf["dl"].to_numpy(dtype=np.int64)
         change = np.flatnonzero((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])) + 1
         starts = np.concatenate(([0], change))
         ends = np.concatenate((change, [len(pdf)]))
+        offs_col = pdf["doc_offs"].to_numpy()
+        tfs_col = pdf["tfs"].to_numpy()
+        dls_col = pdf["dls"].to_numpy()
         out = {k: [] for k in (
             "term", "salt", "block_seq", "n_docs", "first_doc", "last_doc",
             "gaps", "tfs", "dls", "block_max_tf", "block_min_dl",
             "block_tf_sum", "term_bucket",
         )}
         for s, e in zip(starts, ends):
-            for seq, b0 in enumerate(range(s, e, block_size)):
-                b1 = min(b0 + block_size, e)
+            offs = np.frombuffer(b"".join(offs_col[s:e]), dtype="<u4").astype(np.int64)
+            docs = salts[s] * salt_range + offs
+            tfs = np.frombuffer(b"".join(tfs_col[s:e]), dtype="<u2").astype(np.int64)
+            dls = np.frombuffer(b"".join(dls_col[s:e]), dtype="<u2").astype(np.int64)
+            if docs.size > 1 and not np.all(docs[1:] > docs[:-1]):
+                order = np.argsort(docs, kind="stable")
+                docs, tfs, dls = docs[order], tfs[order], dls[order]
+            for seq, b0 in enumerate(range(0, len(docs), block_size)):
+                b1 = min(b0 + block_size, len(docs))
                 blk = encode_block(docs[b0:b1], tfs[b0:b1], dls[b0:b1])
                 out["term"].append(terms[s])
                 out["salt"].append(int(salts[s]))
@@ -285,26 +418,15 @@ def encode_postings(tf: DataFrame, config: EngineConfig) -> DataFrame:
         if carry is not None and len(carry):
             yield encode_body(carry)
 
-    salted = tf.select(
-        F.pmod(F.xxhash64("term"), F.lit(config.n_term_buckets)).cast("int").alias("term_bucket"),
-        "term",
-        # integer `div`, not double division: doc ordinals are sparse
-        # (pid·2⁴⁰ + i) and a double mantissa loses exactness past 2⁵³
-        F.expr(f"doc_ord div {int(config.salt_range)}").alias("salt"),
-        "doc_ord",
-        "tf",
-        "dl",
+    salted = tf.withColumn(
+        "term_bucket",
+        F.pmod(F.xxhash64("term"), F.lit(config.n_term_buckets)).cast("int"),
     ).withColumn(
-        # hash-mix the salt before slicing: with sparse ordinals
-        # (pid·2⁴⁰ + i) the salts are pid·2²⁶ + j, and a plain
-        # `salt % k` is ≡ 0 for every row when k divides 2²⁶ — the
-        # shuffle key would collapse to the bucket alone (measured:
-        # bucket-collision stragglers halved one shard's scaling)
         "salt_slice",
         F.pmod(F.xxhash64("salt"), F.lit(int(config.n_bucket_splits))),
     )
     parted = salted.repartition("term_bucket", "salt_slice").sortWithinPartitions(
-        "term_bucket", "term", "salt", "doc_ord"
+        "term_bucket", "term", "salt", "first_doc"
     )
     return parted.select(*cols).mapInPandas(encode_stream, schema=POSTINGS_BUCKETED_SCHEMA)
 

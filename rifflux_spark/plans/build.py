@@ -41,7 +41,7 @@ from rifflux_spark.operators.doc_ids import sparse_ordinals
 from rifflux_spark.operators.postings import (
     chunk_pages,
     encode_postings,
-    term_frequencies,
+    packed_term_frequencies,
     term_stats_from_blocks,
     with_tokens,
 )
@@ -258,7 +258,10 @@ def build_index(
         # the staging table is deleted once every consumer committed, so a
         # resume whose lineage predates that cleanup must re-derive it
         if "tf_stage" not in done or not store.exists("tf_stage"):
-            tf = term_frequencies(tokenized).withColumn(
+            # PACKED tf (map-side, zero shuffle, ~8 bytes/posting): the
+            # staging table and the encode exchange both carry binary
+            # pack arrays instead of one row per posting
+            tf = packed_term_frequencies(tokenized, config).withColumn(
                 "shard",
                 (F.pmod(F.xxhash64("term"), F.lit(config.n_term_buckets))
                  % config.n_build_shards).cast("int"),

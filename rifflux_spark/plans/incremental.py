@@ -60,7 +60,7 @@ from rifflux_spark.operators.doc_ids import PARTITION_ORD_STRIDE, sparse_ordinal
 from rifflux_spark.operators.postings import (
     chunk_pages,
     encode_postings,
-    term_frequencies,
+    packed_term_frequencies,
     term_stats_from_blocks,
     with_tokens,
 )
@@ -234,13 +234,18 @@ def apply_incremental(
             )
             staged_new = store.chunks().filter(F.col("doc_ord") >= base)
 
-            tf = term_frequencies(staged_new.select("doc_ord", "dl", "tokens"))
-            blocks = encode_postings(tf, config)
+            packed = packed_term_frequencies(
+                staged_new.select("doc_ord", "dl", "tokens"), config
+            )
+            blocks = encode_postings(packed, config)
             store.write_postings(blocks, mode="append")
             agg = staged_new.agg(F.count("*").alias("n"), F.sum("dl").alias("sdl")).collect()[0]
             n_appended, dl_plus = int(agg["n"]), int(agg["sdl"] or 0)
-            plus_ts = term_frequencies(staged_new.select("doc_ord", "dl", "tokens")).groupBy("term").agg(
-                F.count("*").cast("long").alias("d_df"), F.sum("tf").cast("long").alias("d_cf")
+            # +stats straight off the packs (n = df contribution per
+            # pack, tf_sum = cf) — no second tokenize/explode pass
+            plus_ts = packed.groupBy("term").agg(
+                F.sum("n").cast("long").alias("d_df"),
+                F.sum("tf_sum").cast("long").alias("d_cf"),
             )
 
             if with_embeddings:
@@ -526,8 +531,7 @@ def vacuum(spark: SparkSession, store: IndexStore, config: EngineConfig | None =
     # once, and old generations survive for in-flight readers until gc.
     with store.transaction():
         live = _live_chunks(store).select("doc_ord", "dl", "tokens")
-        tf = term_frequencies(live)
-        blocks = encode_postings(tf, config)
+        blocks = encode_postings(packed_term_frequencies(live, config), config)
         # encode output is already clustered+sorted by term_bucket —
         # write-through into a fresh full-table generation
         gen = store._new_gen_dir("postings")

@@ -100,6 +100,17 @@ class Manifest:
             (hist / f"v{out['version']:08d}.json").write_text(payload, encoding="utf-8")
             return out
 
+    def load_version(self, version: int) -> dict:
+        """Load a PAST snapshot from the history dir (time travel — the
+        Iceberg snapshot-id read). Raises FileNotFoundError if that
+        version's history file was gc'd."""
+        f = self.root / HISTORY_DIR / f"v{int(version):08d}.json"
+        if not f.exists():
+            raise FileNotFoundError(
+                f"snapshot v{version} not found (gc'd or never committed) at {f}"
+            )
+        return json.loads(f.read_text(encoding="utf-8"))
+
     def referenced_dirs(self) -> set[str]:
         """Every store-relative data dir the CURRENT snapshot references."""
         out: set[str] = set()

@@ -236,12 +236,15 @@ class IndexStore:
             return self._pinned.get(name)
         return self.manifest.entry(name)
 
-    def read_snapshot(self):
-        """Pin the CURRENT committed snapshot for every read on this
-        thread until exit — one logical operation (a search: stats +
-        term_stats + postings + chunks) resolves a single manifest
-        version even if a writer commits mid-flight. Re-entrant: an
-        outer pin wins, so nested service calls stay on one snapshot."""
+    def read_snapshot(self, version: int | None = None):
+        """Pin a committed snapshot for every read on this thread until
+        exit — one logical operation (a search: stats + term_stats +
+        postings + chunks) resolves a single manifest version even if a
+        writer commits mid-flight. ``version`` pins a PAST snapshot from
+        the manifest history (time travel, the Iceberg snapshot-id read;
+        valid until :meth:`gc` reclaims that generation's files).
+        Re-entrant: an outer pin wins, so nested service calls stay on
+        one snapshot."""
         import contextlib
 
         @contextlib.contextmanager
@@ -249,7 +252,12 @@ class IndexStore:
             if self._pinned is not None:
                 yield self
                 return
-            self._pinned = self.manifest.load()["tables"]
+            state = (
+                self.manifest.load()
+                if version is None
+                else self.manifest.load_version(version)
+            )
+            self._pinned = state["tables"]
             try:
                 yield self
             finally:

@@ -174,3 +174,37 @@ def test_compact_with_large_tombstone_set(spark, tmp_path_factory) -> None:
     build_index(spark, nxt, full_dir, CONFIG, with_embeddings=False)
     for q in ["cache ttl", "the data"]:
         assert _lex(spark, index_dir, q) == _lex(spark, full_dir, q), q
+
+
+def test_snapshot_time_travel(spark, tmp_path_factory) -> None:
+    """read_snapshot(version=N) pins a PAST committed snapshot (Iceberg
+    snapshot-id read): after an apply that deletes docs, the old version
+    still answers with the pre-apply result set — until gc reclaims it."""
+    pages = synthetic_pages(spark, 30, seed=25)
+    index_dir = str(tmp_path_factory.mktemp("timetravel"))
+    build_index(spark, pages, index_dir, CONFIG)
+    store = IndexStore(spark, index_dir, CONFIG.n_term_buckets)
+    v_before = store.manifest.version()
+    old = _lex(spark, index_dir, "cache ttl")
+
+    apply_incremental(spark, store, pages.filter(F.xxhash64("url") % 3 != 0), CONFIG)
+    new = _lex(spark, index_dir, "cache ttl")
+    assert new != old
+
+    # a service bound to the old snapshot reproduces the old results
+    svc = SearchService(spark, index_dir, CONFIG)
+    with store.read_snapshot(version=v_before):
+        # the old snapshot has no tombstones: its LIVE set is the full
+        # pre-delete corpus
+        n_old_live = store.live_chunks().count()
+    assert n_old_live > store.live_chunks().count()
+    with svc.store.read_snapshot(version=v_before):
+        got = tuple(
+            (r["chunk_id"], round(r["bm25_score"], 6))
+            for r in svc.lexical("cache ttl", top_k=5)
+        )
+    assert got == old
+
+    # unknown version errors clearly
+    with pytest.raises(FileNotFoundError):
+        store.manifest.load_version(10_000)

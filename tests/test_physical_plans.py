@@ -170,3 +170,31 @@ def test_cap_buckets_adds_no_extra_shuffle(spark) -> None:
     capped = n_exchanges(lsh_candidate_pairs(sigs, max_bucket_size=100))
     uncapped = n_exchanges(lsh_candidate_pairs(sigs, max_bucket_size=None))
     assert capped == uncapped
+
+
+def test_packed_encode_bit_identical_to_thin(spark, store) -> None:
+    """The packed shuffle format (binary arrays, ~8 B/posting) must
+    produce byte-identical block rows to the thin one-row-per-posting
+    path — the wire format is an optimization, never a semantic."""
+    from rifflux_spark.operators.postings import (
+        encode_postings,
+        packed_term_frequencies,
+        term_frequencies,
+    )
+
+    tok = store.chunks().select("doc_ord", "dl", "tokens")
+
+    def key(df):
+        return {
+            (r["term"], r["salt"], r["block_seq"]): (
+                r["n_docs"], r["first_doc"], r["last_doc"],
+                bytes(r["gaps"]), bytes(r["tfs"]), bytes(r["dls"]),
+                r["block_max_tf"], r["block_min_dl"], r["block_tf_sum"],
+                r["term_bucket"],
+            )
+            for r in df.collect()
+        }
+
+    thin = key(encode_postings(term_frequencies(tok), CONFIG))
+    packed = key(encode_postings(packed_term_frequencies(tok, CONFIG), CONFIG))
+    assert thin and thin == packed
