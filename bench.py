@@ -301,7 +301,7 @@ def run_scaling_pair(
         mem_pre = mem_scaling(lo_cpus, hi_cpus)
         if mem_pre["efficiency"] >= gate_floor or attempts >= gate_tries:
             break
-        time.sleep(45)
+        time.sleep(60)
     window_ok = mem_pre["efficiency"] >= gate_floor
     host_pre = cpu_scaling(lo_cpus, hi_cpus)
     kern_pre = kernel_scaling(lo_cpus, hi_cpus)
@@ -417,7 +417,7 @@ def main() -> None:
     scale_iters = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "3")))
     scale_iters2 = int(os.environ.get("SPARK_GRAFT_SCALE_ITERS2", "1"))
     gate_floor = float(os.environ.get("SPARK_GRAFT_GATE_MEM", "0.55"))
-    gate_tries = int(os.environ.get("SPARK_GRAFT_GATE_TRIES", "4"))
+    gate_tries = int(os.environ.get("SPARK_GRAFT_GATE_TRIES", "6"))
     stress_docs = int(os.environ.get("SPARK_GRAFT_STRESS_DOCS", "200000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
 
