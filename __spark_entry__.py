@@ -381,6 +381,17 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget subsample (training-data curation):
+    docs taken in md5(text) order until 15k cumulative tokens, via the
+    two-phase bucket cumsum (functions/text_analysis.token_budget_sample
+    — no single-partition global window). The oracle reproduces it with
+    one QUALIFY window, which is equivalent because the bucket order IS
+    the hash-prefix order."""
+    docs = _docs(spark, sf_dir)
+    return TA.token_budget_sample(docs, budget=15_000).orderBy("doc_id")
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 30)
     return docs.select(
@@ -520,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
+        "token_budget_sample": q_token_budget_sample,
         "source_filter": q_source_filter,
         "metadata_kv": q_metadata_kv,
         "incremental_diff": q_incremental_diff,
@@ -867,6 +879,18 @@ SELECT doc_id,
        len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_ws_tokens,
        len(regexp_extract_all(text, {_BPE_SQL})) AS n_bpe_tokens
 FROM documents WHERE doc_id < 30 ORDER BY doc_id
+""",
+        "token_budget_sample": f"""
+WITH t AS (
+  SELECT doc_id, CAST({_DL_EXPR} AS BIGINT) AS n_tokens, md5(text) AS h
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       SUM(n_tokens) OVER (ORDER BY h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+FROM t
+QUALIFY cum_tokens <= 15000
+ORDER BY doc_id
 """,
         "source_filter": """
 SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars

@@ -103,3 +103,55 @@ def fingerprint(text: Column, n: int = 5) -> Column:
     grams = shingles(text, n)
     hashed = F.transform(grams, lambda g: F.md5(g))
     return F.when(F.size(grams) > 0, F.array_min(hashed)).otherwise(F.md5(F.coalesce(text, F.lit(""))))
+
+
+def token_budget_sample(
+    df,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Deterministic token-budget subsample: take documents in md5(text)
+    order until the cumulative token count reaches ``budget`` — the
+    standard "give me N tokens of this corpus, reproducibly" curation
+    primitive for training-data pipelines (hash order ≈ an unbiased
+    shuffle that every re-run and every engine agrees on).
+
+    Scale shape: a naive ``SUM() OVER (ORDER BY hash)`` is a
+    single-partition global window. This runs the classic two-phase
+    cumulative sum instead (same pattern as operators/doc_ids): the hash
+    PREFIX byte is the range bucket (bucket order == hash order by
+    construction), per-bucket running sums are a partitioned window, the
+    256 bucket totals prefix-sum on the driver, and a broadcast offset
+    join finishes the global cumsum — every stage is
+    bucket-parallel. Ties (identical texts) break on ``id_col``.
+
+    Returns (id_col, n_tokens, cum_tokens) for the selected docs.
+    """
+    from pyspark.sql import Window
+
+    t = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        F.md5(F.col(text_col)).alias("h"),
+    ).withColumn("bucket", F.conv(F.substring("h", 1, 2), 16, 10).cast("int"))
+    w = Window.partitionBy("bucket").orderBy("h", id_col)
+    t = t.withColumn("local_cum", F.sum("n_tokens").over(w))
+    totals = {
+        int(r["bucket"]): int(r["s"])
+        for r in t.groupBy("bucket").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    acc, offsets = 0, {}
+    for b in sorted(totals):
+        offsets[b] = acc
+        acc += totals[b]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(b, o) for b, o in offsets.items()], "bucket int, _off long"
+    )
+    return (
+        t.join(F.broadcast(off_df), on="bucket", how="inner")
+        .withColumn("cum_tokens", F.col("_off") + F.col("local_cum"))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(id_col, "n_tokens", "cum_tokens")
+    )

@@ -245,3 +245,38 @@ def test_lsh_bucket_cap_bounds_pathological_corpus(spark) -> None:
     sim_ids = {(r["id_a"], r["id_b"]) for r in capped_sim}
     assert (1000, 1001) in sim_ids
     assert all(a >= 1000 for a, _ in sim_ids)
+
+
+def test_token_budget_sample_two_phase_cumsum(spark) -> None:
+    """The bucket-parallel cumulative sum must equal a naive global
+    window, select a strict prefix of the hash order, and stay within
+    budget; the next doc in hash order must overflow it."""
+    from pyspark.sql import Window
+
+    from rifflux_spark.functions.text_analysis import token_budget_sample, token_count
+
+    rows = [(i, f"document number {i} " + "tok " * (5 + i % 17)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    budget = 1500
+    got = token_budget_sample(df, budget).orderBy("cum_tokens").collect()
+    assert got and got[-1]["cum_tokens"] <= budget
+
+    naive = (
+        df.select(
+            "doc_id",
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+            F.md5("text").alias("h"),
+        )
+        .withColumn(
+            "cum_tokens",
+            F.sum("n_tokens").over(Window.orderBy("h", "doc_id")),
+        )
+        .filter(F.col("cum_tokens") <= budget)
+        .orderBy("cum_tokens")
+        .collect()
+    )
+    assert [(r["doc_id"], r["cum_tokens"]) for r in got] == [
+        (r["doc_id"], r["cum_tokens"]) for r in naive
+    ]
+    # selective: a strict subset, and adding any next doc would overflow
+    assert 0 < len(got) < 300
