@@ -51,15 +51,31 @@ MANIFEST_NAME = "_manifest.json"
 HISTORY_DIR = "_manifests"
 
 
+# One commit lock per store root (realpath), process-wide: two
+# IndexStore instances over the same root must serialize their
+# load→mutate→replace cycles or a concurrent commit's mutation is lost.
+# Cross-process safety comes from `os.replace` atomicity (POSIX) /
+# conditional-PUT CAS (object store).
+_ROOT_LOCKS: dict[str, threading.Lock] = {}
+_ROOT_LOCKS_GUARD = threading.Lock()
+
+
+def _root_lock(root: Path) -> threading.Lock:
+    # absolute(), not resolve(): the root may not exist yet, and the key
+    # must be identical before and after it is created
+    key = str(root.absolute())
+    with _ROOT_LOCKS_GUARD:
+        return _ROOT_LOCKS.setdefault(key, threading.Lock())
+
+
 class Manifest:
-    """Atomic pointer file over a store root. Thread-safe in-process;
-    cross-process safety comes from `os.replace` atomicity (POSIX) /
-    conditional-PUT (object store) — last committer wins, and committers
-    in this codebase re-read state under the lock before publishing."""
+    """Atomic pointer file over a store root. Thread-safe in-process
+    (per-root lock shared across Manifest instances); committers re-read
+    state under the lock before publishing."""
 
     def __init__(self, root: str) -> None:
         self.root = Path(root)
-        self._lock = threading.Lock()
+        self._lock = _root_lock(self.root)
 
     @property
     def file(self) -> Path:

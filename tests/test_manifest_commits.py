@@ -208,3 +208,27 @@ def test_snapshot_time_travel(spark, tmp_path_factory) -> None:
     # unknown version errors clearly
     with pytest.raises(FileNotFoundError):
         store.manifest.load_version(10_000)
+
+
+def test_concurrent_commits_from_two_store_instances(spark, tmp_path_factory) -> None:
+    """Two IndexStore objects over the SAME root (e.g. a background
+    reindex service and a maintenance script) must not lose each other's
+    commits: the per-root commit lock serializes load->mutate->publish."""
+    import threading as th
+
+    root = str(tmp_path_factory.mktemp("twostores"))
+    s1 = IndexStore(spark, root, 8)
+    s2 = IndexStore(spark, root, 8)
+
+    def writer(store, tag):
+        for i in range(20):
+            store.manifest.commit({f"t_{tag}_{i}": {"dirs": [f"d{i}"]}})
+
+    a = th.Thread(target=writer, args=(s1, "a"))
+    b = th.Thread(target=writer, args=(s2, "b"))
+    a.start(); b.start(); a.join(); b.join()
+    tables = s1.manifest.load()["tables"]
+    # every commit survived — no lost updates
+    assert all(f"t_a_{i}" in tables for i in range(20))
+    assert all(f"t_b_{i}" in tables for i in range(20))
+    assert s1.manifest.version() == 40
