@@ -886,8 +886,9 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id, n_tokens,
-       SUM(n_tokens) OVER (ORDER BY h, doc_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       CAST(SUM(n_tokens) OVER (ORDER BY h, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_tokens
 FROM t
 QUALIFY cum_tokens <= 15000
 ORDER BY doc_id

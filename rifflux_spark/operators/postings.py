@@ -178,6 +178,20 @@ def _pack_groups(codes, docs, tfs, dls, vocab, salt_range: int):
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    if codes.size == 0:
+        # a batch whose chunks all tokenize to nothing (e.g. an
+        # incremental micro-batch of punctuation-only docs) yields zero
+        # postings, not an IndexError from c_s[[0]] on an empty array
+        return [
+            pc.take(vocab, pa.array(np.array([], np.int64))),
+            pa.array([], pa.int64()),
+            pa.array([], pa.int64()),
+            pa.array([], pa.int32()),
+            pa.array([], pa.int64()),
+            pa.array([], pa.binary()),
+            pa.array([], pa.binary()),
+            pa.array([], pa.binary()),
+        ]
     salts = docs // salt_range
     perm = np.lexsort((docs, salts, codes))
     c_s, d_s, t_s, dl_s, salt_s = codes[perm], docs[perm], tfs[perm], dls[perm], salts[perm]

@@ -118,8 +118,13 @@ def apply_incremental(
 
     from rifflux_spark.plans.build import source_fingerprint
 
+    import hashlib as _hashlib
+
     apply_fp = source_fingerprint(new_pages)
-    apply_id = f"apply-{abs(hash(apply_fp)) % (1 << 48):012x}"
+    # deterministic digest (NOT Python's salted hash()): the same source
+    # snapshot must map to the same lineage id across process runs, so
+    # started/completed rows of a killed apply correlate
+    apply_id = f"apply-{_hashlib.sha256(apply_fp.encode()).hexdigest()[:12]}"
     _utcnow = lambda: _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)  # noqa: E731
     store.append_lineage(
         [

@@ -396,10 +396,12 @@ class SearchService:
     def index_status(self) -> dict[str, int]:
         """Live counts: dead (tombstoned/purged) rows still physically in
         the chunk/embedding files are excluded."""
+        # all three counts resolve inside ONE pinned snapshot — a commit
+        # landing mid-call must not mix counters across two versions
         with self.store.read_snapshot():
             files = self.store.catalog().count() if self.store.exists("catalog") else 0
-        chunks = self.store.live_chunks().count()
-        embeddings = (
-            self.store.live_embeddings().count() if self.store.exists("embeddings") else 0
-        )
+            chunks = self.store.live_chunks().count()
+            embeddings = (
+                self.store.live_embeddings().count() if self.store.exists("embeddings") else 0
+            )
         return {"files": int(files), "chunks": int(chunks), "embeddings": int(embeddings)}

@@ -41,21 +41,32 @@ the legacy flat layout (migration path for round-2 indexes).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import threading
 import uuid
 from pathlib import Path
 
+try:  # POSIX; absent on Windows — commit falls back to in-process locking
+    import fcntl
+except ImportError:  # pragma: no cover
+    fcntl = None  # type: ignore[assignment]
+
 MANIFEST_NAME = "_manifest.json"
 HISTORY_DIR = "_manifests"
+LOCK_NAME = "_manifest.lock"
 
 
 # One commit lock per store root (realpath), process-wide: two
 # IndexStore instances over the same root must serialize their
 # load→mutate→replace cycles or a concurrent commit's mutation is lost.
-# Cross-process safety comes from `os.replace` atomicity (POSIX) /
-# conditional-PUT CAS (object store).
+# CROSS-process safety comes from the fcntl.flock on the root's lockfile
+# held around the whole load→mutate→replace cycle (os.replace alone only
+# prevents torn reads — two unsynchronized committers would silently
+# drop one side's table mutations and reuse a version number). On an
+# object store this whole cycle becomes a conditional PUT / CAS of the
+# pointer object, which subsumes both locks.
 _ROOT_LOCKS: dict[str, threading.Lock] = {}
 _ROOT_LOCKS_GUARD = threading.Lock()
 
@@ -99,14 +110,13 @@ class Manifest:
         """Publish a new snapshot applying ``mutations`` (table → entry).
         Empty entries are KEPT (an explicitly-empty table must not fall
         back to the legacy layout). Returns the new state."""
-        with self._lock:
+        with self._lock, self._flock():
             state = self.load()
             tables = dict(state.get("tables", {}))
             tables.update(mutations)
             out = {"version": int(state.get("version", 0)) + 1, "tables": tables}
             payload = json.dumps(out, sort_keys=True)
             tmp = self.root / f"{MANIFEST_NAME}.tmp-{uuid.uuid4().hex}"
-            self.root.mkdir(parents=True, exist_ok=True)
             tmp.write_text(payload, encoding="utf-8")
             os.replace(tmp, self.file)
             # history copy: debuggability + the raw material for snapshot
@@ -115,6 +125,24 @@ class Manifest:
             hist.mkdir(exist_ok=True)
             (hist / f"v{out['version']:08d}.json").write_text(payload, encoding="utf-8")
             return out
+
+    @contextlib.contextmanager
+    def _flock(self):
+        """Advisory cross-PROCESS lock on the root's lockfile, held for
+        the whole load→mutate→replace cycle (a second driver process —
+        e.g. a maintenance script racing a streaming apply — blocks here
+        instead of silently losing a commit)."""
+        self.root.mkdir(parents=True, exist_ok=True)
+        if fcntl is None:  # pragma: no cover
+            yield
+            return
+        fd = os.open(self.root / LOCK_NAME, os.O_RDWR | os.O_CREAT, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
 
     def load_version(self, version: int) -> dict:
         """Load a PAST snapshot from the history dir (time travel — the

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import datetime
 import json
+import threading
 import uuid
 from pathlib import Path
 
@@ -34,6 +35,13 @@ from pyspark.sql import types as T
 
 from rifflux_spark.functions.xxhash64 import term_bucket
 from rifflux_spark.sources.manifest import Manifest
+
+# Generation dirs staged but not yet published, PROCESS-wide (absolute
+# paths): gc() must not reclaim a sibling thread's uncommitted writes
+# (self._pending is thread-local, so it cannot see them). Cross-process
+# in-flight writers are covered by gc(min_age_sec=...).
+_INFLIGHT_GENS: set[str] = set()
+_INFLIGHT_GUARD = threading.Lock()
 
 CHUNKS_SCHEMA = T.StructType(
     [
@@ -358,7 +366,25 @@ class IndexStore:
         return out
 
     def _new_gen_dir(self, name: str) -> Path:
-        return Path(self.root) / name / f"g-{uuid.uuid4().hex[:12]}"
+        p = Path(self.root) / name / f"g-{uuid.uuid4().hex[:12]}"
+        # register as in-flight process-wide so a concurrent gc (e.g. a
+        # maintenance call racing a background auto-reindex thread) never
+        # deletes a generation that is still being written but not yet
+        # published; cleared when the owning commit/abort resolves
+        with _INFLIGHT_GUARD:
+            _INFLIGHT_GENS.add(str(p.absolute()))
+        gens = getattr(self._tl, "gens", None)
+        if gens is None:
+            gens = self._tl.gens = []
+        gens.append(str(p.absolute()))
+        return p
+
+    def _release_gens(self) -> None:
+        gens = getattr(self._tl, "gens", None)
+        if gens:
+            with _INFLIGHT_GUARD:
+                _INFLIGHT_GENS.difference_update(gens)
+            gens.clear()
 
     def _rel(self, p: Path) -> str:
         return str(p.relative_to(self.root))
@@ -371,6 +397,7 @@ class IndexStore:
             self._pending[name] = entry
         else:
             self.manifest.commit({name: entry})
+            self._release_gens()
 
     def transaction(self):
         """Context manager: every store mutation inside it stages
@@ -394,6 +421,7 @@ class IndexStore:
                     self.manifest.commit(staged)
             finally:
                 self._pending = None
+                self._release_gens()
 
         return _txn()
 
@@ -428,18 +456,29 @@ class IndexStore:
         :meth:`gc` (never an inline rmtree)."""
         self._stage(name, {"dirs": []})
 
-    def gc(self) -> dict:
+    def gc(self, min_age_sec: float = 0.0) -> dict:
         """Reclaim generation dirs (and stale legacy gen leaves) that the
         CURRENT manifest no longer references, plus old history files.
         Run out-of-band, after in-flight readers of prior snapshots are
-        done — the snapshot-retention knob of a real table format."""
+        done — the snapshot-retention knob of a real table format.
+
+        Generations still being written by a sibling THREAD (background
+        auto-reindex) are tracked process-wide and skipped. A writer in
+        another PROCESS is invisible here — pass ``min_age_sec`` (dir
+        mtime retention age) when other drivers may be mid-commit, the
+        same young-snapshot guard a real table format's
+        expire-snapshots uses."""
         import shutil
+        import time
 
         if self._pending is not None:
             raise RuntimeError("gc inside a transaction")
         referenced = self.manifest.referenced_dirs()
         if not self.manifest.exists():
             return {"removed": 0}
+        with _INFLIGHT_GUARD:
+            inflight = set(_INFLIGHT_GENS)
+        now = time.time()
         removed = 0
         root = Path(self.root)
         for table_dir in root.iterdir():
@@ -449,6 +488,14 @@ class IndexStore:
                 rel = self._rel(gen)
                 if rel in referenced:
                     continue
+                if str(gen.absolute()) in inflight:
+                    continue
+                if min_age_sec > 0:
+                    try:
+                        if now - gen.stat().st_mtime < min_age_sec:
+                            continue
+                    except OSError:
+                        continue
                 leaves = [d for d in gen.glob("*=*") if d.is_dir()]
                 if leaves:
                     kept_any = False

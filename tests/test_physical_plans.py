@@ -198,3 +198,79 @@ def test_packed_encode_bit_identical_to_thin(spark, store) -> None:
     thin = key(encode_postings(term_frequencies(tok), CONFIG))
     packed = key(encode_postings(packed_term_frequencies(tok, CONFIG), CONFIG))
     assert thin and thin == packed
+
+
+def test_packed_tf_handles_all_empty_token_batch(spark) -> None:
+    """A batch whose chunks all tokenize to nothing (punctuation-only
+    incremental micro-batch) must yield zero postings, not an
+    IndexError from _pack_groups indexing an empty array."""
+    from rifflux_spark.operators.postings import pack_tf, packed_term_frequencies
+
+    empty_tok = spark.createDataFrame(
+        [(0, 0, ""), (1, 0, "")], "doc_ord long, dl int, tokens string"
+    )
+    assert packed_term_frequencies(empty_tok, CONFIG).count() == 0
+
+    # mixed batch: the empty doc contributes nothing, the real one packs
+    mixed = spark.createDataFrame(
+        [(0, 0, ""), (5, 2, "cache ttl")], "doc_ord long, dl int, tokens string"
+    ).coalesce(1)
+    rows = packed_term_frequencies(mixed, CONFIG).collect()
+    assert sorted(r["term"] for r in rows) == ["cache", "ttl"]
+    assert all(r["first_doc"] == 5 and r["n"] == 1 for r in rows)
+
+    thin_empty = spark.createDataFrame([], "term string, doc_ord long, dl int, tf long")
+    assert pack_tf(thin_empty, CONFIG).count() == 0
+
+
+def test_gc_skips_inflight_generations(spark, tmp_path_factory) -> None:
+    """gc() must not reclaim a generation another THREAD has staged but
+    not yet published (self._pending is thread-local and invisible to
+    the gc caller), and min_age_sec must protect young dirs from
+    cross-process gc."""
+    import pandas as pd
+
+    from rifflux_spark.sources.tables import TOMBSTONES_SCHEMA
+
+    index_dir = str(tmp_path_factory.mktemp("gcidx"))
+    build_index(spark, synthetic_pages(spark, 20, seed=7), index_dir, CONFIG,
+                with_embeddings=False)
+    store = IndexStore(spark, index_dir, CONFIG.n_term_buckets)
+
+    import threading
+
+    staged = threading.Event()
+    release = threading.Event()
+    errors: list[Exception] = []
+
+    def writer():
+        try:
+            with store.transaction():
+                store.write_small(
+                    spark.createDataFrame(pd.DataFrame({"doc_ord": [1]}), TOMBSTONES_SCHEMA),
+                    "tombstones",
+                    mode="append",
+                )
+                staged.set()
+                assert release.wait(timeout=60)
+        except Exception as e:  # pragma: no cover - surfaced via errors
+            errors.append(e)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    assert staged.wait(timeout=60)
+    store.gc()  # must NOT delete the writer's staged generation
+    release.set()
+    t.join(timeout=60)
+    assert not errors
+    assert store.count_rows("tombstones") == 1
+
+    # min_age_sec: an unreferenced orphan younger than the retention age
+    # survives; with age 0 it is reclaimed
+    orphan = store._new_gen_dir("tombstones")
+    orphan.mkdir(parents=True)
+    store._release_gens()  # simulate another process: not in this registry
+    assert store.gc(min_age_sec=3600)["removed"] == 0
+    assert orphan.exists()
+    assert store.gc()["removed"] >= 1
+    assert not orphan.exists()
