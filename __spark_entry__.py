@@ -356,6 +356,77 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG header decode: each doc gets a synthetic JPEG stream
+    (SOI → APP0 → COM → SOF0 → EOI) whose SOF0 frame header encodes
+    dimensions derived from its doc_id; ``extract_media_meta`` must walk
+    the marker segments and unpack width/height from the BYTES
+    (operators/multimodal._jpeg_dims — ITU T.81 §B.2.2) while the oracle
+    recomputes the same dimensions arithmetically."""
+    import struct
+
+    @F.pandas_udf(T.BinaryType())
+    def jpeg_bytes(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            w = 16 + int(d) % 512
+            h = 16 + (int(d) * 11) % 512
+            app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+            com = b"\xff\xfe" + struct.pack(">H", 8) + b"bench!"
+            sof0 = (
+                b"\xff\xc0"
+                + struct.pack(">HBHHB", 17, 8, h, w, 3)
+                + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+            )
+            out.append(b"\xff\xd8" + app0 + com + sof0 + b"\xff\xd9")
+        return pd.Series(out)
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
+    media = docs.select(
+        "doc_id", jpeg_bytes("doc_id").alias("payload"), F.lit("image").alias("media_type")
+    )
+    meta = extract_media_meta(media)
+    return meta.select(
+        "doc_id",
+        F.col("meta.format").alias("fmt"),
+        F.col("meta.width").cast("long").alias("width"),
+        F.col("meta.height").cast("long").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    ).orderBy("doc_id")
+
+
+def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV duration decode: each doc gets a synthetic RIFF/WAVE
+    stream whose fmt byte rate and data size encode a duration derived
+    from its doc_id; ``extract_media_meta`` must walk the RIFF chunks
+    (operators/multimodal._wav_duration_ms) while the oracle recomputes
+    the duration arithmetically."""
+    import struct
+
+    @F.pandas_udf(T.BinaryType())
+    def wav_bytes(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            data_size = 800 + (int(d) % 100) * 8  # byte_rate 8000 → ms = size/8
+            fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+            data = b"data" + struct.pack("<I", data_size) + b"\x00" * data_size
+            body = b"WAVE" + fmt + data
+            out.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+        return pd.Series(out)
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
+    media = docs.select(
+        "doc_id", wav_bytes("doc_id").alias("payload"), F.lit("audio").alias("media_type")
+    )
+    meta = extract_media_meta(media)
+    return meta.select(
+        "doc_id",
+        F.col("meta.format").alias("fmt"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    ).orderBy("doc_id")
+
+
 # ------------------------------------------------------------- text analysis
 
 
@@ -526,6 +597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "multimodal_meta": q_multimodal_meta,
         "png_decode": q_png_decode,
+        "jpeg_decode": q_jpeg_decode,
+        "wav_decode": q_wav_decode,
         "ngram_jaccard": q_ngram_jaccard,
         "fingerprint": q_fingerprint,
         "text_quality": q_text_quality,
@@ -785,6 +858,21 @@ SELECT doc_id,
        16 + doc_id % 512 AS width,
        16 + (doc_id * 7) % 512 AS height,
        CAST(29 AS BIGINT) AS n_bytes
+FROM documents WHERE doc_id < 40 ORDER BY doc_id
+""",
+        "jpeg_decode": """
+SELECT doc_id,
+       'jpeg' AS fmt,
+       16 + doc_id % 512 AS width,
+       16 + (doc_id * 11) % 512 AS height,
+       CAST(2 + 18 + 10 + 19 + 2 AS BIGINT) AS n_bytes
+FROM documents WHERE doc_id < 40 ORDER BY doc_id
+""",
+        "wav_decode": """
+SELECT doc_id,
+       'wav' AS fmt,
+       CAST(100 + doc_id % 100 AS BIGINT) AS duration_ms,
+       CAST(44 + 800 + (doc_id % 100) * 8 AS BIGINT) AS n_bytes
 FROM documents WHERE doc_id < 40 ORDER BY doc_id
 """,
         "dedup_exact": """

@@ -53,12 +53,19 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def real_decode(payload: bytes, media_type: str) -> dict:
     """The real codec seam — stdlib-only where the container format
-    allows it: a PNG's width/height live in the IHDR chunk (the first
-    chunk after the 8-byte signature; big-endian u32 pair at bytes
-    16-24, PNG spec §11.2.2), so image dimensions decode with a struct
-    unpack and no media library. Everything else (JPEG entropy decode,
-    audio/video containers) needs PIL/soundfile/ffmpeg — wire them here;
-    callers fall back to the deterministic fake on NotImplementedError."""
+    allows it:
+
+    - PNG: width/height live in the IHDR chunk (big-endian u32 pair at
+      bytes 16-24, PNG spec §11.2.2) — one struct unpack.
+    - JPEG: width/height live in the SOFn frame header (ITU T.81 §B.2.2:
+      marker FFC0-FFCF except DHT/JPG/DAC, then length u16, precision u8,
+      height u16, width u16) — a marker-segment walk, no entropy decode.
+    - WAV: duration derives from the RIFF fmt chunk's byte rate and the
+      data chunk's size (RIFF/WAVE spec) — a chunk walk.
+
+    Actual pixel/sample decode (and every other container) needs
+    PIL/soundfile/ffmpeg — wire them here; callers fall back to the
+    deterministic fake on NotImplementedError."""
     import struct
 
     if (
@@ -69,9 +76,75 @@ def real_decode(payload: bytes, media_type: str) -> dict:
     ):
         width, height = struct.unpack(">II", payload[16:24])
         return {"format": "png", "width": int(width), "height": int(height)}
+    if media_type == "image" and payload[:2] == b"\xff\xd8":
+        dims = _jpeg_dims(payload)
+        if dims is not None:
+            return {"format": "jpeg", "width": dims[0], "height": dims[1]}
+    if media_type == "audio" and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        dur = _wav_duration_ms(payload)
+        if dur is not None:
+            return {"format": "wav", "duration_ms": dur}
     raise NotImplementedError(
-        "media decoding beyond PNG headers requires PIL/soundfile/ffmpeg; wire them here"
+        "media decoding beyond PNG/JPEG/WAV headers requires PIL/soundfile/ffmpeg; wire them here"
     )
+
+
+# SOFn markers carry frame dimensions; C4 (DHT), C8 (JPG), CC (DAC) are
+# not frame headers (ITU T.81 Table B.1)
+_JPEG_NON_SOF = {0xC4, 0xC8, 0xCC}
+
+
+def _jpeg_dims(payload: bytes) -> tuple[int, int] | None:
+    """Walk JPEG marker segments from SOI to the first SOFn frame header
+    and unpack (width, height). Returns None on a truncated/invalid
+    stream (caller falls through to NotImplementedError)."""
+    import struct
+
+    i, n = 2, len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker == 0xFF:  # fill bytes before a marker are legal
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # standalone
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        if seg_len < 2 or i + 2 + seg_len > n:
+            return None
+        if 0xC0 <= marker <= 0xCF and marker not in _JPEG_NON_SOF:
+            if seg_len < 7:
+                return None
+            height, width = struct.unpack(">HH", payload[i + 5 : i + 9])
+            return int(width), int(height)
+        if marker == 0xDA:  # entropy-coded data starts; SOF must precede it
+            return None
+        i += 2 + seg_len
+    return None
+
+
+def _wav_duration_ms(payload: bytes) -> int | None:
+    """Walk RIFF chunks for fmt (byte rate at offset 8 of the chunk body)
+    and data (size = payload bytes); duration = data_size / byte_rate."""
+    import struct
+
+    byte_rate = data_size = None
+    i, n = 12, len(payload)
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        if cid == b"fmt " and size >= 16 and i + 8 + 16 <= n:
+            byte_rate = struct.unpack("<I", payload[i + 16 : i + 20])[0]
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if not byte_rate or data_size is None:
+        return None
+    return int(round(data_size * 1000 / byte_rate))
 
 
 def _fake_dims(digest: bytes) -> tuple[int, int]:
@@ -96,8 +169,11 @@ def extract_media_meta(df: DataFrame, payload_col: str = "payload", media_type_c
                 except NotImplementedError:
                     decoded = None
                 w, h = _fake_dims(digest)
+                duration = 1000 + digest[2] * 100
                 if decoded is not None:
-                    w, h = decoded["width"], decoded["height"]
+                    w = decoded.get("width", w)
+                    h = decoded.get("height", h)
+                    duration = decoded.get("duration_ms", duration)
                 metas.append(
                     {
                         "media_type": mtype,
@@ -110,7 +186,7 @@ def extract_media_meta(df: DataFrame, payload_col: str = "payload", media_type_c
                         "sha256": digest.hex(),
                         "width": w if mtype in ("image", "video") else None,
                         "height": h if mtype in ("image", "video") else None,
-                        "duration_ms": (1000 + digest[2] * 100) if mtype in ("audio", "video") else None,
+                        "duration_ms": duration if mtype in ("audio", "video") else None,
                     }
                 )
             pdf = pdf.copy()

@@ -216,6 +216,55 @@ def test_real_decode_parses_png_ihdr(spark) -> None:
         real_decode(png_1x1, "audio")
 
 
+def test_real_decode_parses_jpeg_sof_and_wav_riff() -> None:
+    """JPEG dims from the SOFn frame header (marker-segment walk, ITU
+    T.81 §B.2.2) and WAV duration from the RIFF fmt/data chunks — both
+    stdlib-only; truncated/malformed streams fall back to the stub."""
+    import struct
+
+    def jpeg(w, h, marker=b"\xff\xc0", fill=b""):
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        sof = marker + struct.pack(">HBHHB", 17, 8, h, w, 3) + b"\x01\x22\x00" * 3
+        return b"\xff\xd8" + app0 + fill + sof + b"\xff\xd9"
+
+    assert real_decode(jpeg(640, 480), "image") == {
+        "format": "jpeg", "width": 640, "height": 480,
+    }
+    # progressive (SOF2) and fill bytes before a marker are legal
+    assert real_decode(jpeg(33, 7, marker=b"\xff\xc2", fill=b"\xff"), "image") == {
+        "format": "jpeg", "width": 33, "height": 7,
+    }
+    # DHT (C4) is NOT a frame header — must be skipped, not misparsed
+    dht = b"\xff\xc4" + struct.pack(">H", 4) + b"\x00\x00"
+    assert real_decode(
+        b"\xff\xd8" + dht + jpeg(99, 88)[2:], "image"
+    ) == {"format": "jpeg", "width": 99, "height": 88}
+    # truncated stream / EOI before SOF → stub
+    with pytest.raises(NotImplementedError):
+        real_decode(b"\xff\xd8\xff\xd9", "image")
+    with pytest.raises(NotImplementedError):
+        real_decode(jpeg(1, 1)[:10], "image")
+
+    def wav(byte_rate, data_size):
+        fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, byte_rate, byte_rate, 1, 8)
+        data = b"data" + struct.pack("<I", data_size) + b"\x00" * data_size
+        body = b"WAVE" + fmt + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    assert real_decode(wav(8000, 16000), "audio") == {
+        "format": "wav", "duration_ms": 2000,
+    }
+    assert real_decode(wav(44100, 44100), "audio") == {
+        "format": "wav", "duration_ms": 1000,
+    }
+    # a WAV payload presented as image keeps the explicit stub
+    with pytest.raises(NotImplementedError):
+        real_decode(wav(8000, 8), "image")
+    # zero byte rate → stub (no division)
+    with pytest.raises(NotImplementedError):
+        real_decode(wav(0, 8), "audio")
+
+
 def test_lsh_bucket_cap_bounds_pathological_corpus(spark) -> None:
     """A boilerplate corpus (many docs with identical text) lands in one
     LSH bucket on every band; without a cap the within-bucket self-join
