@@ -15,7 +15,11 @@ This module is the parquet-seam shape of that commit protocol:
 - publishing is one atomic swap of that pointer (`os.replace`; on an
   object store this becomes a conditional PUT / CAS of the same pointer
   object — exactly an Iceberg snapshot commit, so the Iceberg writer is
-  a drop-in at this seam);
+  a drop-in at this seam; the equivalence is PINNED, not asserted:
+  tests/test_manifest_commits.py::
+  test_manifest_history_replays_as_iceberg_snapshot_log replays the
+  on-disk snapshot log across append / overwrite / partition-overwrite /
+  gc and checks each Iceberg semantic);
 - readers resolve the pointer once and then read immutable files: a
   reader racing a commit sees either the old snapshot or the new one,
   never a mix — no rename windows, no half-swapped tables;

@@ -36,6 +36,14 @@ from pyspark.sql import types as T
 from rifflux_spark.functions.xxhash64 import term_bucket
 from rifflux_spark.sources.manifest import Manifest
 
+# Posting files get EXPLICIT bounded row groups (default 128 MB would
+# mean a rare-term coordinator read decompresses ~128 MB of column
+# chunks once a bucket grows to multi-GB): 8 MB keeps row groups
+# term-min/max-prunable and the read cost df-proportional at 100×
+# corpus growth, while staying far above the ~1 MB floor where footer
+# overhead starts to matter. Tests pin the mechanism by shrinking it.
+POSTINGS_ROW_GROUP_BYTES = 8 << 20
+
 # Generation dirs staged but not yet published, PROCESS-wide (absolute
 # paths): gc() must not reclaim a sibling thread's uncommitted writes
 # (self._pending is thread-local, so it cannot see them). Cross-process
@@ -591,7 +599,9 @@ class IndexStore:
             )
         self._adopt_legacy("postings", partitioned=True)
         gen = self._new_gen_dir("postings")
-        df.write.partitionBy("term_bucket").parquet(str(gen))
+        df.write.option("parquet.block.size", str(POSTINGS_ROW_GROUP_BYTES)).partitionBy(
+            "term_bucket"
+        ).parquet(str(gen))
         self._commit_partitioned("postings", gen, "append" if mode == "append" else "dynamic")
 
     def overwrite_posting_buckets(self, df: DataFrame, affected: list[int]) -> None:
@@ -601,7 +611,9 @@ class IndexStore:
         rewritten, not even touched)."""
         self._adopt_legacy("postings", partitioned=True)
         gen = self._new_gen_dir("postings")
-        df.write.partitionBy("term_bucket").parquet(str(gen))
+        df.write.option("parquet.block.size", str(POSTINGS_ROW_GROUP_BYTES)).partitionBy(
+            "term_bucket"
+        ).parquet(str(gen))
         self._commit_partitioned("postings", gen, "dynamic", expected_parts=affected)
 
     def write_small(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
@@ -644,7 +656,8 @@ class IndexStore:
         (
             with_bucket.repartition(max(1, self.n_term_buckets // 4), "term_bucket")
             .sortWithinPartitions("term")
-            .write.partitionBy("term_bucket")
+            .write.option("parquet.block.size", str(POSTINGS_ROW_GROUP_BYTES))
+            .partitionBy("term_bucket")
             .parquet(str(gen))
         )
         self._commit_partitioned(

@@ -232,3 +232,85 @@ def test_concurrent_commits_from_two_store_instances(spark, tmp_path_factory) ->
     assert all(f"t_a_{i}" in tables for i in range(20))
     assert all(f"t_b_{i}" in tables for i in range(20))
     assert s1.manifest.version() == 40
+
+
+def test_manifest_history_replays_as_iceberg_snapshot_log(spark, tmp_path_factory) -> None:
+    """Contract test for the Iceberg drop-in claim (sources/manifest.py):
+    replay the on-disk snapshot log (_manifests/v*.json) across an
+    append / full overwrite / partition overwrite / drop / gc sequence
+    and assert exactly the semantics an Iceberg snapshot log gives —
+    contiguous versions, append = old ∪ new files, overwrite = full
+    replacement, partition overwrite touches ONLY the named partitions,
+    time travel reads old data until expiry, gc = expire-snapshots
+    (current snapshot's files survive, orphaned ones go)."""
+    import json
+    from pathlib import Path
+
+    from rifflux_spark.functions.xxhash64 import term_bucket
+    from rifflux_spark.sources.tables import POSTINGS_SCHEMA
+
+    index_dir = str(tmp_path_factory.mktemp("logidx"))
+    store = IndexStore(spark, index_dir, n_term_buckets=2)
+
+    def tomb(*ords):
+        return spark.createDataFrame(pd.DataFrame({"doc_ord": list(ords)}), TOMBSTONES_SCHEMA)
+
+    def postings(terms, bucket_payload=b"\x01"):
+        rows = [(t, 0, 0, 1, i, i, bucket_payload, b"\x01", b"\x10", 1, 16, 1)
+                for i, t in enumerate(terms)]
+        return spark.createDataFrame(rows, POSTINGS_SCHEMA)
+
+    store.write_small(tomb(1, 2), "tombstones", mode="overwrite")        # v1
+    store.write_small(tomb(3), "tombstones", mode="append")              # v2
+    store.write_small(tomb(9), "tombstones", mode="overwrite")           # v3
+    store.write_postings(postings(["alpha", "zulu"]))                    # v4
+    bucket0_terms = [t for t in ["alpha", "zulu"] if term_bucket(t, 2) == 0]
+    store.overwrite_posting_buckets(
+        postings(bucket0_terms).withColumn(
+            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(2)).cast("int")
+        ),
+        affected=[0],
+    )                                                                    # v5
+
+    hist_dir = Path(index_dir) / "_manifests"
+    versions = sorted(int(p.stem[1:]) for p in hist_dir.glob("v*.json"))
+    assert versions == list(range(1, store.manifest.version() + 1)), versions
+    snaps = {v: json.loads((hist_dir / f"v{v:08d}.json").read_text()) for v in versions}
+    for v in versions:
+        assert snaps[v]["version"] == v  # log records its own version
+
+    t1, t2, t3 = (snaps[v]["tables"]["tombstones"]["dirs"] for v in (1, 2, 3))
+    assert len(t1) == 1 and len(t2) == 2 and len(t3) == 1
+    assert set(t1) < set(t2), "append must keep the prior generation"
+    assert not set(t3) & set(t2), "overwrite must reference only new generations"
+
+    p4 = snaps[4]["tables"]["postings"]["partitions"]
+    p5 = snaps[5]["tables"]["postings"]["partitions"]
+    changed = {k for k in p4 if p4[k] != p5.get(k)}
+    assert changed <= {"0"}, f"partition overwrite leaked into {changed}"
+    untouched = set(p4) - {"0"}
+    assert untouched and all(p4[k] == p5[k] for k in untouched)
+
+    # time travel: each snapshot still reads ITS contents
+    with store.read_snapshot(version=2):
+        assert store.count_rows("tombstones") == 3
+    with store.read_snapshot(version=3):
+        assert store.count_rows("tombstones") == 1
+
+    # every file a snapshot references is immutable & present pre-gc
+    for v in versions:
+        for entry in snaps[v]["tables"].values():
+            for d in entry.get("dirs", []):
+                assert (Path(index_dir) / d).exists(), f"v{v} lost {d}"
+
+    # gc = expire-snapshots: current snapshot intact, orphans gone
+    assert store.gc()["removed"] >= 3  # v1+v2 tombstone gens, v4 bucket-0 gen
+    current = store.manifest.referenced_dirs()
+    for d in current:
+        assert (Path(index_dir) / d).exists()
+    for d in set(t1) | set(t2):
+        assert not (Path(index_dir) / d).exists(), "expired snapshot files must be reclaimed"
+    assert store.count_rows("tombstones") == 1
+    # expired time travel now fails loudly (files gone), current still pins
+    with store.read_snapshot(version=store.manifest.version()):
+        assert store.count_rows("tombstones") == 1

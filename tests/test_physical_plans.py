@@ -274,3 +274,65 @@ def test_gc_skips_inflight_generations(spark, tmp_path_factory) -> None:
     assert orphan.exists()
     assert store.gc()["removed"] >= 1
     assert not orphan.exists()
+
+
+def test_posting_row_groups_stay_prunable_at_growth(spark, tmp_path_factory, monkeypatch) -> None:
+    """Posting bucket files grow linearly with the corpus; coordinator
+    reads stay df-proportional ONLY if row groups stay bounded (explicit
+    parquet.block.size) and term-min/max-prunable. Pin the mechanism:
+    with the row-group bound shrunk, a large bucket splits into many
+    row groups, every one carries term statistics, and a rare-term read
+    touches a small fraction of them."""
+    import pyarrow.parquet as pq
+
+    from rifflux_spark.operators import local_exec
+    from rifflux_spark.sources import tables as tables_mod
+    from rifflux_spark.sources.tables import POSTINGS_SCHEMA
+
+    monkeypatch.setattr(tables_mod, "POSTINGS_ROW_GROUP_BYTES", 64 << 10)
+
+    index_dir = str(tmp_path_factory.mktemp("rgidx"))
+    store = IndexStore(spark, index_dir, n_term_buckets=2)
+    payload = bytes(range(256)) * 2  # ~0.5 KB/row, incompressible-ish
+    rows = [
+        (f"t{i:05d}", 0, 0, 1, i, i, payload, b"\x01", b"\x10", 1, 16, 1)
+        for i in range(4000)
+    ]
+    df = (
+        spark.createDataFrame(rows, POSTINGS_SCHEMA)
+        .repartition(1)
+        .sortWithinPartitions("term")
+    )
+    store.write_postings(df)
+
+    files = store.data_files("postings")
+    assert files
+    total_groups = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        total_groups += md.num_row_groups
+        for g in range(md.num_row_groups):
+            ci = {md.row_group(g).column(i).path_in_schema: i for i in range(md.num_columns)}
+            st = md.row_group(g).column(ci["term"]).statistics
+            assert st is not None and st.has_min_max, f"row group {g} of {f} lacks term stats"
+            # the explicit bound held: no unbounded 128 MB default groups
+            assert md.row_group(g).total_byte_size < (64 << 10) * 8
+    assert total_groups >= 8, f"expected many bounded row groups, got {total_groups}"
+
+    # a rare-term read prunes to a small fraction of the groups
+    probe = ["t03999"]
+    t = local_exec._read_filtered(files, ["term", "n_docs"], probe)
+    assert t is not None and t.num_rows == 1
+
+    read_groups = 0
+    for f in files:
+        pf = pq.ParquetFile(f)
+        md = pf.metadata
+        ci = {md.row_group(0).column(i).path_in_schema: i for i in range(md.num_columns)}
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(ci["term"]).statistics
+            if st.min <= probe[0] <= st.max:
+                read_groups += 1
+    assert read_groups * 4 <= total_groups, (
+        f"rare-term read touched {read_groups}/{total_groups} row groups"
+    )
