@@ -50,6 +50,15 @@ class EngineConfig:
     # spread a hot term's salted runs over that many tasks while keeping the
     # postings table at ≤ buckets × splits files regardless of cluster size
     n_bucket_splits: int = 4
+    # metadata-sized aggregations (term_stats from block metadata, catalog
+    # from staged chunk riders) run DRIVER-SIDE via Arrow when the pruned
+    # input columns are at most this many compressed bytes (footer-measured,
+    # no data read): a Spark job costs ~1s of fixed scheduler/committer
+    # time regardless of input size — a pure serial fraction that caps
+    # strong scaling (Amdahl) while the Arrow path does the same groupby in
+    # ~100ms. Above the threshold (real cluster scale) the distributed
+    # plan runs unchanged. 0 disables the driver path entirely.
+    driver_agg_max_bytes: int = 256 << 20
 
     @classmethod
     def from_env(cls) -> "EngineConfig":
@@ -66,6 +75,7 @@ class EngineConfig:
             n_term_buckets=int(_env("N_TERM_BUCKETS", "32")),
             n_build_shards=int(_env("N_BUILD_SHARDS", "4")),
             n_bucket_splits=int(_env("N_BUCKET_SPLITS", "4")),
+            driver_agg_max_bytes=int(_env("DRIVER_AGG_MAX_BYTES", str(256 << 20))),
         )
 
 

@@ -465,6 +465,32 @@ def term_stats_from_blocks(blocks: DataFrame) -> DataFrame:
     )
 
 
+def term_stats_from_block_files(files) -> "object":
+    """Arrow twin of :func:`term_stats_from_blocks` for metadata-sized
+    posting tables: column-pruned footer-to-groupby on the driver, no
+    Spark job (the build uses it below ``driver_agg_max_bytes``; the
+    distributed plan above is unchanged). Returns an Arrow table with
+    columns (term, df_docs, cf) — identical values by construction."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = ["term", "n_docs", "block_tf_sum"]
+    parts = [pq.read_table(f, columns=cols) for f in files]
+    blocks = (
+        pa.concat_tables(parts)
+        if parts
+        else pa.table(
+            {"term": pa.array([], pa.string()),
+             "n_docs": pa.array([], pa.int32()),
+             "block_tf_sum": pa.array([], pa.int64())}
+        )
+    )
+    agg = blocks.group_by("term").aggregate(
+        [("n_docs", "sum"), ("block_tf_sum", "sum")]
+    )
+    return agg.rename_columns(["term", "df_docs", "cf"])
+
+
 def corpus_stats(tokenized_chunks: DataFrame) -> DataFrame:
     """Single-row (n_docs, total_tokens, avgdl) — FTS5's internal stats."""
     return tokenized_chunks.agg(

@@ -42,9 +42,11 @@ from rifflux_spark.operators.postings import (
     chunk_pages,
     encode_postings,
     packed_term_frequencies,
+    term_stats_from_block_files,
     term_stats_from_blocks,
     with_tokens,
 )
+from rifflux_spark.sources.catalog import catalog_from_staged_files
 from rifflux_spark.sources.tables import IndexStore
 
 
@@ -244,6 +246,45 @@ def build_index(
         mark("chunks", n_chunks, "chunks")
     tokenized = staged
 
+    # --- embeddings (reuses the staged content column) ---
+    # independent of everything downstream (reads only the staged chunk
+    # table; postings read tf_stage), so it runs as a CONCURRENT job:
+    # the scheduler fills the posting jobs' task-wave tails and fixed
+    # per-job gaps with embedding tasks — on a real cluster these are
+    # separate stages racing on free executors, and local mode recovers
+    # the same idle slots. Work-conserving: at low parallelism the jobs
+    # simply time-share, so the overlap only ever shrinks the wall.
+    emb_thread = None
+    emb_err: list[BaseException] = []
+    if with_embeddings and "embeddings" not in done:
+
+        @pandas_udf(T.BinaryType())
+        def embed_udf(texts: pd.Series) -> pd.Series:
+            return embed_series_packed(texts, dim=dim)
+
+        emb = tokenized.select(
+            "doc_ord",
+            "chunk_id",
+            F.lit(f"hash-{dim}").alias("model"),
+            F.lit(dim).alias("dim"),
+            embed_udf("content").alias("vec"),
+        )
+
+        def _emb_job() -> None:
+            t0 = _time.perf_counter()
+            try:
+                store.write_embeddings(emb, ordered=True)
+                mark("embeddings", n_chunks, "embeddings", detail=f"hash-{dim}")
+            except BaseException as e:  # re-raised on join
+                emb_err.append(e)
+            finally:
+                stage_sec["embeddings"] = round(_time.perf_counter() - t0, 2)
+
+        import threading as _threading
+
+        emb_thread = _threading.Thread(target=_emb_job, name="build-embeddings")
+        emb_thread.start()
+
     # --- posting shards (checkpoint/resume unit) + term stats ---
     # tf is staged to parquet partitioned by build shard, NOT cached:
     # an in-memory cache of the (term, doc, tf) frame fights the explode/
@@ -287,8 +328,19 @@ def build_index(
     if "term_stats" not in done:
         # (df, cf) from encoded-block METADATA (n_docs / block_tf_sum):
         # a ~block_size× smaller aggregation than re-reading tf, and it
-        # works on resume even after the staging table was cleaned up
-        store.write_term_stats(term_stats_from_blocks(store.postings()))
+        # works on resume even after the staging table was cleaned up.
+        # Below driver_agg_max_bytes of pruned metadata columns the same
+        # groupby runs driver-side via Arrow — a Spark job here costs ~1s
+        # of fixed scheduler/committer time that never parallelizes (a
+        # pure Amdahl serial fraction); identical values either way
+        # (tests pin path equality).
+        meta_bytes = store.column_bytes("postings", ["term", "n_docs", "block_tf_sum"])
+        if meta_bytes is not None and meta_bytes <= config.driver_agg_max_bytes:
+            store.write_term_stats_arrow(
+                term_stats_from_block_files(store.data_files("postings"))
+            )
+        else:
+            store.write_term_stats(term_stats_from_blocks(store.postings()))
         _lap("term_stats")
         mark("term_stats", None, "term_stats")
 
@@ -302,22 +354,12 @@ def build_index(
         mark("stats", 1, "corpus_stats")
     avgdl = float(store.corpus_stats()["avgdl"])
 
-    # --- embeddings (reuses the staged content column) ---
-    if with_embeddings and "embeddings" not in done:
-        @pandas_udf(T.BinaryType())
-        def embed_udf(texts: pd.Series) -> pd.Series:
-            return embed_series_packed(texts, dim=dim)
-
-        emb = tokenized.select(
-            "doc_ord",
-            "chunk_id",
-            F.lit(f"hash-{dim}").alias("model"),
-            F.lit(dim).alias("dim"),
-            embed_udf("content").alias("vec"),
-        )
-        store.write_embeddings(emb, ordered=True)
-        _lap("embeddings")
-        mark("embeddings", n_chunks, "embeddings", detail=f"hash-{dim}")
+    # --- embeddings: join the concurrent job (started above) ---
+    if emb_thread is not None:
+        emb_thread.join()
+        _t = _time.perf_counter()  # exclude the overlapped span from the next lap
+        if emb_err:
+            raise emb_err[0]
 
     # --- catalog (for incremental diffing) ---
     # one groupBy over the staged chunk rows — no second corpus scan.
@@ -330,14 +372,27 @@ def build_index(
     # chunks) does a second pass run, and the anti-join shrinks the sha
     # hashing to exactly the zero-chunk pages.
     if "catalog" not in done:
-        staged_raw = store.chunks_raw()
-        cat = staged_raw.groupBy("url").agg(
-            (F.first("warc_ts") if "warc_ts" in staged_raw.columns else F.lit(None).cast("timestamp")).alias("warc_ts"),
-            F.first("size_bytes").alias("size_bytes"),
-            F.first("page_sha256").alias("sha256"),
-            F.count("*").cast("int").alias("n_chunks"),
-        )
-        store.write_small(cat, "catalog")
+        # same adaptive split as term_stats: the rider columns are tiny
+        # next to content/tokens, so a metadata-sized corpus does this
+        # groupby driver-side (no Spark job); the distributed plan above
+        # the threshold is unchanged
+        has_ts = "warc_ts" in cat_cols
+        rider_cols = ["url", "size_bytes", "page_sha256"] + (["warc_ts"] if has_ts else [])
+        rider_bytes = store.column_bytes("chunks", rider_cols)
+        if rider_bytes is not None and rider_bytes <= config.driver_agg_max_bytes:
+            store.write_small_arrow(
+                catalog_from_staged_files(store.data_files("chunks"), has_ts),
+                "catalog",
+            )
+        else:
+            staged_raw = store.chunks_raw()
+            cat = staged_raw.groupBy("url").agg(
+                (F.first("warc_ts") if "warc_ts" in staged_raw.columns else F.lit(None).cast("timestamp")).alias("warc_ts"),
+                F.first("size_bytes").alias("size_bytes"),
+                F.first("page_sha256").alias("sha256"),
+                F.count("*").cast("int").alias("n_chunks"),
+            )
+            store.write_small(cat, "catalog")
         # zero-chunk detection costs NO extra job in the common case: the
         # page count is in the source fingerprint and the catalog row
         # count comes from parquet footers; only on a mismatch does the

@@ -109,3 +109,45 @@ def changed_keys(catalog: DataFrame, snapshot: DataFrame, key: str = "url") -> D
     """Keys needing re-chunk/re-embed/re-post (new or content-changed)."""
     d = diff_snapshot(catalog, snapshot, key)
     return d.filter(F.col("status").isin(["new", "changed"])).select(key, "status")
+
+
+def catalog_from_staged_files(files, has_warc_ts: bool):
+    """Arrow twin of the build's catalog aggregation (build.py's
+    ``groupBy(url)`` over the staged chunk riders) for metadata-sized
+    corpora: column-pruned driver-side groupby, no Spark job — the same
+    ~1s-fixed-cost serial fraction the stats stage sheds. The rider
+    columns (warc_ts/size_bytes/page_sha256) are constant per url by
+    construction, so ``min`` reproduces the Spark path's ``first``
+    exactly. Returns an Arrow table shaped like CATALOG_SCHEMA
+    (url, warc_ts, size_bytes, sha256, n_chunks)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    cols = ["url", "size_bytes", "page_sha256"] + (["warc_ts"] if has_warc_ts else [])
+    parts = [pq.read_table(f, columns=cols) for f in files]
+    staged = pa.concat_tables(parts, promote_options="permissive")
+    aggs = [("size_bytes", "min"), ("page_sha256", "min"), ("url", "count")]
+    if has_warc_ts:
+        aggs.insert(0, ("warc_ts", "min"))
+    agg = staged.group_by("url").aggregate(aggs)
+    n = agg.num_rows
+    if has_warc_ts:
+        ts = agg.column("warc_ts_min")
+        # normalize to UTC-adjusted micros so Spark reads TimestampType
+        # (LTZ) — matching its own writer — regardless of whether the
+        # staged file carried INT96/naive or annotated-UTC timestamps
+        if ts.type.tz is None:
+            ts = pc.assume_timezone(ts, "UTC")
+        ts = ts.cast(pa.timestamp("us", tz="UTC"))
+    else:
+        ts = pa.nulls(n, pa.timestamp("us", tz="UTC"))
+    return pa.table(
+        {
+            "url": agg.column("url"),
+            "warc_ts": ts,
+            "size_bytes": agg.column("size_bytes_min").cast(pa.int64()),
+            "sha256": agg.column("page_sha256_min"),
+            "n_chunks": agg.column("url_count").cast(pa.int32()),
+        }
+    )

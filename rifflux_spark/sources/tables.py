@@ -720,6 +720,75 @@ class IndexStore:
             total += int(s) if s == s else 0  # NaN-safe on empty files
         return total
 
+    def column_bytes(self, name: str, cols: list[str]) -> int | None:
+        """Compressed on-disk bytes of exactly ``cols`` across the table's
+        snapshot, from parquet footers only (no data read, no Spark job) —
+        the Iceberg analog is a manifest column-sizes read. Returns None
+        if the table is missing or any requested column is absent from
+        any file (caller falls back to the distributed plan)."""
+        import pyarrow.parquet as pq
+
+        files = self.data_files(name)
+        if not files:
+            return None
+        total = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            try:
+                idx = [names[c] for c in cols]
+            except KeyError:
+                return None
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                total += sum(g.column(i).total_compressed_size for i in idx)
+        return total
+
+    def write_term_stats_arrow(self, table) -> None:
+        """Driver-side twin of :meth:`write_term_stats` (full snapshot)
+        for metadata-sized stats: identical hive layout (``term_bucket=N``
+        dirs, rows term-sorted so row-group min/max stats prune, bounded
+        row groups) through the same manifest commit — no Spark job, so
+        the build's stats stage stops paying ~1s of fixed scheduler cost
+        (a pure Amdahl serial fraction at high parallelism). ``table`` is
+        an Arrow table with columns (term, df_docs, cf)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        self._adopt_legacy("term_stats", partitioned=True)
+        gen = self._new_gen_dir("term_stats")
+        table = table.select(["term", "df_docs", "cf"]).cast(
+            pa.schema(
+                [("term", pa.string()), ("df_docs", pa.int64()), ("cf", pa.int64())]
+            )
+        )
+        buckets = pa.array(
+            [term_bucket(t, self.n_term_buckets) for t in table.column("term").to_pylist()],
+            pa.int32(),
+        )
+        table = table.append_column("term_bucket", buckets)
+        for b in sorted(pc.unique(buckets).to_pylist()):
+            part = table.filter(pc.equal(table.column("term_bucket"), b))
+            part = part.sort_by("term").drop_columns(["term_bucket"])
+            d = gen / f"term_bucket={int(b)}"
+            d.mkdir(parents=True, exist_ok=True)
+            # ~256k rows ≈ a few MB — same bounded-row-group contract as
+            # the Spark writer (POSTINGS_ROW_GROUP_BYTES)
+            pq.write_table(part, d / "part-0.parquet", row_group_size=262144)
+        self._commit_partitioned("term_stats", gen, "full")
+
+    def write_small_arrow(self, table, name: str, mode: str = "overwrite") -> None:
+        """Driver-side twin of :meth:`write_small` — one parquet file per
+        generation, same manifest commit, no Spark job."""
+        import pyarrow.parquet as pq
+
+        self._adopt_legacy(name)
+        gen = self._new_gen_dir(name)
+        gen.mkdir(parents=True, exist_ok=True)
+        pq.write_table(table, gen / "part-0.parquet")
+        self._commit_plain(name, gen, mode)
+
     def append_lineage(self, rows: list[dict]) -> None:
         """Lineage rows are driver-side metadata (a handful of rows per
         build): write them as JSONL directly — a full Spark write job for
