@@ -311,16 +311,37 @@ def build_index(
             _lap("tf_stage")
             mark("tf_stage", None, "tf_stage")
         tf_staged = spark.read.parquet(store.path("tf_stage"))
-        for s, stage in enumerate(shard_stages):
-            if stage in done:
-                continue
+        # shards own DISJOINT term_bucket partitions (shard = bucket mod
+        # n_shards), commit independently (uuid gen dirs, flock-serialized
+        # manifest swap), and each remains its own checkpoint/resume unit —
+        # so they run as CONCURRENT jobs: the scheduler fills one shard's
+        # task-wave tails and fixed per-job gaps with the other shards'
+        # tasks. Work-conserving like the embeddings overlap: at low
+        # parallelism the jobs time-share; at high parallelism the idle
+        # slots between waves get filled.
+        import concurrent.futures as _futures
+
+        _mark_lock = __import__("threading").Lock()
+
+        def _run_shard(s: int, stage: str) -> None:
+            t0 = _time.perf_counter()
             blocks = encode_postings(tf_staged.filter(F.col("shard") == s), config)
             store.write_postings(blocks, mode="overwrite")  # dynamic partition overwrite
-            _lap(f"postings_{s}")
-            mark(
-                stage, None, "postings",
-                detail=f"shard {s}/{config.n_build_shards}",
-            )
+            with _mark_lock:
+                stage_sec[f"postings_{s}"] = round(_time.perf_counter() - t0, 2)
+                mark(
+                    stage, None, "postings",
+                    detail=f"shard {s}/{config.n_build_shards}",
+                )
+
+        pending = [(s, st) for s, st in enumerate(shard_stages) if st not in done]
+        if pending:
+            with _futures.ThreadPoolExecutor(
+                max_workers=min(4, len(pending)), thread_name_prefix="build-postings"
+            ) as ex:
+                for f in [ex.submit(_run_shard, s, st) for s, st in pending]:
+                    f.result()  # re-raise the first shard failure
+            _t = _time.perf_counter()  # exclude the overlapped span from the next lap
         # every consumer of tf has committed — drop the staging table
         import shutil as _shutil
 

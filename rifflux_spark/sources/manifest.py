@@ -114,10 +114,18 @@ class Manifest:
         """Publish a new snapshot applying ``mutations`` (table → entry).
         Empty entries are KEPT (an explicitly-empty table must not fall
         back to the legacy layout). Returns the new state."""
+        return self.commit_with(lambda _state: mutations)
+
+    def commit_with(self, fn) -> dict:
+        """Like :meth:`commit`, but ``fn(state) -> mutations`` runs INSIDE
+        the critical section, seeing the state it will mutate — the CAS
+        shape a read-modify-write commit (e.g. a dynamic partition merge)
+        needs so two threads or processes committing disjoint partitions
+        of the same table never lose each other's update."""
         with self._lock, self._flock():
             state = self.load()
             tables = dict(state.get("tables", {}))
-            tables.update(mutations)
+            tables.update(fn(state))
             out = {"version": int(state.get("version", 0)) + 1, "tables": tables}
             payload = json.dumps(out, sort_keys=True)
             tmp = self.root / f"{MANIFEST_NAME}.tmp-{uuid.uuid4().hex}"

@@ -44,6 +44,15 @@ from rifflux_spark.sources.manifest import Manifest
 # overhead starts to matter. Tests pin the mechanism by shrinking it.
 POSTINGS_ROW_GROUP_BYTES = 8 << 20
 
+# The chunks table is rehydration-read by doc_ord (top-k join-back on the
+# coordinator path, get_chunk/get_file): with Spark's default 128 MB row
+# groups a single-row-group file makes fetching top_k ordinals read the
+# whole content column — CORPUS-proportional. Bounding row groups keeps a
+# top-k rehydrate at ≤ top_k × this many (uncompressed) bytes of the
+# pruned columns at any corpus size; the doc_ord-sorted layout keeps the
+# min/max stats tight so exactly those groups are read.
+CHUNKS_ROW_GROUP_BYTES = 4 << 20
+
 # Generation dirs staged but not yet published, PROCESS-wide (absolute
 # paths): gc() must not reclaim a sibling thread's uncommitted writes
 # (self._pending is thread-local, so it cannot see them). Cross-process
@@ -541,18 +550,40 @@ class IndexStore:
         map — no rmtree of stale partition dirs); ``append`` = per-bucket
         union; ``full`` = whole-table replacement."""
         found = self._gen_partition_leaves(gen)
-        if mode == "append":
-            parts = self._partitions_for_update(name)
-            for v, ds in found.items():
-                parts[v] = parts.get(v, []) + ds
-        elif mode == "full":
-            parts = found
+
+        def _merged(base: dict[str, list[str]]) -> dict:
+            parts = {k: list(v) for k, v in base.items()}
+            if mode == "append":
+                for v, ds in found.items():
+                    parts[v] = parts.get(v, []) + ds
+            else:
+                for v in expected_parts or []:
+                    parts.pop(str(int(v)), None)
+                parts.update(found)
+            return {"partition_col": "term_bucket", "partitions": parts}
+
+        if mode == "full":
+            self._stage(name, {"partition_col": "term_bucket", "partitions": found})
+        elif self._pending is not None:
+            # transaction path: single-writer per store by contract; the
+            # merge base is the staged view this thread is building
+            self._stage(name, _merged(self._partitions_for_update(name)))
         else:
-            parts = self._partitions_for_update(name)
-            for v in expected_parts or []:
-                parts.pop(str(int(v)), None)
-            parts.update(found)
-        self._stage(name, {"partition_col": "term_bucket", "partitions": parts})
+            # immediate commit = read-modify-write of the partition map:
+            # the merge runs INSIDE the manifest's critical section so
+            # concurrent committers of disjoint partitions (the build's
+            # parallel posting shards) never lose each other's buckets
+            def _mut(state: dict) -> dict:
+                e = state.get("tables", {}).get(name)
+                base = (
+                    {k: list(v) for k, v in e.get("partitions", {}).items()}
+                    if e is not None
+                    else self._partitions_for_update(name)
+                )
+                return {name: _merged(base)}
+
+            self.manifest.commit_with(_mut)
+            self._release_gens()
 
     def write_chunks(self, df: DataFrame, ordered: bool = False, extra_cols: tuple[str, ...] = ()) -> None:
         """``ordered=True``: the frame is already globally ordered by
@@ -567,7 +598,7 @@ class IndexStore:
                 max(1, self.n_term_buckets // 2), "doc_ord"
             ).sortWithinPartitions("doc_ord")
         gen = self._new_gen_dir("chunks")
-        out.write.parquet(str(gen))
+        out.write.option("parquet.block.size", str(CHUNKS_ROW_GROUP_BYTES)).parquet(str(gen))
         self._commit_plain("chunks", gen, "overwrite")
 
     def append_chunks(self, df: DataFrame) -> None:
@@ -576,7 +607,7 @@ class IndexStore:
         pruning semantics are preserved per generation)."""
         self._adopt_legacy("chunks")
         gen = self._new_gen_dir("chunks")
-        df.write.parquet(str(gen))
+        df.write.option("parquet.block.size", str(CHUNKS_ROW_GROUP_BYTES)).parquet(str(gen))
         self._commit_plain("chunks", gen, "append")
 
     def write_postings(self, df: DataFrame, mode: str = "overwrite") -> None:

@@ -314,3 +314,48 @@ def test_manifest_history_replays_as_iceberg_snapshot_log(spark, tmp_path_factor
     # expired time travel now fails loudly (files gone), current still pins
     with store.read_snapshot(version=store.manifest.version()):
         assert store.count_rows("tombstones") == 1
+
+
+def test_concurrent_partitioned_commits_keep_disjoint_buckets(spark, tmp_path_factory) -> None:
+    """The build's posting shards commit DISJOINT term_bucket partitions
+    concurrently (each its own dynamic-partition-overwrite commit). The
+    partition-map merge is a read-modify-write; if it ran outside the
+    manifest's critical section, two racing committers would base their
+    merged map on the same stale snapshot and the later swap would drop
+    the earlier shard's buckets. Pin the CAS: after N racing commits of
+    disjoint buckets, every bucket is present."""
+    from rifflux_spark.sources.tables import POSTINGS_SCHEMA
+
+    index_dir = str(tmp_path_factory.mktemp("race_parts"))
+    store = IndexStore(spark, index_dir, n_term_buckets=8)
+    payload = b"\x00" * 16
+
+    def frame(bucket: int):
+        rows = [(f"t{bucket}_{i}", 0, 0, 1, i, i, payload, b"\x01", b"\x10", 1, 16, 16) for i in range(4)]
+        return spark.createDataFrame(rows, POSTINGS_SCHEMA).withColumn(
+            "term_bucket", F.lit(bucket).cast("int")
+        )
+
+    errs: list[BaseException] = []
+    start = threading.Barrier(4)
+
+    def commit_bucket(b: int) -> None:
+        try:
+            df = frame(b)  # plan built before the barrier; commit races
+            start.wait()
+            store.write_postings(df, mode="overwrite")
+        except BaseException as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=commit_bucket, args=(b,)) for b in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+
+    e = store.manifest.entry("postings")
+    assert e is not None
+    assert sorted(int(k) for k in e["partitions"]) == [0, 1, 2, 3], e["partitions"]
+    # and the rows are all readable through the committed snapshot
+    assert store.postings().count() == 16

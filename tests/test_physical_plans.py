@@ -336,3 +336,53 @@ def test_posting_row_groups_stay_prunable_at_growth(spark, tmp_path_factory, mon
     assert read_groups * 4 <= total_groups, (
         f"rare-term read touched {read_groups}/{total_groups} row groups"
     )
+
+
+def test_chunk_row_groups_keep_rehydration_docord_proportional(
+    spark, tmp_path_factory, monkeypatch
+) -> None:
+    """The coordinator rehydrates top-k results by doc_ord from the chunks
+    table; with Spark's default 128 MB row groups a single-group file makes
+    that read CORPUS-proportional (the whole content column decompresses
+    for 10 ordinals). Pin the bound: with CHUNKS_ROW_GROUP_BYTES shrunk the
+    build writes many doc_ord-stat-carrying groups, and a top-k rehydrate
+    touches only the few groups covering the requested ordinals."""
+    import pyarrow.parquet as pq
+
+    from rifflux_spark.operators import local_exec
+    from rifflux_spark.sources import tables as tables_mod
+
+    monkeypatch.setattr(tables_mod, "CHUNKS_ROW_GROUP_BYTES", 64 << 10)
+
+    index_dir = str(tmp_path_factory.mktemp("chunkrg"))
+    cfg = EngineConfig(n_term_buckets=4, n_build_shards=1, embedding_dim=16)
+    build_index(spark, synthetic_pages(spark, 120, seed=7), index_dir, cfg, with_embeddings=False)
+    store = IndexStore(spark, index_dir, cfg.n_term_buckets)
+
+    files = store.data_files("chunks")
+    assert files
+    total_groups = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        total_groups += md.num_row_groups
+        for g in range(md.num_row_groups):
+            ci = {md.row_group(g).column(i).path_in_schema: i for i in range(md.num_columns)}
+            st = md.row_group(g).column(ci["doc_ord"]).statistics
+            assert st is not None and st.has_min_max, f"row group {g} of {f} lacks doc_ord stats"
+            assert md.row_group(g).total_byte_size < (64 << 10) * 8
+    assert total_groups >= 6, f"expected many bounded row groups, got {total_groups}"
+
+    # a top-k rehydrate prunes to the few groups covering the ordinals
+    ords = sorted(
+        int(r["doc_ord"]) for r in store.chunks().select("doc_ord").limit(3).collect()
+    )
+    got = local_exec.rehydrate_local(store, ords)
+    assert sorted(got) == ords
+
+    covering = 0
+    for _, _, mn, mx in local_exec._chunk_rg_index(store):
+        if any(mn <= d <= mx for d in ords):
+            covering += 1
+    assert covering * 2 <= total_groups, (
+        f"rehydrate would touch {covering}/{total_groups} row groups"
+    )
