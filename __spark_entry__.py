@@ -473,6 +473,50 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/Dolma-style web-filtering rules as per-doc flags
+    (functions/text_analysis.gopher_quality_flags): length bounds, mean
+    word length, duplicate 2-/3-gram repetition, alphabetic-token and
+    stopword checks. Every rule is a pure Catalyst expression — a
+    100 TB filter pass stays map-only inside whole-stage codegen."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
+    flags = TA.gopher_quality_flags(F.col("text"))
+    return docs.select(
+        "doc_id", *[v.alias(k) for k, v in flags.items()]
+    ).orderBy("doc_id")
+
+
+def q_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile (training-data curation dashboard):
+    doc/char/token counts, language spread, and the corpus-level
+    duplicate-2gram rate computed as exact integer sums (dup counts /
+    gram totals) so the ratio is order-independent under Spark's partial
+    aggregation. ONE shuffle on a low-cardinality key, map-side combine."""
+    docs = _docs(spark, sf_dir)
+    grams = TA.ngram_strings(F.col("text"), 2)
+    per_doc = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        TA.token_count(F.col("text")).alias("n_tokens"),
+        F.size(grams).alias("n_2grams"),
+        (F.size(grams) - F.size(F.array_distinct(grams))).alias("n_dup_2grams"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.round(
+                F.sum("n_dup_2grams") / F.greatest(F.sum("n_2grams"), F.lit(1)), 6
+            ).alias("dup_2gram_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Include/exclude source filter (SURVEY §2 A2): the reference's
     fnmatch include/exclude globs via the reusable glob_filter operator
@@ -605,6 +649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
         "token_budget_sample": q_token_budget_sample,
+        "gopher_quality": q_gopher_quality,
+        "source_profile": q_source_profile,
         "source_filter": q_source_filter,
         "metadata_kv": q_metadata_kv,
         "incremental_diff": q_incremental_diff,
@@ -980,6 +1026,74 @@ SELECT doc_id, n_tokens,
 FROM t
 QUALIFY cum_tokens <= 15000
 ORDER BY doc_id
+""",
+        "gopher_quality": f"""
+WITH tk AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^0-9a-z]+'), x -> x <> '') AS tk
+  FROM documents WHERE doc_id < 40
+),
+feat AS (
+  SELECT doc_id,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         CASE WHEN len(tk) > 0
+              THEN list_sum(list_transform(tk, t -> len(t))) * 1.0 / len(tk)
+              ELSE 0.0 END AS mwl,
+         list_transform(range(0, greatest(len(tk) - 2, -1) + 1),
+                        i -> array_to_string(list_slice(tk, i + 1, i + 2), ' ')) AS g2,
+         list_transform(range(0, greatest(len(tk) - 3, -1) + 1),
+                        i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')) AS g3,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS raw,
+         CASE WHEN len(tk) > 0
+              THEN len(list_filter(tk, t -> list_contains({_STOPWORDS_SQL}, t))) * 1.0 / len(tk)
+              ELSE 0.0 END AS swr
+  FROM tk
+),
+feat2 AS (
+  SELECT doc_id, n_tokens, mwl, swr,
+         CASE WHEN len(g2) > 0 THEN round(1.0 - len(list_distinct(g2)) / len(g2), 6)
+              ELSE 0.0 END AS dup2,
+         CASE WHEN len(g3) > 0 THEN round(1.0 - len(list_distinct(g3)) / len(g3), 6)
+              ELSE 0.0 END AS dup3,
+         CASE WHEN len(raw) > 0
+              THEN round(len(list_filter(raw, x -> regexp_matches(x, '[A-Za-z]'))) / len(raw), 6)
+              ELSE 0.0 END AS alpha
+  FROM feat
+)
+SELECT doc_id, n_tokens, round(mwl, 6) AS mean_word_len,
+       dup2 AS dup_2gram_frac, dup3 AS dup_3gram_frac,
+       alpha AS alpha_frac, round(swr, 6) AS stopword_ratio,
+       (n_tokens >= 50 AND n_tokens <= 100000) AS ok_len,
+       (mwl >= 3.0 AND mwl <= 10.0) AS ok_word_len,
+       (dup2 < 0.6 AND dup3 < 0.4) AS ok_rep,
+       (alpha >= 0.8) AS ok_alpha,
+       (swr > 0.0) AS ok_stop,
+       (n_tokens >= 50 AND n_tokens <= 100000
+        AND mwl >= 3.0 AND mwl <= 10.0
+        AND dup2 < 0.6 AND dup3 < 0.4
+        AND alpha >= 0.8 AND swr > 0.0) AS pass_all
+FROM feat2 ORDER BY doc_id
+""",
+        "source_profile": """
+WITH tk AS (
+  SELECT source, lang, n_chars,
+         list_filter(string_split_regex(lower(text), '[^0-9a-z]+'), x -> x <> '') AS tk
+  FROM documents
+),
+g AS (
+  SELECT source, lang, n_chars, CAST(len(tk) AS BIGINT) AS n_tokens,
+         list_transform(range(0, greatest(len(tk) - 2, -1) + 1),
+                        i -> array_to_string(list_slice(tk, i + 1, i + 2), ' ')) AS g2
+  FROM tk
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       round(avg(n_tokens), 6) AS avg_tokens,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       round(sum(len(g2) - len(list_distinct(g2))) / greatest(sum(len(g2)), 1), 6)
+         AS dup_2gram_rate
+FROM g GROUP BY source ORDER BY source
 """,
         "source_filter": """
 SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars

@@ -615,13 +615,25 @@ def main() -> None:
         "stress": stress,
     }
     # full per-pass/per-probe record → side file; the printed line stays
-    # compact so the driver's tail capture always parses it
+    # compact so the driver's tail capture always parses it. A partial
+    # run (scaling/stress disabled via env) must not CLOBBER the last
+    # full run's detail — merge the blocks it actually produced.
     try:
         detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
-        detail_path.write_text(
-            json.dumps({"record": out, "scaling_pairs_detail": details}, indent=1),
-            encoding="utf-8",
-        )
+        detail = {"record": out, "scaling_pairs_detail": details}
+        if scaling is None or stress is None:
+            try:
+                prev = json.loads(detail_path.read_text(encoding="utf-8"))
+                if scaling is None:
+                    out["scaling"] = prev.get("record", {}).get("scaling")
+                    detail["scaling_pairs_detail"] = prev.get("scaling_pairs_detail", [])
+                    detail["scaling_from_prior_run"] = True
+                if stress is None:
+                    out["stress"] = prev.get("record", {}).get("stress")
+                    detail["stress_from_prior_run"] = True
+            except (OSError, ValueError):
+                pass
+        detail_path.write_text(json.dumps(detail, indent=1), encoding="utf-8")
     except OSError:
         pass
     # cross-round trajectory record: one JSON line per bench run, so the

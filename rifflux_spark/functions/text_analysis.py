@@ -155,3 +155,71 @@ def token_budget_sample(
         .filter(F.col("cum_tokens") <= budget)
         .select(id_col, "n_tokens", "cum_tokens")
     )
+
+
+def ngram_strings(text: Column, n: int) -> Column:
+    """ALL word n-grams (with repeats — the repetition signal), in order.
+    Same construction as :func:`shingles` minus the distinct."""
+    toks = ascii_tokens(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def dup_ngram_fraction(text: Column, n: int) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier one —
+    the Gopher/Dolma "duplicate n-gram" repetition rule. Pure per-row
+    expression (array_distinct), NO shuffle: at corpus scale this is a
+    map-only quality column, unlike mode-count formulations that need an
+    explode + two aggregations."""
+    grams = ngram_strings(text, n)
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.round(1.0 - F.size(F.array_distinct(grams)) / total, 6),
+    ).otherwise(F.lit(0.0))
+
+
+def alpha_token_fraction(text: Column) -> Column:
+    """Fraction of whitespace tokens containing at least one ASCII
+    letter (Gopher: "80% of words contain an alphabetic character")."""
+    raw = F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
+    alpha = F.filter(raw, lambda t: t.rlike("[A-Za-z]"))
+    return F.when(
+        F.size(raw) > 0, F.round(F.size(alpha) / F.size(raw), 6)
+    ).otherwise(F.lit(0.0))
+
+
+def gopher_quality_flags(text: Column) -> dict[str, Column]:
+    """The deterministic subset of the Gopher web-filtering rules as
+    named boolean columns + the repetition fractions they derive from.
+    All pure Catalyst expressions — a 100 TB filter pass is map-only
+    with every rule inside whole-stage codegen."""
+    n_tok = token_count(text)
+    mwl = mean_word_len(text)
+    dup2 = dup_ngram_fraction(text, 2)
+    dup3 = dup_ngram_fraction(text, 3)
+    alpha = alpha_token_fraction(text)
+    swr = stopword_ratio(text)
+    return {
+        "n_tokens": n_tok,
+        "mean_word_len": F.round(mwl, 6),
+        "dup_2gram_frac": dup2,
+        "dup_3gram_frac": dup3,
+        "alpha_frac": alpha,
+        "stopword_ratio": F.round(swr, 6),
+        "ok_len": (n_tok >= 50) & (n_tok <= 100_000),
+        "ok_word_len": (mwl >= 3.0) & (mwl <= 10.0),
+        "ok_rep": (dup2 < 0.6) & (dup3 < 0.4),
+        "ok_alpha": alpha >= 0.8,
+        "ok_stop": swr > 0.0,
+        "pass_all": (
+            (n_tok >= 50) & (n_tok <= 100_000)
+            & (mwl >= 3.0) & (mwl <= 10.0)
+            & (dup2 < 0.6) & (dup3 < 0.4)
+            & (alpha >= 0.8)
+            & (swr > 0.0)
+        ),
+    }

@@ -152,6 +152,74 @@ def test_text_analysis_columns(spark) -> None:
     assert r2["tc"] == 0 and r2["pr"] > 0.5
 
 
+def test_gopher_quality_flags(spark) -> None:
+    """Edge semantics of the Gopher-rule columns: empty text, a fully
+    repetitive text (dup fractions -> 1 - 1/total), a clean passing text,
+    and a non-alpha-heavy text failing ok_alpha."""
+    from rifflux_spark.functions import text_analysis as TA
+
+    passing = " ".join(f"alpha{i} beta{i} gamma{i} delta{i} the" for i in range(12))
+    df = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, "spam spam spam spam spam spam"),
+            (2, passing),
+            (3, "1 2 3 4 5 the 6 7 8 9 10 11 12 13 14 15 16 17 18 19"),
+        ],
+        "doc_id long, text string",
+    )
+    flags = TA.gopher_quality_flags(F.col("text"))
+    rows = {r["doc_id"]: r for r in df.select("doc_id", *[v.alias(k) for k, v in flags.items()]).collect()}
+
+    r0 = rows[0]
+    assert r0["n_tokens"] == 0 and r0["dup_2gram_frac"] == 0.0 and not r0["pass_all"]
+
+    r1 = rows[1]  # 6 tokens -> 5 identical 2-grams, 4 identical 3-grams
+    assert abs(r1["dup_2gram_frac"] - (1 - 1 / 5)) < 1e-6
+    assert abs(r1["dup_3gram_frac"] - (1 - 1 / 4)) < 1e-6
+    assert not r1["ok_rep"] and not r1["pass_all"]
+
+    r2 = rows[2]  # 60 unique-ish tokens, mwl in band, all-alpha, has stopword
+    assert r2["ok_len"] and r2["ok_word_len"] and r2["ok_rep"] and r2["ok_alpha"] and r2["ok_stop"]
+    assert r2["pass_all"]
+
+    r3 = rows[3]  # digits dominate -> alpha fraction 1/20
+    assert abs(r3["alpha_frac"] - 1 / 20) < 1e-6
+    assert not r3["ok_alpha"] and not r3["pass_all"]
+
+
+def test_dup_ngram_fraction_matches_python(spark) -> None:
+    from rifflux_spark.functions import text_analysis as TA
+
+    texts = [
+        "a b a b a b c",
+        "x y z x y z",
+        "one two three four",
+        "w w w",
+        "solo",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["d2"], r["d3"])
+        for r in df.select(
+            "doc_id",
+            TA.dup_ngram_fraction(F.col("text"), 2).alias("d2"),
+            TA.dup_ngram_fraction(F.col("text"), 3).alias("d3"),
+        ).collect()
+    }
+
+    def py_dup(t: str, n: int) -> float:
+        toks = [w for w in t.lower().split() if w]
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        if not grams:
+            return 0.0
+        return round(1 - len(set(grams)) / len(grams), 6)
+
+    for i, t in enumerate(texts):
+        assert abs(got[i][0] - py_dup(t, 2)) < 1e-9, (i, got[i][0], py_dup(t, 2))
+        assert abs(got[i][1] - py_dup(t, 3)) < 1e-9, (i, got[i][1], py_dup(t, 3))
+
+
 def test_glob_filter_matches_fnmatch(spark) -> None:
     """glob_filter == the reference's any-include-and-no-exclude fnmatch
     semantics, for LIKE-translatable and character-class globs alike."""
