@@ -517,6 +517,143 @@ def q_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOILER_TEXT = "subscribe to our newsletter follow us on social media today"
+
+
+def q_boilerplate_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-duplicate segment removal
+    (operators/dedup.boilerplate_segment_stats): a 10-token boilerplate
+    prefix is injected into 15 clones; segments occurring in >=3 distinct
+    docs are flagged corpus-wide and per-doc kept-token counts reported.
+    Scale shape: ONE groupBy(segment) with partial countDistinct, join
+    back (AQE-broadcastable boiler set), per-doc re-agg."""
+    from rifflux_spark.operators.dedup import boilerplate_segment_stats
+
+    docs = _docs(spark, sf_dir)
+    clones = docs.filter(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.lit(_BOILER_TEXT + " "), F.col("text")).alias("text"),
+    )
+    snap = docs.select("doc_id", "text").unionAll(clones)
+    stats = boilerplate_segment_stats(snap, seg_len=10, min_docs=3)
+    return (
+        stats.filter((F.col("id") < 40) | (F.col("id") >= 200000))
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_segments",
+            "n_boiler_segments",
+            "kept_tokens",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.decontaminate_flags):
+    docs 0-4 act as the held-out benchmark; clones of docs 5-9 get the
+    benchmark's opening 16 tokens appended (guaranteed 8-gram overlap).
+    The benchmark gram set is broadcast — the corpus is never shuffled on
+    the gram key."""
+    from rifflux_spark.operators.dedup import decontaminate_flags
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") < 5)
+    snippet = bench.filter(F.col("doc_id") == 0).select(
+        F.concat_ws(" ", F.slice(TA.ascii_tokens(F.col("text")), 1, 16)).alias("snippet")
+    )
+    clones = (
+        docs.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 10))
+        .crossJoin(F.broadcast(snippet))
+        .select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" "), F.col("snippet")).alias("text"),
+        )
+    )
+    corpus = docs.filter(F.col("doc_id") >= 5).select("doc_id", "text").unionAll(clones)
+    flags = decontaminate_flags(corpus, bench, gram_n=8)
+    return (
+        flags.filter((F.col("id") < 40) | (F.col("id") >= 300000))
+        .select(F.col("id").alias("doc_id"), "n_overlap_grams", "contaminated")
+        .orderBy("doc_id")
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only PII scrub (functions/text_analysis.pii_scrub): email +
+    phone counts and redacted-text length/md5. Clones of docs 0-9 carry
+    injected PII; originals count zero. Pure narrow transform — at 100 TB
+    this runs inside codegen with no shuffle."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 10)
+    clones = docs.select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 415-555-0199 now"),
+        ).alias("text"),
+    )
+    snap = docs.select("doc_id", "text").unionAll(clones)
+    cols = TA.pii_scrub(F.col("text"))
+    return snap.select("doc_id", *[v.alias(k) for k, v in cols.items()]).orderBy("doc_id")
+
+
+_MIX_RATES = {"src0": 1.0, "src1": 0.25, "src2": 0.0625, "src3": 0.0}
+
+
+def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mix rebalancing
+    (functions/text_analysis.source_mix_sample): per-source keep rates
+    decided by a content-hash draw — reproducible across runs/engines/
+    partitionings, zero shuffles added (the ONE shuffle here is the
+    reporting agg)."""
+    docs = _docs(spark, sf_dir)
+    kept = TA.source_mix_sample(docs, _MIX_RATES, default_rate=0.5)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pass: Gopher quality gate → exact dedup
+    (keep min doc_id per content hash) → per-source report
+    (n_docs/n_quality/n_kept/kept_chars). The shapes compose: quality is
+    map-only, dedup is ONE groupBy on a 16-byte hash with a struct-min
+    (no window, no join-back), reporting aggs are broadcast-joined on the
+    low-cardinality source key."""
+    docs = _docs(spark, sf_dir)
+    flags = TA.gopher_quality_flags(F.col("text"))
+    passed = docs.filter(flags["pass_all"])
+    deduped = (
+        passed.groupBy(F.md5("text").alias("h"))
+        .agg(F.min(F.struct("doc_id", "source", "n_chars")).alias("s"))
+        .select("s.source", "s.n_chars")
+    )
+    totals = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    quality = passed.groupBy("source").agg(F.count("*").cast("long").alias("n_quality"))
+    kept = deduped.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+    )
+    return (
+        totals.join(F.broadcast(quality), "source", "left")
+        .join(F.broadcast(kept), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_quality", F.lit(0)).cast("long").alias("n_quality"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("kept_chars", F.lit(0)).cast("long").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Include/exclude source filter (SURVEY §2 A2): the reference's
     fnmatch include/exclude globs via the reusable glob_filter operator
@@ -651,6 +788,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "gopher_quality": q_gopher_quality,
         "source_profile": q_source_profile,
+        "boilerplate_dedup": q_boilerplate_dedup,
+        "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
+        "mix_sample": q_mix_sample,
+        "curation_pipeline": q_curation_pipeline,
         "source_filter": q_source_filter,
         "metadata_kv": q_metadata_kv,
         "incremental_diff": q_incremental_diff,
@@ -698,6 +840,30 @@ _SHINGLES5 = (
     "list_distinct(list_transform(range(0, greatest(len(tk) - 5, -1) + 1), "
     "i -> array_to_string(list_slice(tk, i + 1, i + 5), ' ')))"
 )
+
+
+# pii_scrub oracle — built by substitution (not f-string: the regexes
+# contain {m,n} quantifier braces). regexp_replace needs the 'g' flag in
+# DuckDB (replace-all is Spark's default but not DuckDB's).
+_PII_SQL = """
+WITH snap AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 10
+  UNION ALL
+  SELECT doc_id + 400000 AS doc_id,
+         text || ' contact user' || doc_id || '@example.com or call 415-555-0199 now' AS text
+  FROM documents WHERE doc_id < 10
+),
+red AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, 'EMAILRE'))::BIGINT AS n_emails,
+         len(regexp_extract_all(text, 'PHONERE'))::BIGINT AS n_phones,
+         regexp_replace(regexp_replace(text, 'EMAILRE', '<EMAIL>', 'g'),
+                        'PHONERE', '<PHONE>', 'g') AS r
+  FROM snap
+)
+SELECT doc_id, n_emails, n_phones, len(r)::BIGINT AS redacted_len, md5(r) AS redacted_md5
+FROM red ORDER BY doc_id
+""".replace("EMAILRE", TA.EMAIL_PATTERN).replace("PHONERE", TA.PHONE_PATTERN)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1094,6 +1260,144 @@ SELECT source,
        round(sum(len(g2) - len(list_distinct(g2))) / greatest(sum(len(g2)), 1), 6)
          AS dup_2gram_rate
 FROM g GROUP BY source ORDER BY source
+""",
+        "boilerplate_dedup": f"""
+WITH snap AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, '{_BOILER_TEXT} ' || text AS text
+  FROM documents WHERE doc_id < 15
+),
+tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^0-9a-z]+'), x -> x <> '') AS tk
+  FROM snap
+),
+segs AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST(floor(len(tk) / 10) AS BIGINT)),
+                        i -> array_to_string(list_slice(tk, i * 10 + 1, i * 10 + 10), ' ')) AS segs
+  FROM tk
+),
+ex AS (SELECT sg.doc_id, u.s AS seg FROM segs sg, unnest(sg.segs) AS u(s)),
+boiler AS (SELECT seg FROM ex GROUP BY seg HAVING count(DISTINCT doc_id) >= 3),
+per_doc AS (
+  SELECT ex.doc_id, count(*)::BIGINT AS n_boiler
+  FROM ex JOIN boiler USING (seg) GROUP BY ex.doc_id
+)
+SELECT s.doc_id, len(s.segs)::BIGINT AS n_segments,
+       coalesce(p.n_boiler, 0)::BIGINT AS n_boiler_segments,
+       ((len(s.segs) - coalesce(p.n_boiler, 0)) * 10)::BIGINT AS kept_tokens
+FROM segs s LEFT JOIN per_doc p USING (doc_id)
+WHERE s.doc_id < 40 OR s.doc_id >= 200000
+ORDER BY s.doc_id
+""",
+        "decontaminate": """
+WITH bench_tk AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^0-9a-z]+'), x -> x <> '') AS tk
+  FROM documents WHERE doc_id < 5
+),
+bench AS (
+  SELECT DISTINCT u.g AS gram
+  FROM bench_tk b, unnest(list_transform(range(0, greatest(len(b.tk) - 8, -1) + 1),
+       i -> array_to_string(list_slice(b.tk, i + 1, i + 8), ' '))) AS u(g)
+),
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 5
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id,
+         text || ' ' || (SELECT array_to_string(list_slice(
+             list_filter(string_split_regex(lower(text), '[^0-9a-z]+'), x -> x <> ''),
+             1, 16), ' ') FROM documents WHERE doc_id = 0) AS text
+  FROM documents WHERE doc_id >= 5 AND doc_id < 10
+),
+ctk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^0-9a-z]+'), x -> x <> '') AS tk
+  FROM corpus
+),
+cg AS (
+  SELECT c.doc_id, u.g AS gram
+  FROM ctk c, unnest(list_distinct(list_transform(range(0, greatest(len(c.tk) - 8, -1) + 1),
+       i -> array_to_string(list_slice(c.tk, i + 1, i + 8), ' ')))) AS u(g)
+),
+ov AS (
+  SELECT cg.doc_id, count(DISTINCT cg.gram)::BIGINT AS n
+  FROM cg JOIN bench ON cg.gram = bench.gram GROUP BY cg.doc_id
+)
+SELECT c.doc_id, coalesce(o.n, 0)::BIGINT AS n_overlap_grams,
+       coalesce(o.n, 0) > 0 AS contaminated
+FROM corpus c LEFT JOIN ov o USING (doc_id)
+WHERE c.doc_id < 40 OR c.doc_id >= 300000
+ORDER BY c.doc_id
+""",
+        "pii_scrub": _PII_SQL,
+        "mix_sample": """
+WITH s AS (
+  SELECT source, n_chars,
+         CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) AS mix_draw,
+         CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.25
+                     WHEN 'src2' THEN 0.0625 WHEN 'src3' THEN 0.0
+                     ELSE 0.5 END AS rate
+  FROM documents
+)
+SELECT source, count(*)::BIGINT AS n_kept, sum(n_chars)::BIGINT AS kept_chars
+FROM s WHERE mix_draw < rate * 65536
+GROUP BY source ORDER BY source
+""",
+        "curation_pipeline": f"""
+WITH tk AS (
+  SELECT doc_id, source, n_chars, text,
+         list_filter(string_split_regex(lower(text), '[^0-9a-z]+'), x -> x <> '') AS tk
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, source, n_chars, text,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         CASE WHEN len(tk) > 0
+              THEN list_sum(list_transform(tk, t -> len(t))) * 1.0 / len(tk)
+              ELSE 0.0 END AS mwl,
+         list_transform(range(0, greatest(len(tk) - 2, -1) + 1),
+                        i -> array_to_string(list_slice(tk, i + 1, i + 2), ' ')) AS g2,
+         list_transform(range(0, greatest(len(tk) - 3, -1) + 1),
+                        i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')) AS g3,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS raw,
+         CASE WHEN len(tk) > 0
+              THEN len(list_filter(tk, t -> list_contains({_STOPWORDS_SQL}, t))) * 1.0 / len(tk)
+              ELSE 0.0 END AS swr
+  FROM tk
+),
+passed AS (
+  SELECT doc_id, source, n_chars, text
+  FROM feat
+  WHERE n_tokens >= 50 AND n_tokens <= 100000
+    AND mwl >= 3.0 AND mwl <= 10.0
+    AND (CASE WHEN len(g2) > 0 THEN round(1.0 - len(list_distinct(g2)) / len(g2), 6)
+              ELSE 0.0 END) < 0.6
+    AND (CASE WHEN len(g3) > 0 THEN round(1.0 - len(list_distinct(g3)) / len(g3), 6)
+              ELSE 0.0 END) < 0.4
+    AND (CASE WHEN len(raw) > 0
+              THEN round(len(list_filter(raw, x -> regexp_matches(x, '[A-Za-z]'))) / len(raw), 6)
+              ELSE 0.0 END) >= 0.8
+    AND swr > 0.0
+),
+dedup AS (
+  SELECT source, n_chars
+  FROM (SELECT source, n_chars,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM passed)
+  WHERE rn = 1
+),
+t AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source),
+q AS (SELECT source, count(*)::BIGINT AS n_quality FROM passed GROUP BY source),
+k AS (SELECT source, count(*)::BIGINT AS n_kept, sum(n_chars)::BIGINT AS kept_chars
+      FROM dedup GROUP BY source)
+SELECT t.source, t.n_docs,
+       coalesce(q.n_quality, 0)::BIGINT AS n_quality,
+       coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(k.kept_chars, 0)::BIGINT AS kept_chars
+FROM t LEFT JOIN q USING (source) LEFT JOIN k USING (source)
+ORDER BY source
 """,
         "source_filter": """
 SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars

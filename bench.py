@@ -525,7 +525,11 @@ def main() -> None:
             )
             attempts.append(s1)
             details.append(d1)
-            if s1["efficiency"] >= 0.8:
+            # early-stop only on a CLEAN bar-clearing attempt: >=0.8
+            # under a throttled window can be asymmetry-inflated (the
+            # r3 0.913 lesson), so it doesn't end the search — but it
+            # stays in the ensemble and can still be attempt-of-record.
+            if s1["efficiency"] >= 0.8 and s1["window"]["ok"]:
                 break
             if time.perf_counter() - t_scaling0 > scale_budget:
                 break

@@ -192,6 +192,57 @@ def alpha_token_fraction(text: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def source_mix_sample(
+    df,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    source_col: str = "source",
+    text_col: str = "text",
+):
+    """Deterministic source-mix rebalancing (the "data mixing" step of a
+    training-data pipeline): keep each doc with per-source probability
+    ``rates[source]``, decided by a content hash — md5(text)[:4] as a
+    uniform 16-bit draw — so the sample is reproducible across runs,
+    engines, and partitionings (no RNG, no sort).
+
+    Map-only: the rate table compiles to a literal CASE chain inside
+    codegen; at 100 TB this adds zero shuffles and composes with any
+    downstream agg. Returns ``df`` filtered, with a ``mix_draw`` column.
+    """
+    draw = F.conv(F.substring(F.md5(F.col(text_col)), 1, 4), 16, 10).cast("int")
+    rate = F.lit(float(default_rate))
+    for src, r in sorted(rates.items()):
+        rate = F.when(F.col(source_col) == src, F.lit(float(r))).otherwise(rate)
+    return df.withColumn("mix_draw", draw).filter(
+        F.col("mix_draw") < rate * 65536
+    )
+
+
+# PII patterns kept to the Java-regex ∩ RE2 common subset (no backrefs,
+# no lookaround) so the DuckDB oracle matches byte-for-byte.
+EMAIL_PATTERN = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_PATTERN = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_scrub(text: Column) -> dict[str, Column]:
+    """Map-only PII detection + redaction columns: email/phone match
+    counts, the redacted text's length, and its md5 (so the oracle pins
+    the exact redacted bytes without hauling full text through the
+    compare). At 100 TB this is a pure narrow transform — regexes run
+    inside codegen, no shuffle, no Python."""
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), F.lit(0))).cast("long")
+    n_phones = F.size(F.regexp_extract_all(text, F.lit(PHONE_PATTERN), F.lit(0))).cast("long")
+    redacted = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>"), PHONE_PATTERN, "<PHONE>"
+    )
+    return {
+        "n_emails": n_emails,
+        "n_phones": n_phones,
+        "redacted_len": F.length(redacted).cast("long"),
+        "redacted_md5": F.md5(redacted),
+    }
+
+
 def gopher_quality_flags(text: Column) -> dict[str, Column]:
     """The deterministic subset of the Gopher web-filtering rules as
     named boolean columns + the repetition fractions they derive from.

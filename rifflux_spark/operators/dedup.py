@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from rifflux_spark.functions.text_analysis import shingles
+from rifflux_spark.functions.text_analysis import ascii_tokens, shingles
 
 
 def exact_dupes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -284,4 +284,112 @@ def simhash_near_dupes(
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cands.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
+    )
+
+
+def token_segments(text: Column, seg_len: int = 10) -> Column:
+    """NON-overlapping ``seg_len``-token segments as strings (tail tokens
+    that don't fill a segment are dropped). The segment is the unit of
+    CCNet-style corpus-level boilerplate removal — coarser than a shingle,
+    cheap to hash, and aligned so a ``seg_len``-multiple boilerplate
+    prefix segments identically in every document that carries it."""
+    toks = ascii_tokens(text)
+    n_full = F.floor(F.size(toks) / seg_len).cast("int")
+    idx = F.sequence(F.lit(0), n_full - 1)
+    segs = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i * seg_len + 1, seg_len)))
+    return F.when(n_full > 0, segs).otherwise(F.array().cast("array<string>"))
+
+
+def boilerplate_segment_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_len: int = 10,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Per-doc boilerplate stats after CCNet-style corpus-duplicate
+    segment detection (reference has no distributed analog — this is the
+    web-pipeline op its single-node design never needed; cf. CCNet,
+    Wenzek et al. 2020).
+
+    A segment is *boilerplate* when it occurs in >= ``min_docs`` distinct
+    documents. Returns ``(id, n_segments, n_boiler_segments,
+    kept_tokens)``.
+
+    Scale shape at 10^12 docs: explode → ONE ``groupBy(segment)`` with
+    map-side partial ``countDistinct`` → filter to the (by construction
+    high-df, therefore small) boilerplate set → join back on segment →
+    per-doc re-agg. The boilerplate side shrinks by ~``min_docs``× vs the
+    corpus, so AQE converts the join-back to broadcast when it fits; no
+    O(N²) stage anywhere."""
+    segs = df.select(
+        F.col(id_col).alias("id"),
+        token_segments(F.col(text_col), seg_len).alias("segs"),
+    )
+    exploded = segs.select("id", F.explode("segs").alias("seg"))
+    boiler = (
+        exploded.groupBy("seg")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("seg")
+    )
+    per_doc_boiler = (
+        exploded.join(boiler, "seg")
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("n_boiler_segments"))
+    )
+    base = segs.select("id", F.size("segs").cast("long").alias("n_segments"))
+    return (
+        base.join(per_doc_boiler, "id", "left")
+        .select(
+            "id",
+            "n_segments",
+            F.coalesce("n_boiler_segments", F.lit(0)).cast("long").alias("n_boiler_segments"),
+            ((F.col("n_segments") - F.coalesce("n_boiler_segments", F.lit(0))) * seg_len)
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )
+
+
+def decontaminate_flags(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word
+    ``gram_n``-gram with a held-out benchmark set (the standard guard
+    against train/eval leakage in LLM data pipelines; cf. GPT-3 appendix C
+    13-gram overlap).
+
+    Returns ``(id, n_overlap_grams, contaminated)`` where
+    ``n_overlap_grams`` counts DISTINCT shared grams.
+
+    Scale shape: the benchmark side is tiny by definition — its distinct
+    gram set is collected into a broadcast hash join; the corpus side is
+    explode → broadcast-semi-join → per-doc agg (ONE shuffle, map-side
+    combine). The 100 TB corpus is never shuffled on the gram key."""
+    bench_grams = (
+        benchmark.select(F.explode(shingles(F.col(text_col), gram_n)).alias("gram"))
+        .distinct()
+    )
+    doc_grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), gram_n)).alias("gram"),
+    )
+    overlap = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("id")
+        .agg(F.countDistinct("gram").cast("long").alias("n_overlap_grams"))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(overlap, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_overlap_grams", F.lit(0)).cast("long").alias("n_overlap_grams"),
+            (F.coalesce("n_overlap_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
     )

@@ -220,6 +220,104 @@ def test_dup_ngram_fraction_matches_python(spark) -> None:
         assert abs(got[i][1] - py_dup(t, 3)) < 1e-9, (i, got[i][1], py_dup(t, 3))
 
 
+def test_boilerplate_segment_stats(spark) -> None:
+    """Segments are 10-token non-overlapping windows; a segment in >=3
+    distinct docs is boilerplate; short docs yield zero segments."""
+    from rifflux_spark.operators.dedup import boilerplate_segment_stats
+
+    boiler = "subscribe to our newsletter follow us on social media today"  # 10 toks
+    uniq = lambda d, n: " ".join(f"word{d}x{i}" for i in range(n))  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (0, boiler + " " + uniq(0, 10)),   # boiler + 1 unique segment
+            (1, boiler + " " + uniq(1, 10)),
+            (2, boiler + " " + uniq(2, 15)),   # 15 toks after boiler -> tail dropped
+            (3, uniq(3, 25)),                  # no boiler, 2 full segments
+            (4, "too short"),                  # < 10 toks -> 0 segments
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in boilerplate_segment_stats(df, seg_len=10, min_docs=3).collect()
+    }
+    assert (rows[0]["n_segments"], rows[0]["n_boiler_segments"], rows[0]["kept_tokens"]) == (2, 1, 10)
+    assert (rows[1]["n_segments"], rows[1]["n_boiler_segments"]) == (2, 1)
+    assert (rows[2]["n_segments"], rows[2]["n_boiler_segments"]) == (2, 1)
+    assert (rows[3]["n_segments"], rows[3]["n_boiler_segments"], rows[3]["kept_tokens"]) == (2, 0, 20)
+    assert (rows[4]["n_segments"], rows[4]["n_boiler_segments"], rows[4]["kept_tokens"]) == (0, 0, 0)
+
+
+def test_decontaminate_flags(spark) -> None:
+    from rifflux_spark.operators.dedup import decontaminate_flags
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains benchmark grams (first 9 tokens -> two 8-grams)
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (1, "totally unrelated words nothing shared here at all really truly"),
+            (2, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in decontaminate_flags(corpus, bench, gram_n=8).collect()}
+    assert rows[0]["n_overlap_grams"] == 2 and rows[0]["contaminated"]
+    assert rows[1]["n_overlap_grams"] == 0 and not rows[1]["contaminated"]
+    assert rows[2]["n_overlap_grams"] == 0 and not rows[2]["contaminated"]
+
+
+def test_pii_scrub_matches_python_re(spark) -> None:
+    import hashlib
+    import re as pyre
+
+    from rifflux_spark.functions import text_analysis as TA
+
+    texts = [
+        "write to bob@example.com or alice.smith@sub.domain.org today",
+        "call 415-555-0199 x2 or 212-555-0100",
+        "no pii here at all",
+        "mixed: a@b.co and 999-111-2222 end",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    cols = TA.pii_scrub(F.col("text"))
+    rows = {r["doc_id"]: r for r in df.select("doc_id", *[v.alias(k) for k, v in cols.items()]).collect()}
+
+    for i, t in enumerate(texts):
+        red = pyre.sub(TA.EMAIL_PATTERN, "<EMAIL>", t)
+        red = pyre.sub(TA.PHONE_PATTERN, "<PHONE>", red)
+        assert rows[i]["n_emails"] == len(pyre.findall(TA.EMAIL_PATTERN, t)), i
+        assert rows[i]["n_phones"] == len(pyre.findall(TA.PHONE_PATTERN, t)), i
+        assert rows[i]["redacted_len"] == len(red), (i, red)
+        assert rows[i]["redacted_md5"] == hashlib.md5(red.encode()).hexdigest(), i
+
+
+def test_source_mix_sample_deterministic(spark) -> None:
+    """Rate 1.0 keeps all, 0.0 keeps none, and the draw is the md5-based
+    16-bit value — identical across repartitionings (content-keyed)."""
+    import hashlib
+
+    from rifflux_spark.functions import text_analysis as TA
+
+    rows = [(i, "srcA" if i % 2 == 0 else "srcB", f"text number {i} payload") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = TA.source_mix_sample(df, {"srcA": 1.0, "srcB": 0.0}).collect()
+    assert {r["source"] for r in kept} == {"srcA"} and len(kept) == 20
+    for r in kept:
+        h = int(hashlib.md5(f"text number {r['doc_id']} payload".encode()).hexdigest()[:4], 16)
+        assert r["mix_draw"] == h
+
+    half = TA.source_mix_sample(df.repartition(7), {}, default_rate=0.5)
+    half_ids = sorted(r["doc_id"] for r in half.collect())
+    half_ids2 = sorted(
+        r["doc_id"] for r in TA.source_mix_sample(df.coalesce(1), {}, default_rate=0.5).collect()
+    )
+    assert half_ids == half_ids2  # partitioning-invariant
+
+
 def test_glob_filter_matches_fnmatch(spark) -> None:
     """glob_filter == the reference's any-include-and-no-exclude fnmatch
     semantics, for LIKE-translatable and character-class globs alike."""
