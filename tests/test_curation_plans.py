@@ -1,0 +1,103 @@
+"""Physical-plan pins for the web-curation operators.
+
+The scale claims in their docstrings must be visible in ``explain``
+output, not asserted in prose:
+
+- ``decontaminate_flags`` broadcasts the benchmark gram set; the corpus
+  is NEVER shuffled on the gram key (only the tiny bench-side distinct
+  is), and the per-doc overlap agg has a map-side partial phase;
+- ``source_mix_sample`` / ``gopher_quality_flags`` / ``pii_scrub`` are
+  map-only — zero exchanges end to end;
+- ``boilerplate_segment_stats`` stays at a bounded number of exchanges
+  (segment agg + join-back + per-doc re-agg), all with partial
+  aggregation, and never shuffles the corpus more than once per stage.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+import rifflux_spark.functions.text_analysis as TA
+from rifflux_spark.operators.dedup import boilerplate_segment_stats, decontaminate_flags
+
+
+def explain_str(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def n_exchanges(df) -> int:
+    return len(set(re.findall(r"Exchange \(\d+\)", explain_str(df))))
+
+
+def exchange_keys(plan: str) -> list[tuple[str, ...]]:
+    """Key tuples of every hash-partitioned exchange, parsed from the
+    formatted plan's ``Arguments: hashpartitioning(a#1L, b#2, 4), ...``
+    lines (names only, #ids and the partition count stripped)."""
+    keys = []
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        parts = [p.strip().split("#")[0] for p in m.group(1).split(",")]
+        keys.append(tuple(p for p in parts if p and not p.isdigit()))
+    return keys
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (i, f"src{i % 3}", "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8)
+        for i in range(30)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_decontaminate_broadcasts_bench_grams(spark, corpus) -> None:
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")], "doc_id long, text string"
+    )
+    plan = explain_str(decontaminate_flags(corpus, bench, gram_n=8))
+    # the gram join is a broadcast hash join (corpus side streams)
+    assert "BroadcastHashJoin" in plan
+    # the ONLY gram-keyed exchange is the tiny bench-side distinct; the
+    # corpus is never repartitioned on the gram key
+    gram_keyed = [k for k in exchange_keys(plan) if k == ("gram",)]
+    assert len(gram_keyed) == 1, plan
+    # per-doc overlap count aggregates with a map-side partial phase
+    assert "partial_count" in plan
+
+
+def test_source_mix_sample_is_map_only(corpus) -> None:
+    kept = TA.source_mix_sample(corpus, {"src0": 0.25, "src1": 0.75}, default_rate=0.5)
+    assert n_exchanges(kept) == 0
+
+
+def test_gopher_flags_map_only(corpus) -> None:
+    cols = TA.gopher_quality_flags(F.col("text"))
+    df = corpus.select("doc_id", *[c.alias(k) for k, c in cols.items()])
+    assert n_exchanges(df) == 0
+
+
+def test_pii_scrub_map_only(corpus) -> None:
+    cols = TA.pii_scrub(F.col("text"))
+    df = corpus.select("doc_id", *[c.alias(k) for k, c in cols.items()])
+    assert n_exchanges(df) == 0
+
+
+def test_boilerplate_stats_bounded_exchanges(corpus) -> None:
+    df = boilerplate_segment_stats(corpus, seg_len=10, min_docs=3)
+    plan = explain_str(df)
+    # segment-df agg, join-back, per-doc re-agg, final id join: the whole
+    # pipeline fits in <= 5 exchanges regardless of corpus size, and the
+    # heavy aggs all have map-side partials
+    assert n_exchanges(df) <= 5, plan
+    assert "partial_count" in plan
+    # no exchange is keyed on raw text (only seg / id keys)
+    assert all(
+        set(k) <= {"seg", "id"} for k in exchange_keys(plan)
+    ), exchange_keys(plan)
