@@ -241,6 +241,20 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: the minhash_lsh pair list closed transitively
+    via alternating large-star/small-star connected components
+    (operators/dedup.connected_components), with one canonical doc per
+    cluster — the decision a 100 TB dedup pass actually needs (the
+    reference resolves dupes row-at-a-time on SQLite insert and never
+    clusters; cf. sqlite_store.py upsert)."""
+    from rifflux_spark.operators.dedup import dedup_clusters
+
+    snap = _dup_injected(_docs(spark, sf_dir))
+    out = dedup_clusters(snap, n_hashes=8, n_bands=4, shingle_n=3, threshold=0.5)
+    return out.orderBy("component", "doc_id")
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 12) over a dup-injected slice
     (doc_id < 120 keeps the oracle's 64-way bit unnest cheap). The DuckDB
@@ -773,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_hybrid": q_rrf_hybrid,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -978,6 +993,64 @@ verified AS (
 )
 SELECT id_a, id_b, round(jac, 6) AS jaccard FROM verified
 WHERE jac >= 0.5 ORDER BY id_a, id_b
+""",
+        "dedup_clusters": """
+WITH RECURSIVE snap AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' trailing boilerplate' AS text
+  FROM documents WHERE doc_id < 15
+),
+tk AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^0-9a-z]+'), x -> x <> '') AS tk
+  FROM snap
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, greatest(len(tk) - 3, -1) + 1),
+                                      i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))) AS grams
+  FROM tk
+),
+sigs AS (
+  SELECT doc_id, grams,
+         [list_min(list_transform(grams, g -> md5(s || '|' || g))) FOR s IN ['0','1','2','3','4','5','6','7']] AS sig
+  FROM sh WHERE len(grams) > 0
+),
+banded AS (
+  SELECT doc_id, grams, b.band,
+         md5(sig[b.band * 2 + 1] || '|' || sig[b.band * 2 + 2]) AS band_hash
+  FROM sigs, (SELECT unnest([0,1,2,3]) AS band) b
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.grams AS ga, b.grams AS gb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM cands
+  WHERE len(list_intersect(ga, gb)) * 1.0
+          / (len(ga) + len(gb) - len(list_intersect(ga, gb))) >= 0.5
+),
+nodes AS (
+  SELECT DISTINCT id_a AS id FROM pairs UNION SELECT DISTINCT id_b AS id FROM pairs
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b AS a, id_a AS b FROM pairs
+),
+walk(id, reach) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.reach
+),
+comp AS (SELECT id, MIN(reach) AS component FROM walk GROUP BY id),
+sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)
+SELECT c.id AS doc_id,
+       CAST(c.component AS BIGINT) AS component,
+       CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       (c.id = c.component) AS is_canonical
+FROM comp c JOIN sizes s USING (component)
+ORDER BY component, doc_id
 """,
         "simhash_pairs": """
 WITH snap AS (

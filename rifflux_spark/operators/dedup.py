@@ -393,3 +393,125 @@ def decontaminate_flags(
             (F.coalesce("n_overlap_grams", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+# ------------------------------------------------- Connected components
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs → ``(id, component)``
+    where ``component`` is the smallest node id in the component.
+
+    A pair list is not a dedup decision: to keep ONE canonical doc per
+    duplicate group the pairs must be closed transitively (a~b, b~c ⇒
+    {a,b,c} is one cluster). The reference never needs this — its corpus
+    fits one SQLite file and dupes are resolved row-at-a-time on insert
+    (catalog upsert, sqlite_store.py) — but a 10^12-doc pipeline must
+    cluster distributively.
+
+    Algorithm: alternating **large-star / small-star** (Kiveris et al.
+    2014, "Connected Components in MapReduce and Beyond" — what
+    GraphFrames' connectedComponents implements). Each round is a
+    ``groupBy(node) → min`` plus a join on node id (two shuffles), and
+    the edge set converges to stars pointing at the component minimum in
+    O(log² n) rounds — no per-node driver state, no O(diameter) naive
+    propagation. Lineage is cut per round with an eager
+    ``localCheckpoint`` (bounded by ``max_iter``); convergence is a
+    single count+checksum aggregate, not an EXCEPT anti-join."""
+    e = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    if not e.take(1):
+        return e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+
+    def _sym(d: DataFrame) -> DataFrame:
+        return d.unionAll(d.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def _fingerprint(d: DataFrame) -> tuple[int, int]:
+        row = d.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    # canonical direction: u > v (each undirected edge once)
+    edges = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    fp = _fingerprint(edges)
+    for _ in range(max_iter):
+        # -- large star: every neighbor v > u links to m = min(Γ(u) ∪ {u})
+        sym = _sym(edges)
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small star: on edges directed large→small, every v (and u)
+        #    links to the minimum smaller neighbor of u
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smins, "u")
+            .select(
+                F.explode(F.array(F.col("u"), F.col("v"))).alias("n"),
+                F.col("m"),
+            )
+            .filter(F.col("n") != F.col("m"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        edges = small.localCheckpoint(eager=True)
+        new_fp = _fingerprint(edges)
+        if new_fp == fp:
+            break
+        fp = new_fp
+
+    # converged edge set is a star forest (u > v = component root);
+    # labels: leaves from the edges, roots label themselves
+    leaves = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = edges.select(F.col("v").alias("id"), F.col("v").alias("component")).distinct()
+    return leaves.unionAll(roots).distinct()
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup clusters with a canonical-doc flag: MinHash+LSH verified
+    pairs → connected components → ``(doc_id, component, cluster_size,
+    is_canonical)`` for every doc in a cluster of size ≥ 2. Keeping rows
+    where ``is_canonical OR cluster_size IS NULL`` after a left join is
+    the standard "drop near-dups, keep one representative" pass of an
+    LLM data pipeline (cf. Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better")."""
+    pairs = minhash_lsh_dedup(
+        df, text_col, id_col, n_hashes=n_hashes, n_bands=n_bands,
+        shingle_n=shingle_n, threshold=threshold,
+    )
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "component").select(
+        F.col("id").alias(id_col),
+        F.col("component").cast("long").alias("component"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )
