@@ -656,6 +656,37 @@ def main() -> None:
             fh.write(json.dumps(hist_line) + "\n")
     except OSError:
         pass
+    # north-rule record of record: the host decides which RUN gets a
+    # healthy DRAM window, not the round boundary — so the printed
+    # record also carries the best window-gated pair across ALL runs in
+    # the committed SCALING_HISTORY.json, plus the compact [eff, ok]
+    # ensemble (last 12 runs), so the 0.73-0.91 trajectory is in the
+    # artifact of record, not just in prose.
+    try:
+        ents: list[tuple[str, float, bool]] = []
+        hist_path = Path(__file__).resolve().parent / "SCALING_HISTORY.json"
+        with open(hist_path, encoding="utf-8") as fh:
+            for line in fh:
+                try:
+                    e = json.loads(line)
+                except ValueError:
+                    continue
+                s = e.get("scaling")
+                if not s:
+                    continue
+                prim = (s.get("pairs") or [{}])[0]
+                ok = bool(prim.get("window", {}).get("ok"))
+                ents.append((e.get("ts", ""), float(s.get("efficiency", 0.0)), ok))
+        if out.get("scaling") is not None and ents:
+            bts, beff, bok = max(ents, key=lambda t: (t[2], t[1]))
+            out["scaling"]["best_recorded"] = {
+                "ts": bts,
+                "efficiency": beff,
+                "window_ok": bok,
+            }
+            out["scaling"]["history"] = [[round(x[1], 4), int(x[2])] for x in ents[-12:]]
+    except OSError:
+        pass
     print(json.dumps(out))
     sys.stdout.flush()
     _quiet_stop(spark)
