@@ -52,8 +52,10 @@ class EngineConfig:
     n_bucket_splits: int = 4
     # metadata-sized aggregations (term_stats from block metadata, catalog
     # from staged chunk riders) run DRIVER-SIDE via Arrow when the pruned
-    # input columns are at most this many compressed bytes (footer-measured,
-    # no data read): a Spark job costs ~1s of fixed scheduler/committer
+    # input columns are at most this many UNCOMPRESSED bytes (footer-
+    # measured, no data read — compressed bytes would under-count the
+    # decoded driver-heap cost by the codec ratio): a Spark job costs
+    # ~1s of fixed scheduler/committer
     # time regardless of input size — a pure serial fraction that caps
     # strong scaling (Amdahl) while the Arrow path does the same groupby in
     # ~100ms. Above the threshold (real cluster scale) the distributed

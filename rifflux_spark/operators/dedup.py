@@ -450,6 +450,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     fp = _fingerprint(edges)
+    converged = False
     for _ in range(max_iter):
         # -- large star: every neighbor v > u links to m = min(Γ(u) ∪ {u})
         sym = _sym(edges)
@@ -477,8 +478,18 @@ def connected_components(
         edges = small.localCheckpoint(eager=True)
         new_fp = _fingerprint(edges)
         if new_fp == fp:
+            converged = True
             break
         fp = new_fp
+    if not converged:
+        # a non-converged edge set is NOT a star forest — labels read off
+        # it could give one node two components and silently corrupt the
+        # dedup decision downstream. O(log² n) rounds is astronomically
+        # inside max_iter=25 for any real graph, so fail loud.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter"
+        )
 
     # converged edge set is a star forest (u > v = component root);
     # labels: leaves from the edges, roots label themselves
@@ -495,6 +506,7 @@ def dedup_clusters(
     n_bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_bucket_size: int | None = 10000,
 ) -> DataFrame:
     """Near-dup clusters with a canonical-doc flag: MinHash+LSH verified
     pairs → connected components → ``(doc_id, component, cluster_size,
@@ -502,10 +514,18 @@ def dedup_clusters(
     where ``is_canonical OR cluster_size IS NULL`` after a left join is
     the standard "drop near-dups, keep one representative" pass of an
     LLM data pipeline (cf. Lee et al. 2022, "Deduplicating Training Data
-    Makes Language Models Better")."""
+    Makes Language Models Better").
+
+    ``max_bucket_size`` is the LSH skew guard (an LSH bucket bigger than
+    this is dropped from candidate generation rather than exploded into
+    O(bucket²) pairs). A boilerplate-heavy corpus with a >cap set of
+    near-identical docs will therefore NOT form that one giant cluster —
+    pass ``None`` to disable the cap when exact closure matters more
+    than skew safety (the oracle twin is cap-free)."""
     pairs = minhash_lsh_dedup(
         df, text_col, id_col, n_hashes=n_hashes, n_bands=n_bands,
         shingle_n=shingle_n, threshold=threshold,
+        max_bucket_size=max_bucket_size,
     )
     labels = connected_components(pairs)
     sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))

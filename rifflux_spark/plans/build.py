@@ -336,11 +336,23 @@ def build_index(
 
         pending = [(s, st) for s, st in enumerate(shard_stages) if st not in done]
         if pending:
+            shard_errs: list[BaseException] = []
             with _futures.ThreadPoolExecutor(
                 max_workers=min(4, len(pending)), thread_name_prefix="build-postings"
             ) as ex:
                 for f in [ex.submit(_run_shard, s, st) for s, st in pending]:
-                    f.result()  # re-raise the first shard failure
+                    try:
+                        f.result()
+                    except BaseException as e:
+                        shard_errs.append(e)
+            if shard_errs:
+                # join the concurrent embeddings job BEFORE propagating:
+                # raising with it mid-flight races the caller's cleanup
+                # (rmtree of the index root under a live Spark write) and
+                # blocks process exit on the orphan non-daemon thread
+                if emb_thread is not None:
+                    emb_thread.join()
+                raise shard_errs[0]
             _t = _time.perf_counter()  # exclude the overlapped span from the next lap
         # every consumer of tf has committed — drop the staging table
         import shutil as _shutil

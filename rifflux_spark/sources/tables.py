@@ -176,6 +176,29 @@ METADATA_SCHEMA = T.StructType(
 )
 
 
+
+def _releases_gens_on_error(fn):
+    """Writer guard: outside a transaction, a write that fails after
+    allocating its generation dir would leave the gen in the
+    process-wide in-flight set forever (no commit/abort ever resolves
+    it) — gc() would then skip the orphan for the process lifetime.
+    Release the thread's gens on the way out so gc can reclaim them;
+    inside a transaction the transaction's own finally handles it (and
+    an early release there could expose still-staged sibling gens to a
+    concurrent gc before the txn commits)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(self, *a, **k):
+        try:
+            return fn(self, *a, **k)
+        except BaseException:
+            if self._pending is None:
+                self._release_gens()
+            raise
+
+    return wrap
+
 class IndexStore:
     """Directory-backed index tables (parquet seam for Iceberg tables)."""
 
@@ -490,11 +513,15 @@ class IndexStore:
 
         if self._pending is not None:
             raise RuntimeError("gc inside a transaction")
+        # ORDER MATTERS: snapshot in-flight gens BEFORE reading the
+        # manifest. A gen that commits and releases between the two reads
+        # is then visible in the (later) manifest read; the reverse order
+        # would miss it in both sets and delete a just-committed gen.
+        with _INFLIGHT_GUARD:
+            inflight = set(_INFLIGHT_GENS)
         referenced = self.manifest.referenced_dirs()
         if not self.manifest.exists():
             return {"removed": 0}
-        with _INFLIGHT_GUARD:
-            inflight = set(_INFLIGHT_GENS)
         now = time.time()
         removed = 0
         root = Path(self.root)
@@ -536,10 +563,30 @@ class IndexStore:
 
     def _commit_plain(self, name: str, gen: Path, mode: str) -> None:
         rel = self._rel(gen)
-        if mode == "append":
-            self._stage(name, {"dirs": self._plain_dirs_for_update(name) + [rel]})
-        else:
+        if mode != "append":
             self._stage(name, {"dirs": [rel]})
+            return
+        if self._pending is not None:
+            # transaction path: single-writer per store by contract; the
+            # merge base is the staged view this thread is building
+            self._stage(name, {"dirs": self._plain_dirs_for_update(name) + [rel]})
+            return
+
+        # immediate append = read-modify-write of the dir list: like the
+        # partitioned path, the merge must run INSIDE the manifest's
+        # critical section, or two concurrent appenders (a streaming
+        # apply + a maintenance script) both read the same base and the
+        # second commit silently drops the first's generation
+        def _mut(state: dict) -> dict:
+            e = state.get("tables", {}).get(name)
+            if e is not None:
+                base = list(e.get("dirs", []))
+            else:
+                base = [name] if self._legacy_exists(name) else []
+            return {name: {"dirs": base + [rel]}}
+
+        self.manifest.commit_with(_mut)
+        self._release_gens()
 
     def _commit_partitioned(
         self, name: str, gen: Path, mode: str = "dynamic", expected_parts=None
@@ -585,6 +632,7 @@ class IndexStore:
             self.manifest.commit_with(_mut)
             self._release_gens()
 
+    @_releases_gens_on_error
     def write_chunks(self, df: DataFrame, ordered: bool = False, extra_cols: tuple[str, ...] = ()) -> None:
         """``ordered=True``: the frame is already globally ordered by
         doc_ord (build plan) — write as-is, row-group stats stay tight
@@ -601,6 +649,7 @@ class IndexStore:
         out.write.option("parquet.block.size", str(CHUNKS_ROW_GROUP_BYTES)).parquet(str(gen))
         self._commit_plain("chunks", gen, "overwrite")
 
+    @_releases_gens_on_error
     def append_chunks(self, df: DataFrame) -> None:
         """Append a sorted batch as a new generation (incremental runs:
         appended doc_ords sit above every existing ordinal, so row-group
@@ -610,6 +659,7 @@ class IndexStore:
         df.write.option("parquet.block.size", str(CHUNKS_ROW_GROUP_BYTES)).parquet(str(gen))
         self._commit_plain("chunks", gen, "append")
 
+    @_releases_gens_on_error
     def write_postings(self, df: DataFrame, mode: str = "overwrite") -> None:
         """Persist encoded block rows partitioned by term bucket.
 
@@ -635,6 +685,7 @@ class IndexStore:
         ).parquet(str(gen))
         self._commit_partitioned("postings", gen, "append" if mode == "append" else "dynamic")
 
+    @_releases_gens_on_error
     def overwrite_posting_buckets(self, df: DataFrame, affected: list[int]) -> None:
         """Compaction commit: replace exactly the ``affected`` bucket
         partitions with the gen's contents (buckets rewritten to empty
@@ -647,12 +698,14 @@ class IndexStore:
         ).parquet(str(gen))
         self._commit_partitioned("postings", gen, "dynamic", expected_parts=affected)
 
+    @_releases_gens_on_error
     def write_small(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
         self._adopt_legacy(name)
         gen = self._new_gen_dir(name)
         df.coalesce(1).write.parquet(str(gen))
         self._commit_plain(name, gen, mode)
 
+    @_releases_gens_on_error
     def write_corpus_stats(self, n_docs: int, total_tokens: int, avgdl: float) -> None:
         """One-row table: write driver-side via pyarrow — a Spark job for
         one row costs ~0.5-1s of scheduler/committer overhead per build.
@@ -673,6 +726,7 @@ class IndexStore:
         pq.write_table(table, gen / "part-0.parquet")
         self._commit_plain("corpus_stats", gen, "overwrite")
 
+    @_releases_gens_on_error
     def write_term_stats(
         self, df: DataFrame, full: bool = True, expected_parts=None
     ) -> None:
@@ -695,6 +749,7 @@ class IndexStore:
             "term_stats", gen, "full" if full else "dynamic", expected_parts=expected_parts
         )
 
+    @_releases_gens_on_error
     def write_embeddings(self, df: DataFrame, ordered: bool = False, mode: str = "overwrite") -> None:
         out = df.select([f.name for f in EMBEDDINGS_SCHEMA.fields])
         if not ordered:
@@ -752,11 +807,16 @@ class IndexStore:
         return total
 
     def column_bytes(self, name: str, cols: list[str]) -> int | None:
-        """Compressed on-disk bytes of exactly ``cols`` across the table's
+        """UNCOMPRESSED bytes of exactly ``cols`` across the table's
         snapshot, from parquet footers only (no data read, no Spark job) —
-        the Iceberg analog is a manifest column-sizes read. Returns None
-        if the table is missing or any requested column is absent from
-        any file (caller falls back to the distributed plan)."""
+        the Iceberg analog is a manifest column-sizes read. Uncompressed,
+        not compressed: callers route driver-side aggregation on this
+        number, and dictionary+snappy on repetitive term strings easily
+        compresses 4-8× — a compressed-bytes threshold would admit inputs
+        that decode to several times the budget on the driver heap.
+        Returns None if the table is missing or any requested column is
+        absent from any file (caller falls back to the distributed
+        plan)."""
         import pyarrow.parquet as pq
 
         files = self.data_files(name)
@@ -772,9 +832,10 @@ class IndexStore:
                 return None
             for rg in range(md.num_row_groups):
                 g = md.row_group(rg)
-                total += sum(g.column(i).total_compressed_size for i in idx)
+                total += sum(g.column(i).total_uncompressed_size for i in idx)
         return total
 
+    @_releases_gens_on_error
     def write_term_stats_arrow(self, table) -> None:
         """Driver-side twin of :meth:`write_term_stats` (full snapshot)
         for metadata-sized stats: identical hive layout (``term_bucket=N``
@@ -809,6 +870,7 @@ class IndexStore:
             pq.write_table(part, d / "part-0.parquet", row_group_size=262144)
         self._commit_partitioned("term_stats", gen, "full")
 
+    @_releases_gens_on_error
     def write_small_arrow(self, table, name: str, mode: str = "overwrite") -> None:
         """Driver-side twin of :meth:`write_small` — one parquet file per
         generation, same manifest commit, no Spark job."""
