@@ -477,6 +477,37 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.token_budget_sample(docs, budget=15_000).orderBy("doc_id")
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-then-chunk sequence packing manifest
+    (functions/text_analysis.pack_sequences): docs in md5(text) hash
+    order are concatenated and cut every 2048 tokens; each doc reports
+    its global token offset and first/last training-example id. Same
+    bucket-parallel two-phase cumsum as token_budget_sample — the oracle
+    reproduces it with one QUALIFY-free window because bucket order IS
+    hash order."""
+    docs = _docs(spark, sf_dir)
+    return TA.pack_sequences(docs, seq_len=2048).orderBy("doc_id")
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (functions/lm): a unigram LM with
+    add-1 smoothing is trained on the corpus itself (ONE groupBy(term)
+    with partial agg, top-V via TakeOrderedAndProject — no global
+    window), then every doc is scored by cross-entropy through a
+    BROADCAST join of the ≤V-row term table: the corpus is never
+    shuffled on the term key. Vocab cut at 2000 exercises the OOV path
+    on real tail terms."""
+    from rifflux_spark.functions.lm import train_unigram_lm, unigram_perplexity
+
+    docs = _docs(spark, sf_dir)
+    lm = train_unigram_lm(docs, vocab_size=2000)
+    return (
+        unigram_perplexity(docs, lm, alpha=1.0)
+        .filter(F.col("doc_id") < 60)
+        .orderBy("doc_id")
+    )
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 30)
     return docs.select(
@@ -801,6 +832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
         "token_budget_sample": q_token_budget_sample,
+        "sequence_pack": q_sequence_pack,
+        "lm_perplexity": q_lm_perplexity,
         "gopher_quality": q_gopher_quality,
         "source_profile": q_source_profile,
         "boilerplate_dedup": q_boilerplate_dedup,
@@ -1265,6 +1298,52 @@ SELECT doc_id, n_tokens,
 FROM t
 QUALIFY cum_tokens <= 15000
 ORDER BY doc_id
+""",
+        "sequence_pack": f"""
+WITH t AS (
+  SELECT doc_id, CAST({_DL_EXPR} AS BIGINT) AS n_tokens, md5(text) AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY h, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_tok,
+       CASE WHEN n_tokens > 0
+            THEN CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) END AS example_start,
+       CASE WHEN n_tokens > 0
+            THEN CAST(floor((cum - 1) / 2048.0) AS BIGINT) END AS example_end
+FROM c ORDER BY doc_id
+""",
+        "lm_perplexity": f"""
+WITH {_TOKS_CTE},
+counts AS (SELECT term, count(*)::BIGINT AS cnt FROM toks GROUP BY term),
+vocab AS (SELECT term, cnt FROM counts ORDER BY cnt DESC, term ASC LIMIT 2000),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM vocab),
+scored AS (
+  SELECT t.doc_id,
+         vb.term IS NULL AS oov,
+         coalesce(log10((vb.cnt + 1.0) / (tot.n + 1.0 * (tot.v + 1))),
+                  log10(1.0 / (tot.n + 1.0 * (tot.v + 1)))) AS logp
+  FROM toks t LEFT JOIN vocab vb USING (term), tot
+),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         sum(CASE WHEN oov THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+         sum(logp) AS sum_logp
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(per.n_oov, 0)::BIGINT AS n_oov,
+       CASE WHEN per.n_tokens > 0
+            THEN round(-per.sum_logp / per.n_tokens, 6) END AS cross_entropy
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+WHERE d.doc_id < 60 ORDER BY d.doc_id
 """,
         "gopher_quality": f"""
 WITH tk AS (

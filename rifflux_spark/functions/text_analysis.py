@@ -105,17 +105,11 @@ def fingerprint(text: Column, n: int = 5) -> Column:
     return F.when(F.size(grams) > 0, F.array_min(hashed)).otherwise(F.md5(F.coalesce(text, F.lit(""))))
 
 
-def token_budget_sample(
-    df,
-    budget: int,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-):
-    """Deterministic token-budget subsample: take documents in md5(text)
-    order until the cumulative token count reaches ``budget`` — the
-    standard "give me N tokens of this corpus, reproducibly" curation
-    primitive for training-data pipelines (hash order ≈ an unbiased
-    shuffle that every re-run and every engine agrees on).
+def _hash_order_token_cumsum(df, text_col: str, id_col: str):
+    """Global running token count over documents in md5(text) order —
+    the shared engine of :func:`token_budget_sample` and
+    :func:`pack_sequences` (hash order ≈ an unbiased shuffle that every
+    re-run and every engine agrees on).
 
     Scale shape: a naive ``SUM() OVER (ORDER BY hash)`` is a
     single-partition global window. This runs the classic two-phase
@@ -123,10 +117,11 @@ def token_budget_sample(
     PREFIX byte is the range bucket (bucket order == hash order by
     construction), per-bucket running sums are a partitioned window, the
     256 bucket totals prefix-sum on the driver, and a broadcast offset
-    join finishes the global cumsum — every stage is
-    bucket-parallel. Ties (identical texts) break on ``id_col``.
+    join finishes the global cumsum — every stage is bucket-parallel.
+    Ties (identical texts) break on ``id_col``.
 
-    Returns (id_col, n_tokens, cum_tokens) for the selected docs.
+    Returns (id_col, n_tokens, cum_tokens) over ALL documents, where
+    ``cum_tokens`` is the INCLUSIVE prefix sum.
     """
     from pyspark.sql import Window
 
@@ -152,8 +147,63 @@ def token_budget_sample(
     return (
         t.join(F.broadcast(off_df), on="bucket", how="inner")
         .withColumn("cum_tokens", F.col("_off") + F.col("local_cum"))
-        .filter(F.col("cum_tokens") <= budget)
         .select(id_col, "n_tokens", "cum_tokens")
+    )
+
+
+def token_budget_sample(
+    df,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Deterministic token-budget subsample: take documents in md5(text)
+    order until the cumulative token count reaches ``budget`` — the
+    standard "give me N tokens of this corpus, reproducibly" curation
+    primitive for training-data pipelines. See
+    :func:`_hash_order_token_cumsum` for the bucket-parallel scale shape.
+
+    Returns (id_col, n_tokens, cum_tokens) for the selected docs.
+    """
+    return _hash_order_token_cumsum(df, text_col, id_col).filter(
+        F.col("cum_tokens") <= budget
+    )
+
+
+def pack_sequences(
+    df,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """GPT-style concat-then-chunk sequence packing: documents in
+    md5(text) hash order are concatenated into one token stream and cut
+    every ``seq_len`` tokens into training examples. Each document gets
+    its global token offset and the range of example ids it lands in —
+    the manifest a downstream tokenizer shard needs to emit examples
+    without materializing the concatenated stream anywhere.
+
+    Built on the same bucket-parallel two-phase cumsum as
+    :func:`token_budget_sample`; the example arithmetic is map-only on
+    top of it. Zero-token documents span no example (NULL bounds).
+
+    Returns (id_col, n_tokens, start_tok, example_start, example_end)
+    where ``start_tok`` is the exclusive prefix sum and examples are
+    ``floor(tok / seq_len)`` of the first and last token.
+    """
+    c = _hash_order_token_cumsum(df, text_col, id_col)
+    start = (F.col("cum_tokens") - F.col("n_tokens")).alias("start_tok")
+    return c.select(
+        id_col,
+        "n_tokens",
+        start,
+        F.when(
+            F.col("n_tokens") > 0,
+            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / seq_len),
+        ).cast("long").alias("example_start"),
+        F.when(
+            F.col("n_tokens") > 0, F.floor((F.col("cum_tokens") - 1) / seq_len)
+        ).cast("long").alias("example_end"),
     )
 
 

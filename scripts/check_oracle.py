@@ -37,6 +37,56 @@ def rows_to_multiset(rows, cols):
     return sorted(tuple(norm_value(r[i]) for i in order) for r in rows)
 
 
+def arrow_kind(t) -> str:
+    """Collapse an Arrow type to the class the driver's value-hash would
+    distinguish: all int widths hash alike only within a class, but
+    decimal128 vs int64 (DuckDB windowed SUM artifact — the round-3
+    token_budget_sample red row) differ even with identical values."""
+    import pyarrow.types as pt
+
+    if pt.is_integer(t):
+        return "int"
+    if pt.is_floating(t):
+        return "float"
+    if pt.is_decimal(t):
+        return "DECIMAL"
+    if pt.is_string(t) or pt.is_large_string(t):
+        return "str"
+    if pt.is_binary(t) or pt.is_large_binary(t):
+        return "bytes"
+    if pt.is_boolean(t):
+        return "bool"
+    if pt.is_list(t) or pt.is_large_list(t) or pt.is_fixed_size_list(t):
+        return f"list<{arrow_kind(t.value_type)}>"
+    if pt.is_struct(t):
+        inner = ",".join(f"{f.name}:{arrow_kind(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    if pt.is_map(t):
+        return f"map<{arrow_kind(t.key_type)},{arrow_kind(t.item_type)}>"
+    return str(t)
+
+
+def arrow_type_problems(sdf, cur) -> list[str]:
+    """Compare Arrow type classes column-by-column (sorted by name).
+    str()-normalized value compare can't see decimal-vs-int mismatches
+    that flip the driver's strict hash; this can."""
+    try:
+        s_schema = sdf.limit(0).toArrow().schema
+        d_tab = cur.fetch_arrow_table()
+        d_schema = d_tab.schema
+    except Exception as e:  # pragma: no cover - toArrow availability
+        return [f"arrow-compare unavailable: {e}"]
+    s_map = {f.name: arrow_kind(f.type) for f in s_schema}
+    d_map = {f.name: arrow_kind(f.type) for f in d_schema}
+    probs = []
+    for name in sorted(set(s_map) & set(d_map)):
+        if s_map[name] != d_map[name]:
+            probs.append(
+                f"arrow type of '{name}': spark={s_map[name]} duck={d_map[name]}"
+            )
+    return probs
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -82,6 +132,8 @@ def main() -> None:
             if sm != dm:
                 diff = [(a, b) for a, b in zip(sm, dm) if a != b][:3]
                 problems.append(f"values differ, e.g. {diff}")
+        if not problems:
+            problems.extend(arrow_type_problems(sdf, con.execute(oracles[name])))
         if problems:
             failures.append((name, "; ".join(problems)))
             print(f"  {name}: MISMATCH {problems}")
