@@ -593,6 +593,36 @@ def q_boilerplate_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level line dedup with document reassembly
+    (operators/dedup.line_dedup): synthetic 3-line docs share a header
+    line plus a partner doc's text, so cross-doc duplicate lines exist
+    by construction; only the globally-first occurrence of each line
+    survives and the rebuilt text is pinned by md5. ONE skew-immune
+    struct-min groupBy(line) — no window — plus an in-row sort_array
+    re-agg."""
+    from rifflux_spark.operators.dedup import line_dedup
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 20).select("doc_id", "text")
+    partner = docs.select(F.col("doc_id").alias("pid"), F.col("text").alias("ptext"))
+    comp = (
+        docs.withColumn("pid", (F.col("doc_id") + 13) % 20)
+        .join(partner, "pid")
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("shared header line"), F.lit("\n"), F.col("text"),
+                F.lit("\n"), F.col("ptext"),
+            ).alias("text"),
+        )
+    )
+    return (
+        line_dedup(comp)
+        .select(F.col("id").alias("doc_id"), "n_lines", "n_kept", "cleaned_len", "cleaned_md5")
+        .orderBy("doc_id")
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/dedup.decontaminate_flags):
     docs 0-4 act as the held-out benchmark; clones of docs 5-9 get the
@@ -837,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "source_profile": q_source_profile,
         "boilerplate_dedup": q_boilerplate_dedup,
+        "line_dedup": q_line_dedup,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
         "mix_sample": q_mix_sample,
@@ -1412,6 +1443,38 @@ SELECT source,
        round(sum(len(g2) - len(list_distinct(g2))) / greatest(sum(len(g2)), 1), 6)
          AS dup_2gram_rate
 FROM g GROUP BY source ORDER BY source
+""",
+        "line_dedup": """
+WITH comp AS (
+  SELECT a.doc_id,
+         'shared header line' || chr(10) || a.text || chr(10) || b.text AS text
+  FROM documents a JOIN documents b ON b.doc_id = (a.doc_id + 13) % 20
+  WHERE a.doc_id < 20 AND b.doc_id < 20
+),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM comp),
+lines AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS idx, trim(arr[u.i + 1]) AS line
+  FROM ls, unnest(range(0, len(arr))) AS u(i)
+  WHERE trim(arr[u.i + 1]) <> ''
+),
+ranked AS (
+  SELECT doc_id, idx, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+  FROM lines
+),
+reb AS (
+  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         string_agg(line, chr(10) ORDER BY idx) AS cleaned
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_lines FROM lines GROUP BY doc_id)
+SELECT c.doc_id,
+       coalesce(tot.n_lines, 0)::BIGINT AS n_lines,
+       coalesce(reb.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(len(reb.cleaned), 0)::BIGINT AS cleaned_len,
+       md5(coalesce(reb.cleaned, '')) AS cleaned_md5
+FROM comp c LEFT JOIN reb USING (doc_id) LEFT JOIN tot USING (doc_id)
+ORDER BY c.doc_id
 """,
         "boilerplate_dedup": f"""
 WITH snap AS (

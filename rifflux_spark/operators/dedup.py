@@ -300,6 +300,76 @@ def token_segments(text: Column, seg_len: int = 10) -> Column:
     return F.when(n_full > 0, segs).otherwise(F.array().cast("array<string>"))
 
 
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style corpus-level line deduplication with document
+    reassembly: every distinct non-empty (trimmed) line is kept only at
+    its globally-FIRST occurrence — smallest ``(doc_id, line_idx)`` —
+    and each document is rebuilt from its surviving lines in original
+    order (C4, Raffel et al. 2020 §2.2 removes repeated three-sentence
+    spans the same way; the unit here is the line).
+
+    Differs from :func:`boilerplate_segment_stats` in both rule and
+    output: that op *flags* segments by document frequency; this one
+    *removes* every non-first occurrence (threshold 1) and pins the
+    exact reconstructed text via its md5.
+
+    Returns ``(id, n_lines, n_kept, cleaned_len, cleaned_md5)`` where
+    ``cleaned_md5`` hashes the kept lines re-joined with ``\\n``.
+
+    Scale shape: posexplode → ONE ``groupBy(line)`` keeping
+    ``min(struct(doc_id, idx))`` — a partial-aggregating struct-min, so
+    a line repeated a billion times collapses map-side instead of
+    hot-keying a window — then a per-doc re-agg whose ordering is a
+    ``sort_array`` INSIDE the row (no sort exchange). Two shuffles
+    total, both partial-agged; the corpus text is never the shuffle key
+    (lines are).
+    """
+    lines = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "raw"),
+        )
+        .select("id", "idx", F.trim(F.col("raw")).alias("line"))
+        .filter(F.col("line") != "")
+    )
+    keepers = (
+        lines.groupBy("line")
+        .agg(F.min(F.struct("id", "idx", "line")).alias("k"))
+        .select(F.col("k.id").alias("id"), F.col("k.idx").alias("idx"), F.col("k.line").alias("line"))
+    )
+    rebuilt = (
+        keepers.groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("idx", "line"))).alias("kl"))
+        .select(
+            "id",
+            F.size("kl").cast("long").alias("n_kept"),
+            F.concat_ws("\n", F.transform("kl", lambda s: s["line"])).alias("cleaned"),
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(
+            F.filter(
+                F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+                lambda x: x != F.lit(""),
+            )
+        )
+        .cast("long")
+        .alias("n_lines"),
+    )
+    return base.join(rebuilt, "id", "left").select(
+        "id",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.length("cleaned"), F.lit(0)).cast("long").alias("cleaned_len"),
+        F.md5(F.coalesce("cleaned", F.lit(""))).alias("cleaned_md5"),
+    )
+
+
 def boilerplate_segment_stats(
     df: DataFrame,
     text_col: str = "text",
