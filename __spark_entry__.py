@@ -623,6 +623,19 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style per-domain cap (operators/dedup.domain_cap):
+    keep ≤25 docs per source in deterministic md5(text) order, via the
+    salted two-stage top-N (slice ranks then re-rank ≤ cap*n_salts
+    survivors) — a mega-domain never funnels through one reducer sort.
+    The oracle's single unsalted window is equivalent because any true
+    top-cap row also ranks ≤ cap inside its salt slice."""
+    from rifflux_spark.operators.dedup import domain_cap
+
+    docs = _docs(spark, sf_dir)
+    return domain_cap(docs, cap=25).orderBy("source", "domain_rank")
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/dedup.decontaminate_flags):
     docs 0-4 act as the held-out benchmark; clones of docs 5-9 get the
@@ -868,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_profile": q_source_profile,
         "boilerplate_dedup": q_boilerplate_dedup,
         "line_dedup": q_line_dedup,
+        "domain_cap": q_domain_cap,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
         "mix_sample": q_mix_sample,
@@ -1443,6 +1457,15 @@ SELECT source,
        round(sum(len(g2) - len(list_distinct(g2))) / greatest(sum(len(g2)), 1), 6)
          AS dup_2gram_rate
 FROM g GROUP BY source ORDER BY source
+""",
+        "domain_cap": """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, source, CAST(rk AS BIGINT) AS domain_rank
+FROM r WHERE rk <= 25 ORDER BY source, domain_rank
 """,
         "line_dedup": """
 WITH comp AS (

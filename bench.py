@@ -605,6 +605,27 @@ def main() -> None:
 
     shutil.rmtree(index_dir, ignore_errors=True)
 
+    # --- curation: the composed training-data pass (Gopher quality gate
+    # → exact dedup → per-source report) over the same sf corpus, so the
+    # record also carries pipeline throughput, not just IR latency.
+    from pyspark.sql import functions as F
+
+    from rifflux_spark.functions.text_analysis import gopher_quality_flags
+
+    t0 = time.perf_counter()
+    flags = gopher_quality_flags(F.col("text"))
+    deduped = (
+        docs.filter(flags["pass_all"])
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.min(F.struct("doc_id", "source", "n_chars")).alias("s"))
+        .select("s.source", "s.n_chars")
+    )
+    kept = deduped.groupBy("source").agg(
+        F.count("*").alias("n_kept"), F.sum("n_chars").alias("kept_chars")
+    )
+    n_kept_total = sum(r["n_kept"] for r in kept.collect())
+    curation_sec = time.perf_counter() - t0
+
     out = {
         "metric": "index_build_sec",
         "value": round(hi_sec, 3),
@@ -615,6 +636,11 @@ def main() -> None:
         "n_chunks": n_chunks,
         "docs_per_sec": round(n_docs / hi_sec, 2),
         "chunks_per_sec": round(n_chunks / hi_sec, 2),
+        "curation": {
+            "sec": round(curation_sec, 3),
+            "docs_per_sec": round(n_docs / curation_sec, 1),
+            "n_kept": n_kept_total,
+        },
         "scaling": scaling,
         "stress": stress,
     }

@@ -370,6 +370,53 @@ def line_dedup(
     )
 
 
+def domain_cap(
+    df: DataFrame,
+    cap: int,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_salts: int = 16,
+) -> DataFrame:
+    """RefinedWeb-style per-domain document cap: keep at most ``cap``
+    documents per domain, chosen deterministically in md5(text) hash
+    order (≈ an unbiased shuffle both engines agree on; ties break on
+    ``id_col``). Web crawls are Zipf-skewed by domain — capping stops a
+    handful of mega-domains from dominating the training mix.
+
+    Scale shape: a single ``row_number`` window partitioned by domain
+    funnels a mega-domain's 10^8 rows through ONE reducer sort. This
+    runs the salted two-stage top-N instead: stage 1 ranks within
+    ``(domain, salt)`` slices (``n_salts``-way parallel per domain) and
+    keeps each slice's top-``cap``; stage 2 re-ranks only the ≤
+    ``cap * n_salts`` survivors per domain. Any row in a domain's true
+    top-``cap`` ranks ≤ ``cap`` inside its own slice too, so the result
+    is exactly the unsalted top-``cap`` — stage 2's window is over a
+    bounded set, never the raw corpus.
+
+    Returns ``(id_col, domain_col, domain_rank)`` for the kept docs.
+    """
+    from pyspark.sql import Window
+
+    t = df.select(
+        F.col(id_col),
+        F.col(domain_col),
+        F.md5(F.col(text_col)).alias("h"),
+    ).withColumn("salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)))
+    w1 = Window.partitionBy(domain_col, "salt").orderBy("h", id_col)
+    survivors = (
+        t.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= cap)
+        .drop("r1", "salt")
+    )
+    w2 = Window.partitionBy(domain_col).orderBy("h", id_col)
+    return (
+        survivors.withColumn("domain_rank", F.row_number().over(w2))
+        .filter(F.col("domain_rank") <= cap)
+        .select(id_col, domain_col, F.col("domain_rank").cast("long"))
+    )
+
+
 def boilerplate_segment_stats(
     df: DataFrame,
     text_col: str = "text",

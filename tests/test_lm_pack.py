@@ -120,6 +120,50 @@ def test_pack_sequences_no_global_sort(spark, corpus) -> None:
     assert "SinglePartition" not in plan, plan
 
 
+def test_pack_matches_naive_reference(spark) -> None:
+    """Randomized corpora (identical texts → hash ties, empty docs,
+    single-token docs) against a collected-and-recomputed naive
+    packing: the two-phase bucket cumsum must equal the sequential
+    cumsum in (md5, doc_id) order exactly."""
+    import hashlib
+    import random
+
+    rng = random.Random(20260817)
+    words = ["ant", "bee", "cat", "dog", "elk", "fox"]
+    rows = []
+    for i in range(200):
+        kind = rng.random()
+        if kind < 0.1:
+            text = ""
+        elif kind < 0.3:
+            text = "dup dup shared text"  # forced ties across many docs
+        else:
+            text = " ".join(rng.choice(words) for _ in range(rng.randint(1, 12)))
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def ntok(t: str) -> int:
+        return len([w for w in re.split(r"[^0-9a-z]+", t.lower()) if w])
+
+    order = sorted(rows, key=lambda r: (hashlib.md5(r[1].encode()).hexdigest(), r[0]))
+    naive, acc = {}, 0
+    for doc_id, text in order:
+        n = ntok(text)
+        naive[doc_id] = (n, acc)  # (n_tokens, start)
+        acc += n
+
+    got = {r["doc_id"]: r for r in pack_sequences(df, seq_len=16).collect()}
+    assert len(got) == 200
+    for doc_id, (n, start) in naive.items():
+        r = got[doc_id]
+        assert (r["n_tokens"], r["start_tok"]) == (n, start), doc_id
+        if n == 0:
+            assert r["example_start"] is None
+        else:
+            assert r["example_start"] == start // 16
+            assert r["example_end"] == (start + n - 1) // 16
+
+
 def test_budget_sample_is_pack_prefix(spark, corpus) -> None:
     """token_budget_sample == the docs of the packing manifest whose
     inclusive cumsum fits the budget (shared helper, same order)."""
