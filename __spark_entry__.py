@@ -143,6 +143,121 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/dedup.semdedup — Abbas
+    et al. 2023): hyperplane-LSH banded candidate generation → exact
+    cosine verify ≥ 0.95 → connected components → one canonical vector
+    per semantic-duplicate cluster. Duplicates are injected as exact
+    copies and ×2-scaled copies (cosine exactly 1.0 — a positive scalar
+    never flips a sign bit, so the LSH candidate recall on these pairs
+    is deterministically 1.0 and the bucketed Spark plan must equal the
+    oracle's exact all-pairs + recursive-CTE closure). The max natural
+    pairwise cosine in this slice is ≈0.44, so the 0.95 threshold keeps
+    exactly the injected clusters: each {original, copy, scaled} triple
+    is one component of size 3 canonicalized at the original id."""
+    from rifflux_spark.operators.dedup import semdedup
+
+    base = _emb(spark, sf_dir).filter(F.col("vec_id") < 200).select("vec_id", "embedding")
+    dup_src = base.filter(F.col("vec_id") % 20 == 0)
+    copies = dup_src.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    scaled = dup_src.select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias("embedding"),
+    )
+    snap = base.unionAll(copies).unionAll(scaled)
+    out = semdedup(snap, dim=64, n_planes=16, n_bands=4, seed=7, threshold=0.95)
+    return out.orderBy("component", "vec_id")
+
+
+def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + canonical-URL dedup (functions/urls): four
+    deterministic spellings of the same logical page — tracking params +
+    unsorted query + default port + trailing slash + fragment + mixed
+    scheme/host case — must collapse to one canonical key, computed as a
+    pure Catalyst expression tree; the oracle replays the rule set with
+    DuckDB regexp/list built-ins. Spellings m0 and m1 canonicalize
+    identically (same surviving params after sorting), so the group
+    count proves the dedup actually merges."""
+    from rifflux_spark.functions.urls import url_dedup
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 80)
+    page = (F.col("doc_id") % 30).cast("string")
+    page_prev = ((F.col("doc_id") - 1) % 30).cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("HTTPS://www.h"), page, F.lit(".Example.COM:443/Page/"),
+                page, F.lit("/?utm_source=feed&b=2&a=1#top"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("https://h"), page_prev, F.lit(".example.com/Page/"),
+                page_prev, F.lit("?a=1&b=2"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("http://www.h"), page, F.lit(".example.com:80/Page/"),
+                page, F.lit("/#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("https://h"), page, F.lit(".example.com/Page/"), page)
+        )
+    )
+    urls = docs.select("doc_id", url.alias("url"))
+    return url_dedup(urls).orderBy("canon_url")
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL Structured Streaming dedup (streaming/dedup.changed_pages
+    — applyInPandasWithState, per-url last-content-hash state in the
+    checkpointed state store): two AvailableNow activations over the
+    same checkpoint. Activation 1 crawls 40 pages; activation 2
+    re-crawls every page, a third of them with changed content — ONLY
+    the changed third may re-emit, and its n_seen=2 proves the state
+    survived across activations. The oracle recomputes the exact
+    expected emission set declaratively."""
+    import datetime
+    import tempfile
+
+    from rifflux_spark.streaming.dedup import run_changed_pages
+
+    pages = tempfile.mkdtemp(prefix="rifflux_q_sdedup_pages_")
+    ckpt = tempfile.mkdtemp(prefix="rifflux_q_sdedup_ckpt_")
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
+    ts = F.lit(datetime.datetime(2026, 1, 1)).cast("timestamp")
+
+    def as_pages(d: DataFrame) -> DataFrame:
+        return d.select(
+            F.concat(F.lit("https://ex.com/"), F.col("doc_id").cast("string")).alias("url"),
+            ts.alias("warc_ts"),
+            F.lit(bytearray(b"")).cast("binary").alias("html"),
+            F.col("text"),
+            F.lit("en").alias("lang"),
+        )
+
+    as_pages(docs).coalesce(1).write.mode("append").parquet(pages)
+    emitted = run_changed_pages(spark, pages, ckpt)
+    recrawl = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" changed!"))).otherwise(
+            F.col("text")
+        ),
+    )
+    as_pages(recrawl).coalesce(1).write.mode("append").parquet(pages)
+    emitted += run_changed_pages(spark, pages, ckpt)
+    out = spark.createDataFrame(
+        [(e["url"], e["content_sha"], int(e["n_seen"])) for e in emitted],
+        "url string, content_sha string, n_seen long",
+    )
+    return out.orderBy("url", "n_seen")
+
+
 # ------------------------------------------------------------------ hybrid RRF
 
 
@@ -437,6 +552,40 @@ def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("meta.format").alias("fmt"),
         F.col("meta.duration_ms").alias("duration_ms"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    ).orderBy("doc_id")
+
+
+def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF header decode: each doc gets a synthetic GIF whose
+    logical-screen descriptor (little-endian u16 pair right after the
+    GIF89a signature, GIF89a spec §18) encodes dimensions derived from
+    its doc_id; ``extract_media_meta`` must unpack width/height from the
+    BYTES (operators/multimodal.real_decode) while the oracle recomputes
+    the same dimensions arithmetically. A decode bug cannot cancel out."""
+    import struct
+
+    @F.pandas_udf(T.BinaryType())
+    def gif_bytes(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            w = 16 + int(d) % 512
+            h = 16 + (int(d) * 13) % 512
+            # signature + logical screen descriptor (w, h, flags, bg,
+            # aspect) + trailer
+            out.append(b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00" + b"\x3b")
+        return pd.Series(out)
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
+    media = docs.select(
+        "doc_id", gif_bytes("doc_id").alias("payload"), F.lit("image").alias("media_type")
+    )
+    meta = extract_media_meta(media)
+    return meta.select(
+        "doc_id",
+        F.col("meta.format").alias("fmt"),
+        F.col("meta.width").cast("long").alias("width"),
+        F.col("meta.height").cast("long").alias("height"),
         F.col("meta.n_bytes").alias("n_bytes"),
     ).orderBy("doc_id")
 
@@ -862,6 +1011,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "semdedup": q_semdedup,
+        "url_canon": q_url_canon,
+        "streaming_dedup": q_streaming_dedup,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -869,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_decode": q_png_decode,
         "jpeg_decode": q_jpeg_decode,
         "wav_decode": q_wav_decode,
+        "gif_decode": q_gif_decode,
         "ngram_jaccard": q_ngram_jaccard,
         "fingerprint": q_fingerprint,
         "text_quality": q_text_quality,
@@ -1130,6 +1283,119 @@ SELECT c.id AS doc_id,
 FROM comp c JOIN sizes s USING (component)
 ORDER BY component, doc_id
 """,
+        "semdedup": """
+WITH RECURSIVE base AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+),
+snap AS (
+  SELECT vec_id, embedding FROM base
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM base WHERE vec_id % 20 = 0
+  UNION ALL
+  SELECT vec_id + 200000 AS vec_id,
+         list_transform(embedding, x -> CAST(x * 2 AS FLOAT)) AS embedding
+  FROM base WHERE vec_id % 20 = 0
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM snap),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE CASE WHEN sqrt(list_dot_product(a.e, a.e)) > 0
+                  AND sqrt(list_dot_product(b.e, b.e)) > 0
+             THEN list_dot_product(a.e, b.e)
+                  / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+             ELSE 0.0 END >= 0.95
+),
+nodes AS (
+  SELECT DISTINCT id_a AS id FROM pairs UNION SELECT DISTINCT id_b AS id FROM pairs
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b AS a, id_a AS b FROM pairs
+),
+walk(id, reach) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.reach
+),
+comp AS (SELECT id, MIN(reach) AS component FROM walk GROUP BY id),
+sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)
+SELECT c.id AS vec_id,
+       CAST(c.component AS BIGINT) AS component,
+       CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       (c.id = c.component) AS is_canonical
+FROM comp c JOIN sizes s USING (component)
+ORDER BY component, vec_id
+""",
+        "streaming_dedup": """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+act1 AS (
+  SELECT 'https://ex.com/' || doc_id AS url, sha256(text) AS content_sha,
+         CAST(1 AS BIGINT) AS n_seen
+  FROM d
+),
+act2 AS (
+  SELECT 'https://ex.com/' || doc_id AS url, sha256(text || ' changed!') AS content_sha,
+         CAST(2 AS BIGINT) AS n_seen
+  FROM d WHERE doc_id % 3 = 0
+)
+SELECT url, content_sha, n_seen FROM act1
+UNION ALL
+SELECT url, content_sha, n_seen FROM act2
+ORDER BY url, n_seen
+""",
+        "url_canon": """
+WITH urls AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'HTTPS://www.h' || (doc_id % 30) || '.Example.COM:443/Page/'
+                       || (doc_id % 30) || '/?utm_source=feed&b=2&a=1#top'
+           WHEN 1 THEN 'https://h' || ((doc_id - 1) % 30) || '.example.com/Page/'
+                       || ((doc_id - 1) % 30) || '?a=1&b=2'
+           WHEN 2 THEN 'http://www.h' || (doc_id % 30) || '.example.com:80/Page/'
+                       || (doc_id % 30) || '/#frag'
+           ELSE 'https://h' || (doc_id % 30) || '.example.com/Page/' || (doc_id % 30)
+         END AS url
+  FROM documents WHERE doc_id < 80
+),
+s1 AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                        '^https?://', '', 'i') AS u
+  FROM urls
+),
+s2 AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(lower(regexp_extract(u, '^[^/?]*')),
+                                       '^www\\.', ''),
+                        ':(80|443)$', '') AS host,
+         regexp_replace(u, '^[^/?]*', '') AS rest
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, host,
+         regexp_replace(regexp_extract(rest, '^[^?]*'), '/+$', '') AS path,
+         CASE WHEN contains(rest, '?')
+              THEN regexp_replace(rest, '^[^?]*\\?', '') ELSE '' END AS qs
+  FROM s2
+),
+s4 AS (
+  SELECT doc_id, host, path,
+         list_sort(list_filter(string_split(qs, '&'),
+                               p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z0-9]+|fbclid|gclid|ref)='))) AS params
+  FROM s3
+),
+canon AS (
+  SELECT doc_id,
+         host || path
+         || CASE WHEN len(params) > 0
+                 THEN '?' || array_to_string(params, '&') ELSE '' END AS canon_url
+  FROM s4
+)
+SELECT canon_url,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id
+FROM canon GROUP BY canon_url ORDER BY canon_url
+""",
         "simhash_pairs": """
 WITH snap AS (
   SELECT doc_id, text FROM documents WHERE doc_id < 120
@@ -1236,6 +1502,14 @@ SELECT doc_id,
        'wav' AS fmt,
        CAST(100 + doc_id % 100 AS BIGINT) AS duration_ms,
        CAST(44 + 800 + (doc_id % 100) * 8 AS BIGINT) AS n_bytes
+FROM documents WHERE doc_id < 40 ORDER BY doc_id
+""",
+        "gif_decode": """
+SELECT doc_id,
+       'gif' AS fmt,
+       16 + doc_id % 512 AS width,
+       16 + (doc_id * 13) % 512 AS height,
+       CAST(14 AS BIGINT) AS n_bytes
 FROM documents WHERE doc_id < 40 ORDER BY doc_id
 """,
         "dedup_exact": """

@@ -652,3 +652,130 @@ def dedup_clusters(
         F.col("cluster_size").cast("long").alias("cluster_size"),
         (F.col("id") == F.col("component")).alias("is_canonical"),
     )
+
+
+def _pair_cosine(va: Column, vb: Column) -> Column:
+    """Exact cosine between two ``array<float>`` columns as a Catalyst
+    expression tree (zip_with + aggregate — JVM-side, no Python UDF on
+    the verify path). Zero-norm vectors score 0.0."""
+    a = F.transform(va, lambda x: x.cast("double"))
+    b = F.transform(vb, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.zip_with(a, a, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.zip_with(b, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def semdedup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 7,
+    threshold: float = 0.95,
+    max_bucket_size: int | None = 10000,
+) -> DataFrame:
+    """Verified semantic-duplicate PAIRS ``(id_a, id_b)`` — the lazy
+    candidate-generation + exact-verify stage of :func:`semdedup` (see
+    there for semantics and scale shape). Exposed separately so the pair
+    list is reusable and the physical plan is testable before the
+    iterative components stage executes."""
+    from rifflux_spark.operators.ann import hyperplanes, lsh_bucket_udf
+
+    bits = n_planes // n_bands
+    if bits * n_bands != n_planes:
+        raise ValueError("n_planes must be divisible by n_bands")
+    mask = (1 << bits) - 1
+
+    sig = embeddings.select(
+        F.col(id_col).alias("id"),
+        lsh_bucket_udf(hyperplanes(dim, n_planes, seed))(F.col(vec_col)).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("sig", bits * b).bitwiseAND(F.lit(mask)).alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.band_val").alias("band_val"))
+    banded = _cap_buckets(banded, ["band", "band_val"], max_bucket_size)
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(_pair_cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 7,
+    threshold: float = 0.95,
+    max_bucket_size: int | None = 10000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication"): cluster vectors cheaply, compare
+    pairwise ONLY within clusters, drop all but one representative of
+    each semantic-duplicate group.
+
+    Scale shape (the point of the paper): the O(N²) cosine matrix is
+    never materialized. Candidate generation is hyperplane-LSH — the
+    ``n_planes`` sign-bit signature (ann.hyperplanes — same family the
+    ANN index uses) split into ``n_bands`` band tables, so the self-join
+    shuffles on (band, band_val) and a pair is compared only when some
+    band of sign bits agrees exactly. Two vectors at cosine ≥ 0.95 are
+    ≤ 18° apart, so a plane splits them with p ≈ 0.1 and a 4-bit band
+    agrees with p ≈ 0.66 — four bands put candidate recall ≈ 99.9%
+    while unrelated vectors (p_agree ≈ 0.5/plane) collide on a band only
+    ~6% of the time. Oversized buckets (embedding-space boilerplate) are
+    capped exactly like the MinHash path (`_cap_buckets`). Candidates
+    are then verified with EXACT cosine (Catalyst zip_with/aggregate),
+    closed transitively (connected_components), and each cluster keeps
+    its min-id member as canonical.
+
+    Returns ``(id_col, component, cluster_size, is_canonical)`` for every
+    vector in a duplicate cluster of size ≥ 2; rows absent from the
+    output are unique. The reference has no semantic dedup at all — its
+    embeddings live row-at-a-time in SQLite (sqlite_store.py) — this is
+    a beyond-reference training-data operator.
+    """
+    pairs = semdedup_pairs(
+        embeddings, dim, id_col, vec_col, n_planes, n_bands, seed,
+        threshold, max_bucket_size,
+    )
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "component").select(
+        F.col("id").alias(id_col),
+        F.col("component").cast("long").alias("component"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )

@@ -60,6 +60,8 @@ def real_decode(payload: bytes, media_type: str) -> dict:
     - JPEG: width/height live in the SOFn frame header (ITU T.81 §B.2.2:
       marker FFC0-FFCF except DHT/JPG/DAC, then length u16, precision u8,
       height u16, width u16) — a marker-segment walk, no entropy decode.
+    - GIF: width/height are the logical-screen descriptor's little-endian
+      u16 pair right after the GIF87a/GIF89a signature (GIF89a spec §18).
     - WAV: duration derives from the RIFF fmt chunk's byte rate and the
       data chunk's size (RIFF/WAVE spec) — a chunk walk.
 
@@ -80,12 +82,19 @@ def real_decode(payload: bytes, media_type: str) -> dict:
         dims = _jpeg_dims(payload)
         if dims is not None:
             return {"format": "jpeg", "width": dims[0], "height": dims[1]}
+    if (
+        media_type == "image"
+        and len(payload) >= 10
+        and payload[:6] in (b"GIF87a", b"GIF89a")
+    ):
+        width, height = struct.unpack("<HH", payload[6:10])
+        return {"format": "gif", "width": int(width), "height": int(height)}
     if media_type == "audio" and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         dur = _wav_duration_ms(payload)
         if dur is not None:
             return {"format": "wav", "duration_ms": dur}
     raise NotImplementedError(
-        "media decoding beyond PNG/JPEG/WAV headers requires PIL/soundfile/ffmpeg; wire them here"
+        "media decoding beyond PNG/JPEG/GIF/WAV headers requires PIL/soundfile/ffmpeg; wire them here"
     )
 
 

@@ -12,8 +12,10 @@ micro-batches are upserts, deletions come from full-snapshot runs) via
 (the debounce/coalescing role of the watcher); deterministic chunk ids
 make replays idempotent anyway.
 
-Watermarks/stateful operators are intentionally absent: the reference has
-no event-time semantics to reproduce (SURVEY.md §2.E).
+Watermarks/event-time operators are intentionally absent HERE: the
+reference has no event-time semantics to reproduce (SURVEY.md §2.E).
+Custom stateful streaming lives in streaming/dedup.py
+(applyInPandasWithState re-crawl suppression, beyond-reference §2.H).
 """
 
 from __future__ import annotations

@@ -245,6 +245,24 @@ def test_real_decode_parses_jpeg_sof_and_wav_riff() -> None:
     with pytest.raises(NotImplementedError):
         real_decode(jpeg(1, 1)[:10], "image")
 
+    def gif(w, h, sig=b"GIF89a"):
+        return sig + struct.pack("<HH", w, h) + b"\x00\x00\x00" + b"\x3b"
+
+    assert real_decode(gif(320, 200), "image") == {
+        "format": "gif", "width": 320, "height": 200,
+    }
+    assert real_decode(gif(1, 1, sig=b"GIF87a"), "image") == {
+        "format": "gif", "width": 1, "height": 1,
+    }
+    # truncated screen descriptor / wrong signature → stub
+    with pytest.raises(NotImplementedError):
+        real_decode(b"GIF89a\x01\x00", "image")
+    with pytest.raises(NotImplementedError):
+        real_decode(gif(2, 2, sig=b"GIF88a"), "image")
+    # a GIF presented as audio keeps the explicit stub
+    with pytest.raises(NotImplementedError):
+        real_decode(gif(2, 2), "audio")
+
     def wav(byte_rate, data_size):
         fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, byte_rate, byte_rate, 1, 8)
         data = b"data" + struct.pack("<I", data_size) + b"\x00" * data_size
@@ -329,3 +347,61 @@ def test_token_budget_sample_two_phase_cumsum(spark) -> None:
     ]
     # selective: a strict subset, and adding any next doc would overflow
     assert 0 < len(got) < 300
+
+
+def test_semdedup_clusters_and_canonicals(spark) -> None:
+    """SemDeDup (hyperplane-LSH candidates → exact-cosine verify →
+    connected components): exact copies, positively-scaled copies
+    (cosine exactly 1.0 — scaling never flips a sign bit) and a tiny
+    perturbation cluster together; orthogonal and zero-norm vectors
+    never enter the output."""
+    from rifflux_spark.operators.dedup import semdedup
+
+    rows = [
+        (0, [1.0, 0, 0, 0, 0, 0, 0, 0]),
+        (1, [1.0, 0, 0, 0, 0, 0, 0, 0]),        # exact copy
+        (2, [2.0, 0, 0, 0, 0, 0, 0, 0]),        # scaled copy
+        (3, [1.0, 0.05, 0, 0, 0, 0, 0, 0]),     # cosine ~0.99875
+        (10, [0, 1.0, 0, 0, 0, 0, 0, 0]),
+        (11, [0, 1.0, 0.01, 0, 0, 0, 0, 0]),    # near-dup pair
+        (20, [0, 0, 0, 1.0, 0, 0, 0, 0]),       # unique
+        (30, [0.0] * 8),                         # zero-norm
+        (31, [0.0] * 8),                         # zero-norm copy: cosine 0.0
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: (r["component"], r["cluster_size"], r["is_canonical"])
+        for r in semdedup(df, dim=8, threshold=0.95).collect()
+    }
+    assert out == {
+        0: (0, 4, True),
+        1: (0, 4, False),
+        2: (0, 4, False),
+        3: (0, 4, False),
+        10: (10, 2, True),
+        11: (10, 2, False),
+    }
+
+
+def test_semdedup_pairs_plan_is_bucketed_not_cartesian(spark) -> None:
+    """The SemDeDup candidate join must be an equi-join on the band key
+    (shuffles on (band, band_val)) — never a cartesian/broadcast-NL
+    product — and the exact-cosine verify must be a Catalyst expression
+    (no Python eval beyond the one Arrow signature UDF)."""
+    from rifflux_spark.operators.dedup import semdedup_pairs
+
+    rng = np.random.RandomState(5)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(rng.normal(size=(60, 8)).astype(np.float32))],
+        "vec_id long, embedding array<float>",
+    )
+    plan = (
+        semdedup_pairs(df, dim=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
