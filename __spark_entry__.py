@@ -213,6 +213,39 @@ def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(urls).orderBy("canon_url")
 
 
+# 12 tokens >= k=8, absent from the synthetic vocabulary, so every
+# interior window of the injected passage is duplicated across the
+# injected docs
+_SUBSTR_LIT = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (operators/dedup.substring_dedup — the
+    ExactSubstr pass of Lee et al. 2022 at k-token window granularity):
+    a 12-token passage injected into every fifth doc must be removed
+    from ALL of them (the conservative all-occurrences variant), while
+    windows straddling the injection boundary are unique in context and
+    leave the surrounding original text intact. The oracle recomputes
+    the full window-fingerprint → global count → covered-span → rebuild
+    pipeline declaratively; clean text is pinned by md5."""
+    from rifflux_spark.operators.dedup import substring_dedup
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
+    snap = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" " + _SUBSTR_LIT))
+        ).otherwise(F.col("text")),
+    )
+    out = substring_dedup(snap, k=8)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_tokens",
+        "n_removed",
+    ).orderBy("doc_id")
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STATEFUL Structured Streaming dedup (streaming/dedup.changed_pages
     — applyInPandasWithState, per-url last-content-hash state in the
@@ -1013,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "semdedup": q_semdedup,
         "url_canon": q_url_canon,
+        "substring_dedup": q_substring_dedup,
         "streaming_dedup": q_streaming_dedup,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh": q_ann_lsh,
@@ -1325,6 +1359,46 @@ SELECT c.id AS vec_id,
        (c.id = c.component) AS is_canonical
 FROM comp c JOIN sizes s USING (component)
 ORDER BY component, vec_id
+""",
+        "substring_dedup": f"""
+WITH snap AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' {_SUBSTR_LIT}' ELSE text END AS text
+  FROM documents WHERE doc_id < 60
+),
+tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^0-9a-z]+'), x -> x <> '') AS tk
+  FROM snap
+),
+w AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         CASE WHEN len(tk) >= 8
+              THEN list_transform(range(0, len(tk) - 8 + 1),
+                                  i -> {{'s': i, 'h': md5(array_to_string(list_slice(tk, i + 1, i + 8), ' '))}})
+              ELSE CAST([] AS STRUCT(s BIGINT, h VARCHAR)[]) END AS wins
+  FROM tk
+),
+wr AS (SELECT doc_id, unnest(wins, recursive := true) FROM w),
+dup AS (SELECT h FROM wr GROUP BY h HAVING count(*) >= 2),
+cov AS (
+  SELECT doc_id,
+         list_distinct(flatten(list_transform(list(s), s -> range(s, s + 8)))) AS covered
+  FROM wr JOIN dup USING (h) GROUP BY doc_id
+),
+fin AS (
+  SELECT w.doc_id, w.n,
+         list_transform(
+           list_filter(range(0, w.n),
+                       p -> c.covered IS NULL OR NOT list_contains(c.covered, p)),
+           p -> w.tk[p + 1]) AS kept
+  FROM w LEFT JOIN cov c USING (doc_id)
+)
+SELECT doc_id,
+       md5(array_to_string(kept, ' ')) AS clean_md5,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(n - len(kept) AS BIGINT) AS n_removed
+FROM fin ORDER BY doc_id
 """,
         "streaming_dedup": """
 WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),

@@ -779,3 +779,100 @@ def semdedup(
         F.col("cluster_size").cast("long").alias("cluster_size"),
         (F.col("id") == F.col("component")).alias("is_canonical"),
     )
+
+
+def substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Exact-substring deduplication at k-token window granularity
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better" — the ExactSubstr pass, re-shaped for Spark: their
+    suffix-array over the concatenated corpus is a single-machine
+    construction; the distributed equivalent fingerprints every k-token
+    window and removes every token position covered by a window that
+    occurs more than once ANYWHERE in the corpus, the conservative
+    all-occurrences variant of their tool).
+
+    Pipeline (all Catalyst, no Python):
+    1. per doc: token array → md5 fingerprint of each of the n-k+1
+       sliding k-token windows, built as an ARRAY expression (the token
+       stream is never exploded until the window table);
+    2. ONE ``groupBy(window_hash)`` with map-side partial counts finds
+       fingerprints occurring ≥ 2 times — the only corpus-wide shuffle,
+       carrying (16-byte hash, count);
+    3. duplicated window starts join back (shuffle on the same hash key)
+       and aggregate per doc; covered = union of [start, start+k) spans,
+       computed map-side as array math;
+    4. surviving tokens are re-joined in order. Windows straddling a
+       duplicated passage's boundary are unique in context, so
+       neighbouring original text is never removed.
+
+    Returns ``(id_col, clean_text, n_tokens, n_removed)`` — every doc,
+    with ``clean_text`` the space-joined surviving tokens (token-stream
+    granularity: the pass normalizes whitespace/punctuation like every
+    downstream tokenizer would). Note the md5-of-joined-window
+    fingerprint is exact on the token stream — no probabilistic
+    bucketing, so the result is deterministic and SQL-twin-checkable.
+    """
+    tk = ascii_tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), tk.alias("tk")).withColumn(
+        "n_tokens", F.size("tk").cast("long")
+    )
+    wins = base.withColumn(
+        "wins",
+        F.when(
+            F.col("n_tokens") >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_tokens") - k),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("tk", i + 1, k))),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    win_rows = wins.select(
+        "id", F.posexplode("wins").alias("start", "whash")
+    )
+    dup_hashes = (
+        win_rows.groupBy("whash")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("whash")
+    )
+    covered = (
+        win_rows.join(dup_hashes, "whash")
+        .groupBy("id")
+        .agg(F.collect_set("start").alias("starts"))
+        .select(
+            "id",
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        "starts", lambda s: F.sequence(s, s + F.lit(k - 1))
+                    )
+                )
+            ).alias("covered"),
+        )
+    )
+    out = (
+        wins.join(covered, "id", "left")
+        .withColumn(
+            "kept_pos",
+            F.filter(
+                F.sequence(F.lit(0), F.col("n_tokens") - 1),
+                lambda p: F.coalesce(
+                    ~F.array_contains(F.col("covered"), p), F.lit(True)
+                ),
+            ),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.concat_ws(
+                " ", F.transform("kept_pos", lambda p: F.element_at("tk", (p + 1).cast("int")))
+            ).alias("clean_text"),
+            F.col("n_tokens"),
+            (F.col("n_tokens") - F.size("kept_pos")).cast("long").alias("n_removed"),
+        )
+    )
+    return out

@@ -405,3 +405,32 @@ def test_semdedup_pairs_plan_is_bucketed_not_cartesian(spark) -> None:
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_substring_dedup_removes_repeated_passages(spark) -> None:
+    """ExactSubstr at k=8 token windows: a 10-token passage shared by two
+    docs is removed from BOTH (all-occurrences variant) with the
+    surrounding original text intact (straddling windows are unique in
+    context); an 8-token passage repeated WITHIN one doc is removed
+    twice; docs below k tokens and unique docs pass through."""
+    from rifflux_spark.operators.dedup import substring_dedup
+
+    lit = "one two three four five six seven eight nine ten"
+    lit2 = "aa bb cc dd ee ff gg hh"
+    rows = [
+        (0, "unique opening words here " + lit),
+        (1, lit + " distinct closing remarks follow now"),
+        (2, "totally unrelated text that has nothing repeated inside it at all"),
+        (3, "short doc"),
+        (4, lit2 + " " + lit2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in substring_dedup(df, k=8).collect()
+    }
+    assert out[0] == ("unique opening words here", 14, 10)
+    assert out[1] == ("distinct closing remarks follow now", 15, 10)
+    assert out[2] == (rows[2][1], 11, 0)
+    assert out[3] == ("short doc", 2, 0)
+    assert out[4] == ("", 16, 16)
