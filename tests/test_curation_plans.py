@@ -101,3 +101,22 @@ def test_boilerplate_stats_bounded_exchanges(corpus) -> None:
     assert all(
         set(k) <= {"seg", "id"} for k in exchange_keys(plan)
     ), exchange_keys(plan)
+
+
+def test_substring_dedup_bounded_exchanges_and_no_python(corpus) -> None:
+    """substring_dedup's corpus-wide coordination must be exactly the
+    window-hash aggregation plus the join-back and per-doc agg — a
+    bounded number of hash exchanges (plus AQE join planning), never a
+    cartesian product and never a Python eval node (the fingerprint is
+    an ARRAY expression, not a UDF). The exchanges must all key on
+    whash or id."""
+    from rifflux_spark.operators.dedup import substring_dedup
+
+    df = substring_dedup(corpus, k=8)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    assert n_exchanges(df) <= 6, plan
+    for keys in exchange_keys(plan):
+        assert set(keys) <= {"whash", "id"}, keys
