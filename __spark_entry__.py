@@ -924,6 +924,74 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling weights (functions/dsir, Xie et al.
+    2023): hashed unigram+bigram bucket LMs for a target slice
+    (source='src0', the trusted-corpus stand-in) vs the raw corpus; per-
+    doc log-importance weight as an exact integer micro-sum. Scale
+    shape: one groupBy(bucket) distribution pass (<=1024 rows out), a
+    broadcast ratio join, one groupBy(doc) integer sum — the corpus is
+    never shuffled on the feature key."""
+    from rifflux_spark.functions.dsir import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    return (
+        dsir_weights(docs, F.col("source") == "src0", n_buckets=1024, alpha=1.0)
+        .filter(F.col("doc_id") < 80)
+        .orderBy("doc_id")
+    )
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords
+    (functions/text_analysis.tfidf_keywords): the curation-facing view
+    of the BM25 corpus statistics — smoothed idf, 1e-6-quantized scores,
+    term-string tie-break, row_number window partitioned by doc (no
+    global sort)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
+    return TA.tfidf_keywords(docs, k=3).orderBy("doc_id", "rank")
+
+
+def q_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column
+    (functions/vectors): per-vector scale, integer code checksums and
+    in-order float reconstruction error — ALL pure Catalyst array
+    expressions (transform/aggregate/zip_with), so a 100 TB re-encode is
+    map-only inside whole-stage codegen; the 4x-smaller int8 column is
+    what a web-scale ANN store would persist."""
+    from rifflux_spark.functions import vectors as V
+
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 60)
+    scale = V.int8_scale(F.col("embedding"))
+    withq = emb.select(
+        "vec_id", "embedding", scale.alias("scale")
+    ).withColumn("q", V.int8_quantize(F.col("embedding"), F.col("scale")))
+    # NB: the rounded display scale must NOT be aliased "scale" in the
+    # same select that computes sq_err — Spark's lateral column alias
+    # resolution would silently bind the sq_err expression to the
+    # ROUNDED value (caught by the DuckDB oracle). Round in a second
+    # projection instead.
+    out = withq.select(
+        "vec_id",
+        F.col("scale").alias("scale_raw"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, e: a + e).alias("q_sum"),
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda a, e: a + F.abs(e)
+        ).alias("q_abs_sum"),
+        (
+            V.int8_sq_err_micro(F.col("embedding"), F.col("q"), F.col("scale"))
+            / F.lit(1e12)
+        ).alias("sq_err"),
+    )
+    return out.select(
+        "vec_id",
+        F.round("scale_raw", 9).alias("scale"),
+        "q_sum",
+        "q_abs_sum",
+        "sq_err",
+    ).orderBy("vec_id")
+
+
 def q_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Include/exclude source filter (SURVEY §2 A2): the reference's
     fnmatch include/exclude globs via the reusable glob_filter operator
@@ -1072,6 +1140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
         "mix_sample": q_mix_sample,
+        "dsir_weights": q_dsir_weights,
+        "tfidf_keywords": q_tfidf_keywords,
+        "vec_quantize": q_vec_quantize,
         "curation_pipeline": q_curation_pipeline,
         "source_filter": q_source_filter,
         "metadata_kv": q_metadata_kv,
@@ -1930,6 +2001,98 @@ WITH s AS (
 SELECT source, count(*)::BIGINT AS n_kept, sum(n_chars)::BIGINT AS kept_chars
 FROM s WHERE mix_draw < rate * 65536
 GROUP BY source ORDER BY source
+""",
+        "dsir_weights": """
+WITH tk AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '[^0-9a-z]+'), x -> x <> '') AS tk
+  FROM documents
+),
+g AS (
+  SELECT doc_id, source,
+         list_concat(tk,
+           list_transform(range(0, greatest(len(tk) - 1, 0)),
+                          i -> array_to_string(list_slice(tk, i + 1, i + 2), ' '))
+         ) AS grams
+  FROM tk
+),
+e AS (
+  SELECT doc_id, (source = 'src0') AS is_t,
+         CAST(('0x' || substr(md5(u.g), 1, 8)) AS UBIGINT) % 1024 AS bucket
+  FROM g, unnest(grams) AS u(g)
+),
+dist AS (
+  SELECT bucket, count(*)::BIGINT AS raw_cnt,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS tgt_cnt
+  FROM e GROUP BY bucket
+),
+tot AS (SELECT CAST(sum(raw_cnt) AS DOUBLE) + 1024.0 AS dr,
+               CAST(sum(tgt_cnt) AS DOUBLE) + 1024.0 AS dt FROM dist),
+llr AS (
+  SELECT bucket,
+         CAST(round((ln((tgt_cnt + 1.0) / tot.dt)
+                     - ln((raw_cnt + 1.0) / tot.dr)) * 1e6) AS BIGINT) AS micro
+  FROM dist, tot
+),
+per AS (
+  SELECT e.doc_id, count(*)::BIGINT AS n_grams, sum(l.micro)::BIGINT AS s
+  FROM e JOIN llr l USING (bucket) GROUP BY e.doc_id
+)
+SELECT d.doc_id, coalesce(per.n_grams, 0)::BIGINT AS n_grams,
+       per.s / 1e6 AS dsir_logweight
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+WHERE d.doc_id < 80 ORDER BY d.doc_id
+""",
+        "tfidf_keywords": """
+WITH d40 AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+toks AS (
+  SELECT doc_id, u.t AS term
+  FROM d40, unnest(string_split_regex(lower(text), '[^0-9a-z]+')) AS u(t)
+  WHERE u.t <> ''
+),
+fd AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::BIGINT AS df_t FROM fd GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d40),
+sc AS (
+  SELECT f.doc_id, f.term,
+         CAST(round(f.tf * (ln((n.n + 1.0) / (d.df_t + 1.0)) + 1.0) * 1e6)
+              AS BIGINT) AS micro
+  FROM fd f JOIN dft d USING (term), n
+),
+rk AS (
+  SELECT doc_id, term, micro,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY micro DESC, term ASC) AS rank
+  FROM sc
+)
+SELECT doc_id, rank::INTEGER AS rank, term, micro / 1e6 AS tfidf
+FROM rk WHERE rank <= 3 ORDER BY doc_id, rank
+""",
+        "vec_quantize": """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         coalesce(list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+                  / 127.0, 0.0) AS scale
+  FROM embeddings WHERE vec_id < 60
+),
+qq AS (
+  SELECT vec_id, v, scale,
+         CASE WHEN scale > 0
+              THEN list_transform(v, x -> CAST(round(x / scale) AS INTEGER))
+              ELSE list_transform(v, x -> 0) END AS q
+  FROM base
+)
+SELECT vec_id,
+       round(scale, 9) AS scale,
+       CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
+       CAST(list_aggregate(list_transform(q, x -> abs(x)), 'sum') AS BIGINT)
+         AS q_abs_sum,
+       CAST(list_aggregate(
+         list_transform(
+           list_transform(range(1, len(v) + 1), i -> v[i] - q[i] * scale),
+           d -> CAST(round(d * d * 1e12) AS BIGINT)),
+         'sum') AS BIGINT) / 1e12 AS sq_err
+FROM qq ORDER BY vec_id
 """,
         "curation_pipeline": f"""
 WITH tk AS (

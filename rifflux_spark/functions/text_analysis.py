@@ -324,3 +324,63 @@ def gopher_quality_flags(text: Column) -> dict[str, Column]:
             & (swr > 0.0)
         ),
     }
+
+
+def tfidf_keywords(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+):
+    """Per-document top-``k`` keywords by smoothed TF-IDF.
+
+    The classic corpus-statistics keyword extractor (the engine already
+    materializes term/document frequencies for BM25 — this is the
+    curation-facing view of the same statistics): ``idf = ln((N + 1) /
+    (df_t + 1)) + 1`` (the sklearn smooth-idf form, never zero or
+    negative), ``score = tf * idf`` quantized to 1e-6 so ranking and
+    cross-engine hashing are exact.
+
+    Scale shape: ONE ``groupBy(doc, term)`` exchange builds tf with
+    map-side partial aggregation (the same key-distribution class as the
+    posting build — term skew is absorbed by the doc component of the
+    key); the df table is a second bounded-output ``groupBy(term)``; the
+    tf↔idf equi-join shuffles on term with AQE (web-scale vocabularies
+    exceed broadcast range); per-doc top-k is a ``row_number`` window
+    partitioned by the document key — millions of partitions, no global
+    sort. N is a 1-row driver aggregate.
+
+    Returns ``(id_col, rank, term, tfidf)``, ``rank`` in 1..k, ties
+    broken on the term string.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(ascii_tokens(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count("*").cast("long").alias("tf"))
+    dft = tf.groupBy("term").agg(F.count("*").cast("long").alias("df_t"))
+    idf = dft.select(
+        "term",
+        (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df_t") + 1.0)) + 1.0).alias(
+            "idf"
+        ),
+    )
+    scored = tf.join(idf, "term", "inner").select(
+        "id",
+        "term",
+        F.round(F.col("tf") * F.col("idf") * 1e6).cast("long").alias("micro"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("micro"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            (F.col("micro") / F.lit(1e6)).alias("tfidf"),
+        )
+    )
