@@ -1069,6 +1069,119 @@ def q_index_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return files.crossJoin(chunks).crossJoin(embeddings)
 
 
+# ------------------------------------------------- event-time operator suite
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/events.sessionize): 30-min
+    inactivity gap per user, one row per session with exact integer
+    time/value math. ONE shuffle on user_id; the session numbering and
+    the per-session aggregate run inside that partitioning."""
+    from rifflux_spark.operators.events import sessionize
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 40)
+    return sessionize(ev, gap_sec=1800).orderBy("user_id", "session_seq")
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/events.asof_join): each click joins the
+    most recent preceding purchase of the same user (<= semantics,
+    DuckDB ASOF JOIN oracle). Union+window formulation: ONE exchange on
+    user_id shared by both sides, no row amplification. The right side
+    is deduped per (user, instant) to max event_id in BOTH engines so
+    tie resolution is pinned rather than engine-defined."""
+    from rifflux_spark.operators.events import asof_join, micros
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 50)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", micros("ts").alias("ts_us")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", micros("ts").alias("ts_us"), "event_id", "value")
+        .groupBy("user_id", "ts_us")
+        .agg(
+            F.max_by("value", "event_id").alias("pvalue"),
+            F.max("event_id").alias("pevent"),
+        )
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        ts_us="ts_us",
+        right_payload=["pevent", "pvalue"],
+        right_tiebreak="pevent",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("_asof.pevent").alias("purchase_event_id"),
+        F.col("_asof.pvalue").alias("purchase_value"),
+    ).orderBy("event_id")
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (operators/events.range_join_buckets):
+    clicks landing inside the 10-minute window after each error of the
+    same user. Intervals explode to <=2 time buckets, probe rows get
+    one bucket, and the join is a hash EQUI-join on (user, bucket)
+    refined by the exact range predicate — never Catalyst's
+    BroadcastNestedLoopJoin fallback for inequality joins (pinned in
+    test_physical_plans)."""
+    from rifflux_spark.operators.events import micros, range_join_buckets, vmicro
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 30)
+    win_us = 600_000_000
+    intervals = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("interval_id"),
+        "user_id",
+        micros("ts").alias("start_us"),
+        (micros("ts") + F.lit(win_us)).alias("end_us"),
+    )
+    probe = ev.filter(F.col("event_type") == "click").select(
+        "user_id", micros("ts").alias("ts_us"), vmicro("value").alias("vmic")
+    )
+    return range_join_buckets(
+        intervals, probe, key="user_id", bucket_us=win_us
+    ).orderBy("interval_id")
+
+
+def q_rollup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (operators/events.rollup_chain):
+    minute aggregates from raw, hour FROM minute, day FROM hour — the
+    hypertable continuous-aggregate shape where each level reads the
+    ~60x-smaller previous level. Integer micro-sums make the chain
+    bit-identical to the oracle's direct day/hour aggregation."""
+    from rifflux_spark.operators.events import rollup_chain
+
+    return rollup_chain(_events(spark, sf_dir)).orderBy(
+        "level", "event_type", "bucket_start_us"
+    )
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog sketch (operators/events.hll_distinct):
+    distinct users per event_type via 512 md5-derived registers; the
+    harmonic sum is an exact scaled integer so the DuckDB twin
+    reproduces every register and the raw estimate bit-for-bit (an
+    engine-portable sketch, unlike approx_count_distinct). Exact
+    distinct is included for calibration."""
+    from rifflux_spark.operators.events import hll_distinct
+
+    ev = _events(spark, sf_dir)
+    sketch = hll_distinct(ev, group="event_type", col="user_id", p=9)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return sketch.join(exact, "event_type").orderBy("event_type")
+
+
 # ------------------------------------------------- classical relational demos
 
 
@@ -1143,6 +1256,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "tfidf_keywords": q_tfidf_keywords,
         "vec_quantize": q_vec_quantize,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "rollup_chain": q_rollup_chain,
+        "hll_distinct": q_hll_distinct,
         "curation_pipeline": q_curation_pipeline,
         "source_filter": q_source_filter,
         "metadata_kv": q_metadata_kv,
@@ -2093,6 +2211,125 @@ SELECT vec_id,
            d -> CAST(round(d * d * 1e12) AS BIGINT)),
          'sum') AS BIGINT) / 1e12 AS sq_err
 FROM qq ORDER BY vec_id
+""",
+        "sessionize": """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 1e6) AS BIGINT) AS vmic
+  FROM events WHERE user_id < 40
+),
+l AS (
+  SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS p
+  FROM e
+),
+s AS (
+  SELECT *, sum(CASE WHEN p IS NULL OR ts_us - p > 1800000000 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM l
+)
+SELECT user_id, session_seq::BIGINT AS session_seq,
+       count(*)::BIGINT AS n_events,
+       min(ts_us)::BIGINT AS start_us, max(ts_us)::BIGINT AS end_us,
+       (max(ts_us) - min(ts_us))::BIGINT / 1e6 AS duration_sec,
+       sum(vmic)::BIGINT / 1e6 AS sum_value
+FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq
+""",
+        "asof_join": """
+WITH l AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'click' AND user_id < 50
+),
+r AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         max_by(value, event_id) AS pvalue,
+         max(event_id)::BIGINT AS pevent
+  FROM events WHERE event_type = 'purchase' AND user_id < 50
+  GROUP BY user_id, epoch_us(ts)
+)
+SELECT l.event_id, l.user_id, l.ts_us::BIGINT AS ts_us,
+       r.pevent AS purchase_event_id, r.pvalue AS purchase_value
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+ORDER BY l.event_id
+""",
+        "range_join": """
+WITH iv AS (
+  SELECT event_id AS interval_id, user_id, epoch_us(ts) AS start_us,
+         epoch_us(ts) + 600000000 AS end_us
+  FROM events WHERE event_type = 'error' AND user_id < 30
+),
+p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 1e6) AS BIGINT) AS vmic
+  FROM events WHERE event_type = 'click' AND user_id < 30
+),
+agg AS (
+  SELECT iv.interval_id, count(*)::BIGINT AS n_hits, sum(p.vmic)::BIGINT AS s
+  FROM iv JOIN p
+    ON p.user_id = iv.user_id AND p.ts_us >= iv.start_us AND p.ts_us < iv.end_us
+  GROUP BY iv.interval_id
+)
+SELECT iv.interval_id, iv.user_id,
+       iv.start_us::BIGINT AS start_us, iv.end_us::BIGINT AS end_us,
+       coalesce(agg.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(agg.s, 0)::BIGINT / 1e6 AS sum_value
+FROM iv LEFT JOIN agg USING (interval_id) ORDER BY interval_id
+""",
+        "rollup_chain": """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         CAST(round(value * 1e6) AS BIGINT) AS vmic
+  FROM events
+),
+h AS (
+  SELECT 'hour' AS level, event_type,
+         ((us // 3600000000) * 3600000000)::BIGINT AS bucket_start_us,
+         count(*)::BIGINT AS n_events, sum(vmic)::BIGINT / 1e6 AS sum_value
+  FROM e GROUP BY event_type, us // 3600000000
+),
+d AS (
+  SELECT 'day' AS level, event_type,
+         ((us // 86400000000) * 86400000000)::BIGINT AS bucket_start_us,
+         count(*)::BIGINT AS n_events, sum(vmic)::BIGINT / 1e6 AS sum_value
+  FROM e GROUP BY event_type, us // 86400000000
+)
+SELECT * FROM (SELECT * FROM h UNION ALL SELECT * FROM d)
+ORDER BY level, event_type, bucket_start_us
+""",
+        "hll_distinct": """
+WITH x AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+           % 512 AS bucket,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8)) AS UBIGINT)
+           AS w
+  FROM events
+),
+regs AS (
+  SELECT event_type, bucket,
+         max(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS rho
+  FROM x GROUP BY event_type, bucket
+),
+per AS (
+  SELECT event_type, count(*)::BIGINT AS n_nonzero,
+         sum((1::BIGINT << (33 - rho)))::BIGINT AS s_present
+  FROM regs GROUP BY event_type
+),
+sk AS (
+  SELECT event_type, 512::BIGINT AS m, n_nonzero,
+         (s_present + (512 - n_nonzero) * (1::BIGINT << 33))::BIGINT AS s_scaled
+  FROM per
+)
+SELECT sk.event_type, sk.m, sk.n_nonzero, sk.s_scaled,
+       round((0.7213 / (1.0 + 1.079 / 512)) * 512.0 * 512.0 * 8589934592.0
+             / sk.s_scaled, 3) AS est_raw,
+       ex.n_exact
+FROM sk JOIN (
+  SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+  FROM events GROUP BY event_type
+) ex USING (event_type)
+ORDER BY sk.event_type
 """,
         "curation_pipeline": f"""
 WITH tk AS (
