@@ -27,7 +27,14 @@ from rifflux_spark.functions import text_analysis as TA
 from rifflux_spark.operators.ann import ann_topk, bucketize, ivf_index, ivf_topk, train_centroids
 from rifflux_spark.operators.dedup import minhash_lsh_dedup, simhash64, simhash_near_dupes
 from rifflux_spark.operators.multimodal import extract_media_meta
-from rifflux_spark.plans.adhoc import bm25_logical, bm25_oracle_sql, tokenized_docs
+from rifflux_spark.plans.adhoc import (
+    bm25_logical,
+    bm25_oracle_sql,
+    phrase_oracle_sql,
+    tokenized_docs,
+)
+
+_PHRASE_ORACLE = phrase_oracle_sql("part filter", top_k=10)
 from rifflux_spark.sources.catalog import diff_snapshot, prune_missing
 
 SF0001 = "/root/testdata/sf0.001"
@@ -1076,6 +1083,19 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase BM25 top-k (plans/adhoc.phrase_logical — the index-free
+    twin of operators/phrase.py, whose indexed path is verified
+    rank-identical to SQLite FTS5 phrase MATCH in
+    tests/test_phrase_rank_identity.py): the query is ONE phrase whose
+    tokens must appear contiguously; tf counts overlapping starts; df
+    is the phrase's row count. The occurrence counter is a pure
+    Catalyst array expression, so the corpus pass is map-only."""
+    from rifflux_spark.plans.adhoc import phrase_logical
+
+    return phrase_logical(_docs(spark, sf_dir), "part filter", top_k=10)
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (operators/events.sessionize): 30-min
     inactivity gap per user, one row per session with exact integer
@@ -1256,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "tfidf_keywords": q_tfidf_keywords,
         "vec_quantize": q_vec_quantize,
+        "phrase_search": q_phrase_search,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -2212,6 +2233,7 @@ SELECT vec_id,
          'sum') AS BIGINT) / 1e12 AS sq_err
 FROM qq ORDER BY vec_id
 """,
+        "phrase_search": _PHRASE_ORACLE,
         "sessionize": """
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us,

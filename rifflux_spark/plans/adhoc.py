@@ -154,3 +154,127 @@ FROM scored
 ORDER BY score DESC, {id_col} ASC
 LIMIT {top_k}
 """.strip()
+
+
+def phrase_logical(
+    documents: DataFrame,
+    query: str,
+    top_k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Phrase BM25 top-k as one declarative plan over a raw corpus
+    table — the ad-hoc twin of the indexed phrase path
+    (operators/phrase.py; same semantics, index-free).
+
+    The phrase-occurrence count is a pure Catalyst array expression
+    (``filter`` over candidate start positions with ``element_at``
+    equality per offset — overlapping starts count, as in FTS5), so
+    the corpus pass is map-only inside whole-stage codegen; the only
+    wide operations are the two scalar aggregates (corpus stats and
+    phrase df), both broadcast back. Output: (id, bm25_score),
+    negated, ties by id.
+    """
+    phrase = compile_query(query)
+    spark = documents.sparkSession
+    if not phrase:
+        return spark.createDataFrame([], f"{id_col} long, bm25_score double")
+    m = len(phrase)
+
+    toks = tokenized_docs(documents, id_col, text_col)
+
+    def match_at(i):
+        cond = F.element_at("tokens", i + 1) == phrase[0]
+        for j in range(1, m):
+            cond = cond & (F.element_at("tokens", i + F.lit(j + 1)) == phrase[j])
+        return cond
+
+    starts = F.when(
+        F.size("tokens") >= m,
+        F.sequence(F.lit(0), F.size("tokens") - m),
+    ).otherwise(F.array().cast("array<int>"))
+    tfp = toks.select(
+        id_col,
+        "dl",
+        F.size(F.filter(starts, match_at)).cast("long").alias("tfp"),
+    )
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), (F.sum("dl") / F.count("*")).alias("avgdl")
+    )
+    hits = tfp.filter(F.col("tfp") > 0)
+    dfp = hits.agg(F.count("*").cast("long").alias("df_p"))
+    scored = (
+        hits.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfp))
+        .withColumn(
+            "idf_raw",
+            F.log((F.col("n_docs") - F.col("df_p") + 0.5) / (F.col("df_p") + 0.5)),
+        )
+        .withColumn(
+            "idf",
+            F.when(F.col("idf_raw") <= 0, F.lit(1e-6)).otherwise(F.col("idf_raw")),
+        )
+        .withColumn(
+            "score",
+            F.col("idf")
+            * (F.col("tfp") * (k1 + 1.0))
+            / (F.col("tfp") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(top_k)
+    out = topk.select(F.col(id_col), (-F.col("score")).alias("bm25_score"))
+    if round_to is not None:
+        out = out.select(id_col, F.round("bm25_score", round_to).alias("bm25_score"))
+    return out
+
+
+def phrase_oracle_sql(
+    query: str,
+    top_k: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 4,
+) -> str:
+    """The DuckDB twin of :func:`phrase_logical` (ASCII corpora)."""
+    phrase = compile_query(query)
+    m = len(phrase)
+    conds = " AND ".join(
+        f"tk[i + {j}] = '{p}'" for j, p in enumerate(phrase)
+    )
+    return f"""
+WITH tk AS (
+  SELECT {id_col},
+         list_filter(string_split_regex(lower({text_col}), '[^0-9a-z]+'),
+                     x -> x <> '') AS tk
+  FROM {table}
+),
+tfp AS (
+  SELECT {id_col}, len(tk)::BIGINT AS dl,
+         CASE WHEN len(tk) >= {m} THEN
+           len(list_filter(range(1, len(tk) - {m} + 2), i -> {conds}))::BIGINT
+         ELSE 0 END AS tfp
+  FROM tk
+),
+stats AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM tfp),
+hits AS (SELECT * FROM tfp WHERE tfp > 0),
+dfp AS (SELECT count(*)::BIGINT AS df_p FROM hits),
+scored AS (
+  SELECT hits.{id_col},
+         (CASE WHEN ln((stats.n_docs - dfp.df_p + 0.5) / (dfp.df_p + 0.5)) <= 0
+               THEN 1e-6
+               ELSE ln((stats.n_docs - dfp.df_p + 0.5) / (dfp.df_p + 0.5)) END) *
+         (hits.tfp * ({k1} + 1.0)) /
+         (hits.tfp + {k1} * (1.0 - {b} + {b} * hits.dl / stats.avgdl)) AS score
+  FROM hits CROSS JOIN stats CROSS JOIN dfp
+)
+SELECT {id_col}, round(-score, {round_to}) AS bm25_score
+FROM scored
+ORDER BY score DESC, {id_col} ASC
+LIMIT {top_k}
+""".strip()

@@ -86,6 +86,9 @@ class SearchService:
     # use a byte budget since a semantic scan is always corpus-sized.
     LOCAL_EXEC_MAX_POSTINGS = 2_000_000
     LOCAL_EXEC_BUDGET_BYTES = 256 << 20
+    # phrase routing: candidate rehydration is bounded by the rarest
+    # token's df — cap what the coordinator will re-read and recheck
+    LOCAL_EXEC_MAX_CANDIDATES = 100_000
 
     def lexical(
         self, query: str, top_k: int, prune: bool = True, engine: str = "auto"
@@ -160,6 +163,87 @@ class SearchService:
             )
         return out
 
+    def phrase(
+        self, query: str, top_k: int = 10, engine: str = "auto"
+    ) -> list[dict[str, Any]]:
+        """Exact-phrase search (beyond-reference; operators/phrase.py):
+        the whole query is ONE phrase — docs where its tokens appear
+        contiguously within a single indexed column, BM25-ranked with
+        the phrase as the scoring unit (rank-identical to SQLite FTS5
+        ``MATCH '"..."'``). Routing mirrors lexical: the coordinator
+        path serves queries whose candidate working set (bounded by the
+        rarest token's df) fits the driver budget."""
+        if engine not in {"auto", "local", "spark"}:
+            raise ValueError(f"unknown engine: {engine}")
+        with self.store.read_snapshot():
+            return self._phrase(query, top_k, engine=engine)
+
+    def _phrase(
+        self, query: str, top_k: int, engine: str = "auto"
+    ) -> list[dict[str, Any]]:
+        from rifflux_spark.operators import phrase as P
+
+        tokens = compile_query(query)
+        if not tokens:
+            return []
+        if engine != "spark":
+            from rifflux_spark.operators import local_exec
+
+            dfs = local_exec.local_df(self.store, sorted(set(tokens)))
+            # candidates are bounded by the rarest token; the decode cost
+            # by the summed postings — both must fit the driver budget
+            use_local = engine == "local" or (
+                sum(dfs.values()) <= self.LOCAL_EXEC_MAX_POSTINGS
+                and (min(dfs.values()) if dfs else 0)
+                <= self.LOCAL_EXEC_MAX_CANDIDATES
+            )
+            if use_local:
+                topk = P.phrase_topk_local(
+                    self.store, query, top_k, self.config,
+                    cstats=self._corpus_stats(),
+                )
+                if not topk:
+                    return []
+                from rifflux_spark.operators.local_exec import rehydrate_local
+
+                chunks = rehydrate_local(self.store, [d for d, _ in topk])
+                return [
+                    {
+                        "chunk_id": c["chunk_id"],
+                        "path": c["url"],
+                        "heading_path": c["heading_path"],
+                        "chunk_index": c["chunk_index"],
+                        "content": c["content"],
+                        "bm25_score": score,
+                    }
+                    for doc_ord, score in topk
+                    if (c := chunks.get(doc_ord)) is not None
+                ]
+        topk_df = P.phrase_topk(
+            self.spark, self.store, query, top_k, self.config,
+            cstats=self._corpus_stats(),
+        )
+        rows = (
+            topk_df.join(self.store.chunks(), on="doc_ord", how="inner")
+            .select(
+                "chunk_id", "url", "heading_path", "chunk_index", "content",
+                "bm25_score", "doc_ord",
+            )
+            .orderBy(F.asc("bm25_score"), F.asc("doc_ord"))
+            .collect()
+        )
+        return [
+            {
+                "chunk_id": r["chunk_id"],
+                "path": r["url"],
+                "heading_path": r["heading_path"],
+                "chunk_index": r["chunk_index"],
+                "content": r["content"],
+                "bm25_score": r["bm25_score"],
+            }
+            for r in rows
+        ]
+
     def semantic(self, query_vector, top_k: int, engine: str = "auto") -> list[dict[str, Any]]:
         if query_vector is None:
             return []
@@ -232,6 +316,11 @@ class SearchService:
             return self._search(query, top_k=top_k, mode=mode)
 
     def _search(self, query: str, *, top_k: int = 10, mode: str = "hybrid") -> list[dict[str, Any]]:
+        if mode == "phrase":
+            return [
+                {**row, "score_breakdown": {"bm25": row["bm25_score"]}}
+                for row in self._phrase(query, top_k)
+            ]
         cand = top_k * self.config.candidate_multiplier
         lexical = self.lexical(query, cand) if mode in {"hybrid", "lexical"} else []
         query_vec = (

@@ -102,5 +102,32 @@ class SqliteOracle:
             cur = self.conn.execute(sql, (" ".join(terms), top_k))
         return [dict(r) for r in cur.fetchall()]
 
+    def phrase_search(self, query: str, top_k: int) -> list[dict[str, Any]]:
+        """The whole query as ONE FTS5 phrase: MATCH '"t1 t2 ..."' —
+        the oracle for the engine's beyond-reference phrase mode
+        (operators/phrase.py)."""
+        terms = [t for t in re.findall(r"\w+", query, flags=re.UNICODE) if t]
+        if not terms:
+            return []
+        compiled = '"' + " ".join(terms) + '"'
+        sql = """
+            SELECT
+              c.chunk_id,
+              f.path,
+              c.heading_path,
+              c.chunk_index,
+              c.content,
+              chunks_fts.rowid AS rowid,
+              bm25(chunks_fts) AS bm25_score
+            FROM chunks_fts
+            JOIN chunks c ON c.id = chunks_fts.rowid
+            JOIN files f ON f.id = c.file_id
+            WHERE chunks_fts MATCH ?
+            ORDER BY bm25(chunks_fts)
+            LIMIT ?
+        """
+        cur = self.conn.execute(sql, (compiled, top_k))
+        return [dict(r) for r in cur.fetchall()]
+
     def close(self) -> None:
         self.conn.close()
