@@ -30,11 +30,15 @@ from rifflux_spark.operators.multimodal import extract_media_meta
 from rifflux_spark.plans.adhoc import (
     bm25_logical,
     bm25_oracle_sql,
+    fts_oracle_sql,
     phrase_oracle_sql,
     tokenized_docs,
 )
 
 _PHRASE_ORACLE = phrase_oracle_sql("part filter", top_k=10)
+
+_FTS_QUERY = '"part filter" OR sl* NOT window'
+_FTS_ORACLE = fts_oracle_sql(_FTS_QUERY, top_k=15)
 from rifflux_spark.sources.catalog import diff_snapshot, prune_missing
 
 SF0001 = "/root/testdata/sf0.001"
@@ -1096,6 +1100,20 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_logical(_docs(spark, sf_dir), "part filter", top_k=10)
 
 
+def q_fts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full FTS5 MATCH evaluation, index-free (plans/adhoc.fts_logical):
+    a phrase unit, a prefix unit, and boolean OR/NOT in one query. The
+    indexed twin (operators/ftsquery.py) is verified rank+score-
+    identical to real SQLite FTS5 in tests/test_fts_rank_identity.py —
+    including the contribution rule where a unit only scores rows whose
+    whole ancestor subtree matches. The DuckDB oracle is GENERATED from
+    the same AST (membership + per-unit active predicates rendered
+    through a string algebra), so both sides execute the same tree."""
+    from rifflux_spark.plans.adhoc import fts_logical
+
+    return fts_logical(_docs(spark, sf_dir), _FTS_QUERY, top_k=15)
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (operators/events.sessionize): 30-min
     inactivity gap per user, one row per session with exact integer
@@ -1277,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "vec_quantize": q_vec_quantize,
         "phrase_search": q_phrase_search,
+        "fts_query": q_fts_query,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -2234,6 +2253,7 @@ SELECT vec_id,
 FROM qq ORDER BY vec_id
 """,
         "phrase_search": _PHRASE_ORACLE,
+        "fts_query": _FTS_ORACLE,
         "sessionize": """
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us,

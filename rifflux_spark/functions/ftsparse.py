@@ -1,0 +1,227 @@
+"""FTS5 MATCH query-language parser (the subset the engine executes).
+
+Grammar — pinned empirically against SQLite FTS5 in
+tests/test_fts_rank_identity.py (the published syntax diagram at
+www.sqlite.org/fts5.html is looser than the implementation; every rule
+below was probed against a real FTS5 table):
+
+    query   :=  orexpr
+    orexpr  :=  andexpr ( OR andexpr )*
+    andexpr :=  primary ( (AND | NOT) primary )*   -- same level, left-assoc
+    primary :=  '(' orexpr ')' | unitseq
+    unitseq :=  unit+        -- juxtaposition = implicit AND, UNITS ONLY
+    unit    :=  '"' tokens '"' ['*']  |  bareword ['*']
+
+Notable FTS5 behaviors this reproduces:
+- juxtaposition binds TIGHTER than NOT/AND ('a NOT b c' ≡ 'a NOT (b c)')
+  and only joins phrase units — '(a) (b)' and 'a (b OR c)' are syntax
+  errors in FTS5 and raise here;
+- operators must be uppercase (lowercase ``and`` is a term);
+- AND and NOT share one precedence level (left-associative), OR binds
+  loosest;
+- a bareword the index tokenizer splits ('foo_bar') becomes a phrase
+  unit; a trailing ``*`` makes the unit's last token a prefix.
+
+Unsupported FTS5 syntax — column filters (``col:``), ``NEAR``, ``^``
+anchors, ``+`` phrase glue — raises :class:`FtsSyntaxError`; the
+service mirrors the reference's query-error fallback
+(sqlite_store.py:246-254) by retrying the bare terms.
+
+**Scoring/membership contract** (pinned by probes; see
+operators/ftsquery.py): a row matches iff the boolean tree is true
+over per-unit presence; the bm25 score is the sum of per-unit
+contributions ``idf_u * wtf(tf_u, dl)`` restricted to units whose
+ENTIRE ancestor chain matches the row — a unit under an OR branch
+contributes only where that branch matches, a unit under an unmatched
+AND/NOT subtree contributes nothing even when present.
+:func:`match_and_actives` computes both in one generic fold usable
+with Python set algebra and Spark boolean Columns alike.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from rifflux_spark.functions.tokenizer import tokenize
+
+_LEX = re.compile(r'"([^"]*)"(\*?)|([()])|([^\s()"]+)')
+_RESERVED = {"AND", "OR", "NOT"}
+_UNSUPPORTED_WORDS = {"NEAR"}
+_UNSUPPORTED_CHARS = (":", "^", "+")
+
+
+class FtsSyntaxError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class Unit:
+    """A leaf: a phrase of index tokens; ``prefix`` makes the last
+    token a prefix match. A single term is a 1-token phrase."""
+
+    tokens: tuple[str, ...]
+    prefix: bool = False
+
+
+# AST nodes: Unit | ("and", l, r) | ("or", l, r) | ("not", l, r)
+
+
+def _lex(query: str) -> list:
+    out: list = []
+    pos = 0
+    for m in _LEX.finditer(query):
+        between = query[pos : m.start()]
+        if between.strip():
+            # only whitespace may separate tokens; an unterminated '"'
+            # (excluded from every token class) lands here
+            raise FtsSyntaxError(f"unexpected input: {between.strip()!r}")
+        pos = m.end()
+        if m.group(1) is not None:
+            toks = tuple(tokenize(m.group(1)))
+            if not toks:
+                raise FtsSyntaxError("empty phrase")
+            out.append(Unit(toks, prefix=m.group(2) == "*"))
+        elif m.group(3):
+            out.append(m.group(3))
+        else:
+            word = m.group(4)
+            if word in _RESERVED:
+                out.append(word)
+                continue
+            if word in _UNSUPPORTED_WORDS:
+                raise FtsSyntaxError(f"unsupported operator: {word}")
+            if any(ch in word for ch in _UNSUPPORTED_CHARS):
+                raise FtsSyntaxError(f"unsupported syntax in: {word!r}")
+            prefix = word.endswith("*")
+            if prefix:
+                word = word[:-1]
+            if "*" in word:
+                raise FtsSyntaxError(f"non-trailing '*' in: {word!r}")
+            toks = tuple(tokenize(word))
+            if not toks:
+                # punctuation-only bareword: skip, so '!!!' lexes to []
+                # (the behavioral contract: such queries return [])
+                continue
+            out.append(Unit(toks, prefix=prefix))
+    tail = query[pos:]
+    if tail.strip():
+        raise FtsSyntaxError(f"unexpected input: {tail.strip()!r}")
+    return out
+
+
+class _Parser:
+    def __init__(self, toks: list) -> None:
+        self.toks = toks
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def parse(self):
+        node = self.or_expr()
+        if self.peek() is not None:
+            raise FtsSyntaxError(f"trailing input at {self.peek()!r}")
+        return node
+
+    def or_expr(self):
+        node = self.and_expr()
+        while self.peek() == "OR":
+            self.next()
+            node = ("or", node, self.and_expr())
+        return node
+
+    def and_expr(self):
+        node = self.primary()
+        while True:
+            nxt = self.peek()
+            if nxt == "AND" or nxt == "NOT":
+                op = "and" if self.next() == "AND" else "not"
+                node = (op, node, self.primary())
+            else:
+                return node
+
+    def primary(self):
+        t = self.peek()
+        if t == "(":
+            self.next()
+            node = self.or_expr()
+            if self.next() != ")":
+                raise FtsSyntaxError("unbalanced parenthesis")
+            return node
+        if isinstance(t, Unit):
+            # unitseq: juxtaposed units form an implicit-AND cluster
+            # that binds tighter than any explicit operator
+            node = self.next()
+            while isinstance(self.peek(), Unit):
+                node = ("and", node, self.next())
+            return node
+        raise FtsSyntaxError(f"expected a term at {t!r}")
+
+
+def parse_fts(query: str):
+    """Parse a MATCH expression → AST, or None for an effectively-empty
+    query (only punctuation). Raises FtsSyntaxError on malformed input."""
+    toks = _lex(query)
+    if not toks:
+        return None
+    return _Parser(toks).parse()
+
+
+def collect_units(node, out: list[Unit] | None = None) -> list[Unit]:
+    """All leaf units in query order (duplicates kept — FTS5 scores a
+    repeated unit once per occurrence)."""
+    if out is None:
+        out = []
+    if isinstance(node, Unit):
+        out.append(node)
+    else:
+        collect_units(node[1], out)
+        collect_units(node[2], out)
+    return out
+
+
+def match_and_actives(node, leaf):
+    """One fold computing (root match, per-unit active values) in the
+    caller's boolean algebra — ``leaf(i)`` supplies the i-th unit's
+    presence value (collect_units order) and must support ``& | ~``.
+
+    ``active[i]`` is true exactly where unit i's whole ancestor chain
+    matches (the FTS5 contribution rule): an AND constrains each
+    side's units by the other side's match, OR adds nothing (a
+    matching branch makes the OR match), and NOT constrains the left
+    side by the right's non-match while the right side's units can
+    never contribute.
+    """
+    counter = [0]
+
+    def rec(n):
+        if isinstance(n, Unit):
+            i = counter[0]
+            counter[0] += 1
+            v = leaf(i)
+            return v, {i: v}
+        kind, left, right = n
+        lm, la = rec(left)
+        rm, ra = rec(right)
+        if kind == "and":
+            m = lm & rm
+            act = {i: v & rm for i, v in la.items()}
+            act.update({i: v & lm for i, v in ra.items()})
+            return m, act
+        if kind == "or":
+            m = lm | rm
+            act = dict(la)
+            act.update(ra)
+            return m, act
+        # not
+        m = lm & ~rm
+        act = {i: v & ~rm for i, v in la.items()}
+        return m, act
+
+    return rec(node)

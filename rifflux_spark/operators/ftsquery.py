@@ -1,0 +1,537 @@
+"""FTS5 MATCH query execution: terms, prefixes (``tok*``), phrases,
+and boolean AND / OR / NOT / parentheses — over the posting index, on
+both execution paths.
+
+Semantics (pinned empirically against SQLite FTS5 and enforced
+rank+score-identically in tests/test_fts_rank_identity.py):
+
+- **Membership** is the boolean tree over per-unit presence.
+- **Scoring**: ``bm25 = Σ idf_u * wtf(tf_u, dl)`` over the units whose
+  ENTIRE ancestor chain matches the row (probed: FTS5's xInst lists
+  only surface phrase instances of matched subtrees) — a unit under an
+  unmatched AND/NOT branch contributes nothing even when present; an
+  OR branch contributes exactly where it matches. A repeated unit
+  contributes once per occurrence; each unit scores with its own df.
+- **Per-unit stats**: a term unit scores with its own df; a prefix
+  unit's ``tf`` is the summed occurrences of every matching vocabulary
+  term and its ``df`` the count of rows containing ANY of them; a
+  phrase unit's ``tf`` is its occurrence count (overlaps included) and
+  ``df`` its row count. Same ``k1/b/avgdl/dl``, ln-idf with the 1e-6
+  clamp, negated score, rowid tie-break as the term path.
+
+Scale shape (distributed): each unit yields a df-bounded
+``(doc_ord, unit_id, tf, dl)`` frame — term/prefix units straight from
+the pruned posting decode (prefix expansion is a vocabulary-sized
+driver read, never a corpus pass), phrase units through the
+candidate-recheck pipeline of operators/phrase.py. The union is ONE
+groupBy(doc_ord) exchange producing per-unit tf columns + presence
+flags; unit dfs ride in as a broadcast ≤n_units-row aggregate;
+membership is a codegen boolean over the flags; top-k is
+TakeOrderedAndProject. Worst case degrades exactly like the term
+path's stopword case — wide posting decode — never a corpus scan.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rifflux_spark.config import EngineConfig
+from rifflux_spark.functions.ftsparse import (
+    FtsSyntaxError,
+    Unit,
+    collect_units,
+    match_and_actives,
+    parse_fts,
+)
+from rifflux_spark.functions.tokenizer import tokenize
+from rifflux_spark.operators.codec import bm25_wtf, decode_blocks_batch
+from rifflux_spark.sources.tables import IndexStore
+
+# vocabulary expansion guard: a 1-letter prefix over a web-scale vocab
+# could expand to millions of terms; FTS5 handles this with dedicated
+# prefix indexes which this engine does not persist (documented seam)
+MAX_PREFIX_EXPANSION = 4096
+
+
+def count_unit(tokens: list[str], unit: Unit) -> int:
+    """Occurrences of ``unit`` in a token list (overlapping starts
+    count; prefix applies to the unit's last token)."""
+    p = unit.tokens
+    n, m = len(tokens), len(p)
+    if m == 0 or n < m:
+        return 0
+    count = 0
+    last = m - 1
+    for i in range(n - m + 1):
+        ok = True
+        for j in range(last):
+            if tokens[i + j] != p[j]:
+                ok = False
+                break
+        if ok:
+            tail = tokens[i + last]
+            if (tail.startswith(p[last]) if unit.prefix else tail == p[last]):
+                count += 1
+    return count
+
+
+def unit_idf(n_docs: int, df_u: int) -> float:
+    idf = math.log((n_docs - df_u + 0.5) / (df_u + 0.5))
+    return idf if idf > 0 else 1e-6
+
+
+def expand_prefix_local(store: IndexStore, prefix: str) -> list[str]:
+    """Vocabulary terms starting with ``prefix`` — a coordinator-side
+    filtered read of term_stats (vocabulary-sized, term_bucket hash
+    partitioning cannot prune a prefix so every bucket file is
+    touched; columns are pruned to ``term``)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out: list[str] = []
+    for f in store.data_files("term_stats"):
+        t = pq.read_table(f, columns=["term"])
+        mask = pc.starts_with(t.column("term"), prefix)
+        out.extend(t.filter(mask).column("term").to_pylist())
+        if len(out) > MAX_PREFIX_EXPANSION:
+            raise FtsSyntaxError(
+                f"prefix '{prefix}*' expands past {MAX_PREFIX_EXPANSION} terms"
+            )
+    return sorted(out)
+
+
+def _units_needing(units: list[Unit], store: IndexStore):
+    """Resolve each unit to the index terms whose postings it needs;
+    prefix tails expand against the vocabulary. Returns
+    (per-unit term lists, the union term list)."""
+    per_unit: list[list[str]] = []
+    for u in units:
+        if u.prefix:
+            expansion = expand_prefix_local(store, u.tokens[-1])
+            terms = sorted(set(u.tokens[:-1]) | set(expansion))
+        else:
+            terms = sorted(set(u.tokens))
+        per_unit.append(terms)
+    all_terms = sorted({t for terms in per_unit for t in terms})
+    return per_unit, all_terms
+
+
+# --------------------------------------------------------------- local path
+
+
+def _local_postings(store: IndexStore, terms: list[str]):
+    """Decode every posting for ``terms`` coordinator-side →
+    (term→{doc: tf}, doc→dl)."""
+    from rifflux_spark.functions.xxhash64 import term_bucket
+    from rifflux_spark.operators.local_exec import _bucket_files, _read_filtered
+
+    tf_by_term: dict[str, dict[int, int]] = {t: {} for t in terms}
+    dl_map: dict[int, int] = {}
+    if not terms:
+        return tf_by_term, dl_map
+    buckets = {term_bucket(t, store.n_term_buckets) for t in terms}
+    files = _bucket_files(store, "postings", buckets)
+    t = _read_filtered(
+        files, ["term", "n_docs", "first_doc", "gaps", "tfs", "dls"], terms
+    )
+    if t is None:
+        return tf_by_term, dl_map
+    ns = np.asarray(t.column("n_docs").to_pylist(), dtype=np.int64)
+    docs, tfs, dls = decode_blocks_batch(
+        [bytes(x) for x in t.column("gaps").to_pylist()],
+        [bytes(x) for x in t.column("tfs").to_pylist()],
+        [bytes(x) for x in t.column("dls").to_pylist()],
+        ns,
+        np.asarray(t.column("first_doc").to_pylist(), dtype=np.int64),
+    )
+    terms_rep = np.repeat(np.array(t.column("term").to_pylist()), ns)
+    for term, doc, tf, dl in zip(terms_rep, docs, tfs, dls):
+        d = int(doc)
+        m = tf_by_term[str(term)]
+        m[d] = m.get(d, 0) + int(tf)
+        dl_map[d] = int(dl)
+    return tf_by_term, dl_map
+
+
+def fts_topk_local(
+    store: IndexStore,
+    query: str,
+    top_k: int = 10,
+    config: EngineConfig | None = None,
+    cstats: dict | None = None,
+) -> list[tuple[int, float]]:
+    """Coordinator-path MATCH evaluation: [(doc_ord, negated_score)],
+    best first. Raises FtsSyntaxError on malformed queries (callers
+    apply the reference's bare-terms fallback)."""
+    from rifflux_spark.operators.local_exec import local_tombstones, rehydrate_local
+
+    config = config or EngineConfig()
+    ast = parse_fts(query)
+    if ast is None:
+        return []
+    units = collect_units(ast)
+    cstats = cstats or store.corpus_stats()
+    n_docs, avgdl = int(cstats["n_docs"]), float(cstats["avgdl"])
+
+    per_unit_terms, all_terms = _units_needing(units, store)
+    tf_by_term, dl_map = _local_postings(store, all_terms)
+
+    # per-unit doc→tf
+    unit_tf: list[dict[int, int]] = []
+    rehydrated: dict[int, dict] | None = None
+    for u, terms in zip(units, per_unit_terms):
+        if len(u.tokens) == 1 and not u.prefix:
+            unit_tf.append(dict(tf_by_term.get(u.tokens[0], {})))
+            continue
+        if len(u.tokens) == 1 and u.prefix:
+            agg: dict[int, int] = {}
+            for t in terms:
+                if not t.startswith(u.tokens[0]):
+                    continue
+                for d, tf in tf_by_term.get(t, {}).items():
+                    agg[d] = agg.get(d, 0) + tf
+            unit_tf.append(agg)
+            continue
+        # phrase (possibly prefix-tailed): AND-intersect candidates,
+        # then recheck adjacency on rehydrated text
+        full = [set(tf_by_term.get(t, {})) for t in sorted(set(u.tokens[:-1]))]
+        if u.prefix:
+            tail_expansion = [t for t in terms if t.startswith(u.tokens[-1])]
+            tail_docs = set()
+            for t in tail_expansion:
+                tail_docs.update(tf_by_term.get(t, {}))
+            full.append(tail_docs)
+        else:
+            full = [set(tf_by_term.get(t, {})) for t in sorted(set(u.tokens))]
+        if not full or any(not s for s in full):
+            unit_tf.append({})
+            continue
+        cand = set.intersection(*full)
+        if rehydrated is None:
+            rehydrated = {}
+        missing = sorted(cand - rehydrated.keys())
+        if missing:
+            rehydrated.update(rehydrate_local(store, missing))
+        counts: dict[int, int] = {}
+        for d in cand:
+            c = rehydrated.get(d)
+            if c is None:
+                continue
+            tf = count_unit(tokenize(c["content"]), u) + count_unit(
+                tokenize(c["heading_path"]), u
+            )
+            if tf > 0:
+                counts[d] = tf
+        unit_tf.append(counts)
+
+    tombs = set(int(x) for x in local_tombstones(store))
+    if tombs:
+        unit_tf = [
+            {d: tf for d, tf in m.items() if d not in tombs} for m in unit_tf
+        ]
+
+    matched, actives = match_and_actives(
+        ast, lambda i: _DocSet(set(unit_tf[i]))
+    )
+    docs = sorted(matched.docs)
+    if not docs:
+        return []
+    pos = {d: i for i, d in enumerate(docs)}
+    idfs = [unit_idf(n_docs, len(m)) for m in unit_tf]
+    k1, b = config.bm25_k1, config.bm25_b
+    scores = np.zeros(len(docs), dtype=np.float64)
+    dls = np.array([dl_map[d] for d in docs], dtype=np.float64)
+    for i, (idf, m) in enumerate(zip(idfs, unit_tf)):
+        # FTS5 contribution rule: only where the unit's ancestor chain
+        # matches (actives[i] ⊆ matched by construction)
+        act = actives.get(i)
+        if act is None or not act.docs:
+            continue
+        idxs = np.array(sorted(pos[d] for d in act.docs), dtype=np.int64)
+        tf = np.array(
+            [m[docs[j]] for j in idxs], dtype=np.float64
+        )
+        scores[idxs] += idf * bm25_wtf(tf, dls[idxs], avgdl, k1, b)
+    docs_arr = np.array(docs, dtype=np.int64)
+    order = np.lexsort((docs_arr, -scores))[:top_k]
+    return [(int(docs_arr[i]), float(-scores[i])) for i in order]
+
+
+class _DocSet:
+    """Set algebra with complement support for the membership fold:
+    ``NOT`` needs l & ~r, so ~r is represented lazily as (set,
+    complemented) and every operator resolves the four sign cases."""
+
+    def __init__(self, docs: set, complemented: bool = False) -> None:
+        self.docs = docs
+        self.complemented = complemented
+
+    def __invert__(self) -> "_DocSet":
+        return _DocSet(self.docs, not self.complemented)
+
+    def __and__(self, other: "_DocSet") -> "_DocSet":
+        if not self.complemented and not other.complemented:
+            return _DocSet(self.docs & other.docs)
+        if not self.complemented and other.complemented:
+            return _DocSet(self.docs - other.docs)
+        if self.complemented and not other.complemented:
+            return _DocSet(other.docs - self.docs)
+        return _DocSet(self.docs | other.docs, True)
+
+    def __or__(self, other: "_DocSet") -> "_DocSet":
+        if not self.complemented and not other.complemented:
+            return _DocSet(self.docs | other.docs)
+        if not self.complemented and other.complemented:
+            return _DocSet(other.docs - self.docs, True)
+        if self.complemented and not other.complemented:
+            return _DocSet(self.docs - other.docs, True)
+        return _DocSet(self.docs & other.docs, True)
+
+
+# ---------------------------------------------------------- distributed path
+
+_UNIT_ROW = T.StructType(
+    [
+        T.StructField("doc_ord", T.LongType(), False),
+        T.StructField("unit_id", T.IntegerType(), False),
+        T.StructField("tf", T.LongType(), False),
+        T.StructField("dl", T.LongType(), False),
+    ]
+)
+
+
+def _unit_frames(
+    spark, store: IndexStore, units: list[Unit], per_unit_terms: list[list[str]]
+) -> DataFrame | None:
+    """Union of per-unit (doc_ord, unit_id, tf, dl) frames."""
+    from rifflux_spark.operators.phrase import _decode_candidates
+
+    frames: list[DataFrame] = []
+    # group all pure term/prefix units into ONE posting decode: decode
+    # once for the union of their terms, then map term→(unit_id) rows
+    simple = [
+        (i, terms)
+        for i, (u, terms) in enumerate(zip(units, per_unit_terms))
+        if len(u.tokens) == 1
+    ]
+    term_units: dict[str, list[int]] = {}
+    for i, terms in simple:
+        for t in terms:
+            term_units.setdefault(t, []).append(i)
+    if term_units:
+        all_simple_terms = sorted(term_units)
+        decoded = _decode_unit_postings(store, all_simple_terms)
+        mapping = spark.createDataFrame(
+            [(t, i) for t, ids in term_units.items() for i in ids],
+            "term string, unit_id int",
+        )
+        frames.append(
+            decoded.join(F.broadcast(mapping), "term")
+            .groupBy("doc_ord", "unit_id")
+            .agg(
+                F.sum("tf").cast("long").alias("tf"),
+                F.first("dl").alias("dl"),
+            )
+            .select("doc_ord", "unit_id", "tf", "dl")
+        )
+    for i, (u, terms) in enumerate(zip(units, per_unit_terms)):
+        if len(u.tokens) == 1:
+            continue
+        frames.append(_phrase_unit_frame(spark, store, u, terms, i))
+    if not frames:
+        return None
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _decode_unit_postings(store: IndexStore, terms: list[str]) -> DataFrame:
+    """Posting blocks for ``terms`` → (doc_ord, term, tf, dl) rows."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ns = pdf["n_docs"].to_numpy(dtype=np.int64)
+            docs, tf, dl = decode_blocks_batch(
+                [bytes(x) for x in pdf["gaps"]],
+                [bytes(x) for x in pdf["tfs"]],
+                [bytes(x) for x in pdf["dls"]],
+                ns,
+                pdf["first_doc"].to_numpy(dtype=np.int64),
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_ord": docs,
+                    "term": np.repeat(pdf["term"].to_numpy(), ns),
+                    "tf": tf,
+                    "dl": dl,
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_ord", T.LongType(), False),
+            T.StructField("term", T.StringType(), False),
+            T.StructField("tf", T.LongType(), False),
+            T.StructField("dl", T.LongType(), False),
+        ]
+    )
+    cols = ["term", "gaps", "tfs", "dls", "n_docs", "first_doc"]
+    blocks = store.postings_for_terms(terms)
+    return blocks.select(*cols).mapInPandas(decode, schema=schema)
+
+
+def _phrase_unit_frame(
+    spark, store: IndexStore, unit: Unit, terms: list[str], unit_id: int
+) -> DataFrame:
+    """Candidate-recheck frame for one phrase unit (prefix-tail aware):
+    (doc_ord, unit_id, tf, dl) where tf > 0."""
+    decoded = _decode_unit_postings(store, terms)
+    if unit.prefix:
+        full = sorted(set(unit.tokens[:-1]))
+        tail = [t for t in terms if t.startswith(unit.tokens[-1])]
+        # presence groups: each full token is its own group; the tail
+        # expansion is ONE group (any match counts). A term can play
+        # BOTH roles ("cache cach*" where the expansion includes
+        # "cache"), so the mapping is pairs, not a dict.
+        pairs = [(t, t) for t in full] + [(t, "\x00tail") for t in tail]
+        n_groups = len(full) + 1
+        gmap = spark.createDataFrame(pairs, "term string, grp string")
+        grouped = decoded.join(F.broadcast(gmap), "term")
+        cand = (
+            grouped.groupBy("doc_ord")
+            .agg(
+                F.countDistinct("grp").alias("n_grps"),
+                F.first("dl").alias("dl"),
+            )
+            .filter(F.col("n_grps") == n_groups)
+            .select("doc_ord", "dl")
+        )
+    else:
+        uniq = sorted(set(unit.tokens))
+        cand = (
+            decoded.groupBy("doc_ord")
+            .agg(
+                F.countDistinct("term").alias("n_terms"),
+                F.first("dl").alias("dl"),
+            )
+            .filter(F.col("n_terms") == len(uniq))
+            .select("doc_ord", "dl")
+        )
+    chunks = store.chunks().select("doc_ord", "content", "heading_path")
+    cand_chunks = chunks.join(F.broadcast(cand), on="doc_ord", how="inner")
+    u = unit
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            tfs = [
+                count_unit(tokenize(content), u)
+                + count_unit(tokenize(heading), u)
+                for content, heading in zip(pdf["content"], pdf["heading_path"])
+            ]
+            out = pd.DataFrame(
+                {
+                    "doc_ord": pdf["doc_ord"],
+                    "unit_id": np.int32(unit_id),
+                    "tf": pd.Series(tfs, dtype="int64"),
+                    "dl": pdf["dl"],
+                }
+            )
+            yield out[out["tf"] > 0]
+
+    return cand_chunks.select("doc_ord", "content", "heading_path", "dl").mapInPandas(
+        verify, schema=_UNIT_ROW
+    )
+
+
+def fts_topk(
+    spark,
+    store: IndexStore,
+    query: str,
+    top_k: int = 10,
+    config: EngineConfig | None = None,
+    cstats: dict | None = None,
+) -> DataFrame:
+    """Distributed MATCH evaluation → (doc_ord, bm25_score), negated,
+    best first, ties on doc_ord (FTS5 conventions)."""
+    config = config or EngineConfig()
+    empty = spark.createDataFrame([], "doc_ord long, bm25_score double")
+    ast = parse_fts(query)
+    if ast is None:
+        return empty
+    units = collect_units(ast)
+    cstats = cstats or store.corpus_stats()
+    n_docs, avgdl = int(cstats["n_docs"]), float(cstats["avgdl"])
+
+    per_unit_terms, _ = _units_needing(units, store)
+    unioned = _unit_frames(spark, store, units, per_unit_terms)
+    if unioned is None:
+        return empty
+    if store.exists("tombstones"):
+        unioned = unioned.join(
+            F.broadcast(store.tombstones()), on="doc_ord", how="left_anti"
+        )
+
+    n_units = len(units)
+    # per-unit df (rows where the unit occurs) as a broadcast dimension
+    unit_df = unioned.groupBy("unit_id").agg(
+        F.count("*").cast("long").alias("df_u")
+    )
+    k1, b = config.bm25_k1, config.bm25_b
+    idf_raw = F.log(
+        (F.lit(float(n_docs)) - F.col("df_u") + 0.5) / (F.col("df_u") + 0.5)
+    )
+    idf = F.when(idf_raw > 0, idf_raw).otherwise(F.lit(1e-6))
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + F.lit(k1) * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+    )
+    scored = unioned.join(F.broadcast(unit_df), "unit_id").select(
+        "doc_ord", "unit_id", contrib.alias("contrib")
+    )
+    # per-unit contribution columns + presence flags in ONE aggregate;
+    # rows are unique per (doc, unit) so max() selects the value
+    aggs = []
+    for i in range(n_units):
+        aggs.append(
+            F.max(F.when(F.col("unit_id") == i, F.col("contrib"))).alias(
+                f"c_{i}"
+            )
+        )
+        aggs.append(
+            F.max(F.when(F.col("unit_id") == i, 1).otherwise(0)).alias(
+                f"has_{i}"
+            )
+        )
+    per_doc = scored.groupBy("doc_ord").agg(*aggs)
+    match_expr, actives = match_and_actives(
+        ast, lambda i: F.col(f"has_{i}") == 1
+    )
+    # FTS5 contribution rule: a unit scores only where its whole
+    # ancestor chain matches (codegen boolean over the flags)
+    score = F.lit(0.0)
+    for i in range(n_units):
+        if i not in actives:
+            # a unit on the right of a NOT can never contribute (the
+            # fold drops it from the active map)
+            continue
+        score = score + F.when(
+            actives[i], F.coalesce(F.col(f"c_{i}"), F.lit(0.0))
+        ).otherwise(F.lit(0.0))
+    topk = (
+        per_doc.filter(match_expr)
+        .select("doc_ord", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_ord"))
+        .limit(top_k)
+    )
+    return topk.select("doc_ord", (-F.col("score")).alias("bm25_score"))

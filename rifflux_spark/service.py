@@ -244,6 +244,108 @@ class SearchService:
             for r in rows
         ]
 
+    def fts(
+        self, query: str, top_k: int = 10, engine: str = "auto"
+    ) -> list[dict[str, Any]]:
+        """Full FTS5 MATCH evaluation (operators/ftsquery.py): terms,
+        ``tok*`` prefixes, quoted phrases, AND/OR/NOT, parentheses —
+        rank+score-identical to SQLite FTS5 on both paths
+        (tests/test_fts_rank_identity.py). On a syntax error the
+        reference's fallback contract applies (sqlite_store.py:246-254):
+        retry with the bare space-joined terms (= implicit AND);
+        punctuation-only queries return []."""
+        if engine not in {"auto", "local", "spark"}:
+            raise ValueError(f"unknown engine: {engine}")
+        with self.store.read_snapshot():
+            return self._fts(query, top_k, engine=engine)
+
+    def _fts(
+        self, query: str, top_k: int, engine: str = "auto"
+    ) -> list[dict[str, Any]]:
+        from rifflux_spark.functions.ftsparse import FtsSyntaxError, parse_fts
+        from rifflux_spark.operators import ftsquery as FQ
+
+        try:
+            ast = parse_fts(query)
+        except FtsSyntaxError:
+            # reference fallback: bare space-joined terms; FTS5 parses
+            # that as implicit AND of the individual tokens
+            fallback = " ".join(compile_query(query))
+            if not fallback:
+                return []
+            try:
+                ast = parse_fts(fallback)
+            except FtsSyntaxError:
+                return []
+            query = fallback
+        if ast is None:
+            return []
+        if engine != "spark":
+            from rifflux_spark.functions.ftsparse import collect_units
+            from rifflux_spark.operators import local_exec
+
+            units = collect_units(ast)
+            # route on the full (non-prefix) tokens' posting volume; a
+            # prefix tail is not an index term (its expansion is capped
+            # at MAX_PREFIX_EXPANSION upstream)
+            fulls = sorted(
+                {
+                    t
+                    for u in units
+                    for t in (u.tokens[:-1] if u.prefix else u.tokens)
+                }
+            )
+            dfs = local_exec.local_df(self.store, fulls)
+            use_local = engine == "local" or (
+                sum(dfs.values()) <= self.LOCAL_EXEC_MAX_POSTINGS
+            )
+            if use_local:
+                topk = FQ.fts_topk_local(
+                    self.store, query, top_k, self.config,
+                    cstats=self._corpus_stats(),
+                )
+                if not topk:
+                    return []
+                from rifflux_spark.operators.local_exec import rehydrate_local
+
+                chunks = rehydrate_local(self.store, [d for d, _ in topk])
+                return [
+                    {
+                        "chunk_id": c["chunk_id"],
+                        "path": c["url"],
+                        "heading_path": c["heading_path"],
+                        "chunk_index": c["chunk_index"],
+                        "content": c["content"],
+                        "bm25_score": score,
+                    }
+                    for doc_ord, score in topk
+                    if (c := chunks.get(doc_ord)) is not None
+                ]
+        topk_df = FQ.fts_topk(
+            self.spark, self.store, query, top_k, self.config,
+            cstats=self._corpus_stats(),
+        )
+        rows = (
+            topk_df.join(self.store.chunks(), on="doc_ord", how="inner")
+            .select(
+                "chunk_id", "url", "heading_path", "chunk_index", "content",
+                "bm25_score", "doc_ord",
+            )
+            .orderBy(F.asc("bm25_score"), F.asc("doc_ord"))
+            .collect()
+        )
+        return [
+            {
+                "chunk_id": r["chunk_id"],
+                "path": r["url"],
+                "heading_path": r["heading_path"],
+                "chunk_index": r["chunk_index"],
+                "content": r["content"],
+                "bm25_score": r["bm25_score"],
+            }
+            for r in rows
+        ]
+
     def semantic(self, query_vector, top_k: int, engine: str = "auto") -> list[dict[str, Any]]:
         if query_vector is None:
             return []
@@ -316,6 +418,11 @@ class SearchService:
             return self._search(query, top_k=top_k, mode=mode)
 
     def _search(self, query: str, *, top_k: int = 10, mode: str = "hybrid") -> list[dict[str, Any]]:
+        if mode == "fts":
+            return [
+                {**row, "score_breakdown": {"bm25": row["bm25_score"]}}
+                for row in self._fts(query, top_k)
+            ]
         if mode == "phrase":
             return [
                 {**row, "score_breakdown": {"bm25": row["bm25_score"]}}

@@ -129,5 +129,28 @@ class SqliteOracle:
         cur = self.conn.execute(sql, (compiled, top_k))
         return [dict(r) for r in cur.fetchall()]
 
+    def match_search(self, match: str, top_k: int) -> list[dict[str, Any]]:
+        """Run a raw FTS5 MATCH expression (terms/prefix/phrase/boolean)
+        — the oracle for the engine's full MATCH evaluator
+        (operators/ftsquery.py)."""
+        sql = """
+            SELECT
+              c.chunk_id,
+              f.path,
+              c.heading_path,
+              c.chunk_index,
+              c.content,
+              chunks_fts.rowid AS rowid,
+              bm25(chunks_fts) AS bm25_score
+            FROM chunks_fts
+            JOIN chunks c ON c.id = chunks_fts.rowid
+            JOIN files f ON f.id = c.file_id
+            WHERE chunks_fts MATCH ?
+            ORDER BY bm25(chunks_fts)
+            LIMIT ?
+        """
+        cur = self.conn.execute(sql, (match, top_k))
+        return [dict(r) for r in cur.fetchall()]
+
     def close(self) -> None:
         self.conn.close()

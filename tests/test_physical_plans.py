@@ -412,3 +412,21 @@ def test_phrase_path_prunes_broadcasts_and_takeordered(spark, store) -> None:
     assert "SinglePartition" not in per_branch
     rows = df.collect()
     assert rows and all(r["bm25_score"] < 0 for r in rows)
+
+
+def test_fts_query_plan_prunes_and_takeordered(spark, store) -> None:
+    """The distributed MATCH evaluator (operators/ftsquery.py): posting
+    scans stay term-pruned (partition filter + pushed predicate), the
+    per-doc assembly is hash aggregation (no sort-based fallback on the
+    corpus), membership is a codegen filter, and top-k is
+    TakeOrderedAndProject."""
+    from rifflux_spark.operators.ftsquery import fts_topk
+
+    df = fts_topk(spark, store, "cache OR ttl NOT policy", top_k=5)
+    plan = explain_str(df)
+    assert "PartitionFilters" in plan and "term_bucket" in plan
+    assert "In(term" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert rows and all(r["bm25_score"] < 0 for r in rows)
