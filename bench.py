@@ -602,6 +602,14 @@ def main() -> None:
     t0 = time.perf_counter()
     service.search("dup value key", top_k=10, mode="hybrid")
     query_times["hybrid"] = round(time.perf_counter() - t0, 4)
+    # FTS language paths: a two-token phrase and a boolean+prefix MATCH
+    # (both routed like lexical — coordinator on small working sets)
+    t0 = time.perf_counter()
+    service.search("dup value", top_k=10, mode="phrase")
+    query_times["phrase"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    service.search("dup OR val* NOT key", top_k=10, mode="fts")
+    query_times["fts_bool"] = round(time.perf_counter() - t0, 4)
 
     shutil.rmtree(index_dir, ignore_errors=True)
 

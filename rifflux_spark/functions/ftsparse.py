@@ -22,10 +22,18 @@ Notable FTS5 behaviors this reproduces:
 - a bareword the index tokenizer splits ('foo_bar') becomes a phrase
   unit; a trailing ``*`` makes the unit's last token a prefix.
 
-Unsupported FTS5 syntax — column filters (``col:``), ``NEAR``, ``^``
-anchors, ``+`` phrase glue — raises :class:`FtsSyntaxError`; the
-service mirrors the reference's query-error fallback
-(sqlite_store.py:246-254) by retrying the bare terms.
+Column filters are supported in all FTS5 forms — ``col:unit``,
+``{col1 col2}:unit``, ``-col:unit`` (negated set) — and scope BOTH the
+unit's match and its bm25 stats to the named columns (tf counts only
+filtered-column occurrences, df counts rows with a filtered-column hit
+— probed; dl stays the all-column length). Unknown column names raise,
+matching FTS5's "no such column" error class.
+
+Unsupported FTS5 syntax — ``NEAR`` (its per-instance position trimming
+for k>2 phrase groups is out of scope) and ``^`` anchors / ``+``
+phrase glue — raises :class:`FtsSyntaxError`; the service mirrors the
+reference's query-error fallback (sqlite_store.py:246-254) by retrying
+the bare terms.
 
 **Scoring/membership contract** (pinned by probes; see
 operators/ftsquery.py): a row matches iff the boolean tree is true
@@ -45,10 +53,16 @@ from dataclasses import dataclass
 
 from rifflux_spark.functions.tokenizer import tokenize
 
-_LEX = re.compile(r'"([^"]*)"(\*?)|([()])|([^\s()"]+)')
+_COLSPEC = r"(-?)(?:\{([^}]*)\}|([A-Za-z_][A-Za-z0-9_]*))\s*:\s*"
+_LEX = re.compile(
+    rf'(?:{_COLSPEC})?"([^"]*)"(\*?)|([()])|(?:{_COLSPEC})?([^\s()"]+)'
+)
 _RESERVED = {"AND", "OR", "NOT"}
 _UNSUPPORTED_WORDS = {"NEAR"}
 _UNSUPPORTED_CHARS = (":", "^", "+")
+# the engine's indexed columns, in FTS5 table order (reference
+# schema.sql: chunks_fts(content, heading_path))
+COLUMNS = ("content", "heading_path")
 
 
 class FtsSyntaxError(ValueError):
@@ -58,13 +72,31 @@ class FtsSyntaxError(ValueError):
 @dataclass(frozen=True)
 class Unit:
     """A leaf: a phrase of index tokens; ``prefix`` makes the last
-    token a prefix match. A single term is a 1-token phrase."""
+    token a prefix match; ``cols`` restricts match AND bm25 stats to
+    those indexed columns (None = all). A single term is a 1-token
+    phrase."""
 
     tokens: tuple[str, ...]
     prefix: bool = False
+    cols: tuple[str, ...] | None = None
 
 
 # AST nodes: Unit | ("and", l, r) | ("or", l, r) | ("not", l, r)
+
+
+def _cols_from(neg: str, braced: str | None, single: str | None):
+    """Resolve a column-filter spec → tuple of allowed columns, or None
+    when the spec covers every column."""
+    if braced is None and single is None:
+        return None
+    names = braced.split() if braced is not None else [single]
+    for n in names:
+        if n not in COLUMNS:
+            raise FtsSyntaxError(f"no such column: {n}")
+    allowed = tuple(c for c in COLUMNS if (c in names) != bool(neg))
+    if not allowed:
+        raise FtsSyntaxError("column filter excludes every column")
+    return None if len(allowed) == len(COLUMNS) else allowed
 
 
 def _lex(query: str) -> list:
@@ -77,16 +109,21 @@ def _lex(query: str) -> list:
             # (excluded from every token class) lands here
             raise FtsSyntaxError(f"unexpected input: {between.strip()!r}")
         pos = m.end()
-        if m.group(1) is not None:
-            toks = tuple(tokenize(m.group(1)))
+        (p_neg, p_braced, p_single, phrase, star,
+         paren, w_neg, w_braced, w_single, word) = m.groups()
+        if phrase is not None:
+            cols = _cols_from(p_neg or "", p_braced, p_single)
+            toks = tuple(tokenize(phrase))
             if not toks:
                 raise FtsSyntaxError("empty phrase")
-            out.append(Unit(toks, prefix=m.group(2) == "*"))
-        elif m.group(3):
-            out.append(m.group(3))
+            out.append(Unit(toks, prefix=star == "*", cols=cols))
+        elif paren:
+            out.append(paren)
         else:
-            word = m.group(4)
-            if word in _RESERVED:
+            cols = _cols_from(w_neg or "", w_braced, w_single)
+            if word in _RESERVED and cols is None and not (
+                w_braced or w_single
+            ):
                 out.append(word)
                 continue
             if word in _UNSUPPORTED_WORDS:
@@ -103,7 +140,7 @@ def _lex(query: str) -> list:
                 # punctuation-only bareword: skip, so '!!!' lexes to []
                 # (the behavioral contract: such queries return [])
                 continue
-            out.append(Unit(toks, prefix=prefix))
+            out.append(Unit(toks, prefix=prefix, cols=cols))
     tail = query[pos:]
     if tail.strip():
         raise FtsSyntaxError(f"unexpected input: {tail.strip()!r}")

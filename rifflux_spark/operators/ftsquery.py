@@ -44,6 +44,7 @@ from pyspark.sql import types as T
 
 from rifflux_spark.config import EngineConfig
 from rifflux_spark.functions.ftsparse import (
+    COLUMNS,
     FtsSyntaxError,
     Unit,
     collect_units,
@@ -80,6 +81,16 @@ def count_unit(tokens: list[str], unit: Unit) -> int:
             if (tail.startswith(p[last]) if unit.prefix else tail == p[last]):
                 count += 1
     return count
+
+
+_COL_FIELDS = {"content": "content", "heading_path": "heading_path"}
+
+
+def count_unit_cols(col_tokens: dict[str, list[str]], unit: Unit) -> int:
+    """Unit occurrences summed over its allowed columns (FTS5 column
+    filters scope tf to the filtered columns — probed)."""
+    cols = unit.cols or COLUMNS
+    return sum(count_unit(col_tokens[c], unit) for c in cols)
 
 
 def unit_idf(n_docs: int, df_u: int) -> float:
@@ -187,10 +198,14 @@ def fts_topk_local(
     unit_tf: list[dict[int, int]] = []
     rehydrated: dict[int, dict] | None = None
     for u, terms in zip(units, per_unit_terms):
-        if len(u.tokens) == 1 and not u.prefix:
+        # postings carry COMBINED-column tf, so only unfiltered
+        # single-token units score straight from them; anything with a
+        # column filter, multiple tokens, or a prefix TAIL inside a
+        # phrase goes through the candidate-recheck branch
+        if len(u.tokens) == 1 and not u.prefix and u.cols is None:
             unit_tf.append(dict(tf_by_term.get(u.tokens[0], {})))
             continue
-        if len(u.tokens) == 1 and u.prefix:
+        if len(u.tokens) == 1 and u.prefix and u.cols is None:
             agg: dict[int, int] = {}
             for t in terms:
                 if not t.startswith(u.tokens[0]):
@@ -199,17 +214,17 @@ def fts_topk_local(
                     agg[d] = agg.get(d, 0) + tf
             unit_tf.append(agg)
             continue
-        # phrase (possibly prefix-tailed): AND-intersect candidates,
-        # then recheck adjacency on rehydrated text
-        full = [set(tf_by_term.get(t, {})) for t in sorted(set(u.tokens[:-1]))]
+        # AND-intersect candidates from the combined postings (a
+        # superset of any column-scoped match), then recheck on the
+        # rehydrated per-column text
+        full_tokens = u.tokens[:-1] if u.prefix else u.tokens
+        full = [set(tf_by_term.get(t, {})) for t in sorted(set(full_tokens))]
         if u.prefix:
-            tail_expansion = [t for t in terms if t.startswith(u.tokens[-1])]
             tail_docs = set()
-            for t in tail_expansion:
-                tail_docs.update(tf_by_term.get(t, {}))
+            for t in terms:
+                if t.startswith(u.tokens[-1]):
+                    tail_docs.update(tf_by_term.get(t, {}))
             full.append(tail_docs)
-        else:
-            full = [set(tf_by_term.get(t, {})) for t in sorted(set(u.tokens))]
         if not full or any(not s for s in full):
             unit_tf.append({})
             continue
@@ -224,8 +239,12 @@ def fts_topk_local(
             c = rehydrated.get(d)
             if c is None:
                 continue
-            tf = count_unit(tokenize(c["content"]), u) + count_unit(
-                tokenize(c["heading_path"]), u
+            tf = count_unit_cols(
+                {
+                    "content": tokenize(c["content"]),
+                    "heading_path": tokenize(c["heading_path"]),
+                },
+                u,
             )
             if tf > 0:
                 counts[d] = tf
@@ -319,7 +338,7 @@ def _unit_frames(
     simple = [
         (i, terms)
         for i, (u, terms) in enumerate(zip(units, per_unit_terms))
-        if len(u.tokens) == 1
+        if len(u.tokens) == 1 and u.cols is None
     ]
     term_units: dict[str, list[int]] = {}
     for i, terms in simple:
@@ -342,7 +361,7 @@ def _unit_frames(
             .select("doc_ord", "unit_id", "tf", "dl")
         )
     for i, (u, terms) in enumerate(zip(units, per_unit_terms)):
-        if len(u.tokens) == 1:
+        if len(u.tokens) == 1 and u.cols is None:
             continue
         frames.append(_phrase_unit_frame(spark, store, u, terms, i))
     if not frames:
@@ -436,8 +455,13 @@ def _phrase_unit_frame(
             if pdf.empty:
                 continue
             tfs = [
-                count_unit(tokenize(content), u)
-                + count_unit(tokenize(heading), u)
+                count_unit_cols(
+                    {
+                        "content": tokenize(content),
+                        "heading_path": tokenize(heading),
+                    },
+                    u,
+                )
                 for content, heading in zip(pdf["content"], pdf["heading_path"])
             ]
             out = pd.DataFrame(

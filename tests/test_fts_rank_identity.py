@@ -108,6 +108,13 @@ def _queries(chunks) -> list[str]:
         f"{c0} OR {c0}",                   # repeated unit scores twice
         f"{m0} NOT zzqqxxyyneverthere",    # NOT of an unknown term
         f"zzqqxxyyneverthere OR {m0}",     # OR with an unknown term
+        # column filters: scoped tf/df (probed), negated set, brace set
+        f"content:{c0}",
+        f"heading_path:{c0}",
+        f"-content:{c0}",
+        f"{{content heading_path}}:{c0}",  # = unfiltered
+        f"content:{prefix}* OR {m0}",      # filtered prefix in boolean
+        f'heading_path:"{bg}" OR content:{m1}',
     ]
 
 
