@@ -29,11 +29,18 @@ filtered-column occurrences, df counts rows with a filtered-column hit
 — probed; dl stays the all-column length). Unknown column names raise,
 matching FTS5's "no such column" error class.
 
-Unsupported FTS5 syntax — ``NEAR`` (its per-instance position trimming
-for k>2 phrase groups is out of scope) and ``^`` anchors / ``+``
-phrase glue — raises :class:`FtsSyntaxError`; the service mirrors the
-reference's query-error fallback (sqlite_store.py:246-254) by retrying
-the bare terms.
+``NEAR(p1 p2 ... pk, N)`` groups are supported (default N = 10), with
+the probed FTS5 semantics: the group matches a row iff some choice of
+one instance per phrase within a SINGLE column satisfies
+``maxStart − minEnd − 1 ≤ N`` (order-free); each member phrase then
+scores with tf = its PARTICIPATING instances (members of at least one
+valid cluster) and df = its standalone row count. A column filter
+ahead of the group (``col:NEAR(...)``) scopes every member.
+
+Unsupported FTS5 syntax — ``^`` anchors and ``+`` phrase glue — raises
+:class:`FtsSyntaxError`; the service mirrors the reference's
+query-error fallback (sqlite_store.py:246-254) by retrying the bare
+terms.
 
 **Scoring/membership contract** (pinned by probes; see
 operators/ftsquery.py): a row matches iff the boolean tree is true
@@ -55,11 +62,11 @@ from rifflux_spark.functions.tokenizer import tokenize
 
 _COLSPEC = r"(-?)(?:\{([^}]*)\}|([A-Za-z_][A-Za-z0-9_]*))\s*:\s*"
 _LEX = re.compile(
-    rf'(?:{_COLSPEC})?"([^"]*)"(\*?)|([()])|(?:{_COLSPEC})?([^\s()"]+)'
+    rf'(?:{_COLSPEC})?"([^"]*)"(\*?)|([(),])|(?:{_COLSPEC})?([^\s(),"]+)'
 )
 _RESERVED = {"AND", "OR", "NOT"}
-_UNSUPPORTED_WORDS = {"NEAR"}
 _UNSUPPORTED_CHARS = (":", "^", "+")
+NEAR_DEFAULT = 10
 # the engine's indexed columns, in FTS5 table order (reference
 # schema.sql: chunks_fts(content, heading_path))
 COLUMNS = ("content", "heading_path")
@@ -81,7 +88,16 @@ class Unit:
     cols: tuple[str, ...] | None = None
 
 
-# AST nodes: Unit | ("and", l, r) | ("or", l, r) | ("not", l, r)
+@dataclass(frozen=True)
+class NearGroup:
+    """NEAR(p1 ... pk, N): leaf-group — members match/score together
+    under the cluster constraint (see module docstring)."""
+
+    units: tuple[Unit, ...]
+    n: int = NEAR_DEFAULT
+
+
+# AST nodes: Unit | NearGroup | ("and", l, r) | ("or", l, r) | ("not", l, r)
 
 
 def _cols_from(neg: str, braced: str | None, single: str | None):
@@ -126,8 +142,10 @@ def _lex(query: str) -> list:
             ):
                 out.append(word)
                 continue
-            if word in _UNSUPPORTED_WORDS:
-                raise FtsSyntaxError(f"unsupported operator: {word}")
+            if word == "NEAR":
+                # colspec (if any) scopes the whole group
+                out.append(("NEAR", cols))
+                continue
             if any(ch in word for ch in _UNSUPPORTED_CHARS):
                 raise FtsSyntaxError(f"unsupported syntax in: {word!r}")
             prefix = word.endswith("*")
@@ -185,6 +203,8 @@ class _Parser:
 
     def primary(self):
         t = self.peek()
+        if isinstance(t, tuple) and t and t[0] == "NEAR":
+            return self.near_group(self.next()[1])
         if t == "(":
             self.next()
             node = self.or_expr()
@@ -200,6 +220,37 @@ class _Parser:
             return node
         raise FtsSyntaxError(f"expected a term at {t!r}")
 
+    def near_group(self, cols):
+        if self.next() != "(":
+            raise FtsSyntaxError("NEAR must be followed by '('")
+        members: list[Unit] = []
+        while isinstance(self.peek(), Unit):
+            u = self.next()
+            if u.cols is not None:
+                raise FtsSyntaxError("column filter inside NEAR()")
+            members.append(
+                Unit(u.tokens, prefix=u.prefix, cols=cols)
+            )
+        if not members:
+            raise FtsSyntaxError("empty NEAR()")
+        n = NEAR_DEFAULT
+        if self.peek() == ",":
+            self.next()
+            num = self.peek()
+            if (
+                isinstance(num, Unit)
+                and len(num.tokens) == 1
+                and not num.prefix
+                and num.tokens[0].isdigit()
+            ):
+                self.next()
+                n = int(num.tokens[0])
+            else:
+                raise FtsSyntaxError("NEAR(..., N): N must be an integer")
+        if self.next() != ")":
+            raise FtsSyntaxError("unbalanced NEAR(")
+        return NearGroup(tuple(members), n)
+
 
 def parse_fts(query: str):
     """Parse a MATCH expression → AST, or None for an effectively-empty
@@ -212,14 +263,31 @@ def parse_fts(query: str):
 
 def collect_units(node, out: list[Unit] | None = None) -> list[Unit]:
     """All leaf units in query order (duplicates kept — FTS5 scores a
-    repeated unit once per occurrence)."""
+    repeated unit once per occurrence). NEAR members are leaves."""
     if out is None:
         out = []
     if isinstance(node, Unit):
         out.append(node)
+    elif isinstance(node, NearGroup):
+        out.extend(node.units)
     else:
         collect_units(node[1], out)
         collect_units(node[2], out)
+    return out
+
+
+def leaf_groups(node, out=None):
+    """Per-leaf NEAR metadata, parallel to :func:`collect_units`:
+    ``out[i]`` is the NearGroup the i-th leaf belongs to, or None."""
+    if out is None:
+        out = []
+    if isinstance(node, Unit):
+        out.append(None)
+    elif isinstance(node, NearGroup):
+        out.extend([node] * len(node.units))
+    else:
+        leaf_groups(node[1], out)
+        leaf_groups(node[2], out)
     return out
 
 
@@ -243,6 +311,21 @@ def match_and_actives(node, leaf):
             counter[0] += 1
             v = leaf(i)
             return v, {i: v}
+        if isinstance(n, NearGroup):
+            # members' leaf values are the NEAR-trimmed presences —
+            # all-or-none per row, so the group matches iff all do, and
+            # each member is active exactly where the group matches
+            idxs = []
+            vals = []
+            for _ in n.units:
+                i = counter[0]
+                counter[0] += 1
+                idxs.append(i)
+                vals.append(leaf(i))
+            m = vals[0]
+            for v in vals[1:]:
+                m = m & v
+            return m, {i: m for i in idxs}
         kind, left, right = n
         lm, la = rec(left)
         rm, ra = rec(right)

@@ -46,8 +46,10 @@ from rifflux_spark.config import EngineConfig
 from rifflux_spark.functions.ftsparse import (
     COLUMNS,
     FtsSyntaxError,
+    NearGroup,
     Unit,
     collect_units,
+    leaf_groups,
     match_and_actives,
     parse_fts,
 )
@@ -91,6 +93,72 @@ def count_unit_cols(col_tokens: dict[str, list[str]], unit: Unit) -> int:
     filters scope tf to the filtered columns — probed)."""
     cols = unit.cols or COLUMNS
     return sum(count_unit(col_tokens[c], unit) for c in cols)
+
+
+def unit_instances(tokens: list[str], unit: Unit) -> list[tuple[int, int]]:
+    """(start, end) token positions of every instance of ``unit`` in a
+    single column's token list (end inclusive; prefix on last token)."""
+    p = unit.tokens
+    n, m = len(tokens), len(p)
+    out: list[tuple[int, int]] = []
+    if m == 0 or n < m:
+        return out
+    last = m - 1
+    for i in range(n - m + 1):
+        ok = True
+        for j in range(last):
+            if tokens[i + j] != p[j]:
+                ok = False
+                break
+        if ok:
+            tail = tokens[i + last]
+            if tail.startswith(p[last]) if unit.prefix else tail == p[last]:
+                out.append((i, i + last))
+    return out
+
+
+def near_trim(
+    inst_lists: list[list[tuple[int, int]]], n: int
+) -> list[int]:
+    """FTS5 NEAR participation: per member, the number of instances
+    that belong to at least one valid cluster.
+
+    A set of one instance per member is a valid cluster iff
+    ``maxStart − minEnd − 1 ≤ n``; equivalently (separable form) there
+    is a threshold E with every member owning an instance whose
+    ``end ≥ E`` and ``start ≤ E + n + 1``. Instance x participates iff
+    some feasible E lies in ``[start_x − n − 1, end_x]``. Feasibility
+    per other member is a union of intervals ``[s − n − 1, e]``, so it
+    suffices to test the candidate thresholds
+    ``{start_x − n − 1} ∪ {s_other − n − 1}`` clipped to x's range.
+    """
+    k = len(inst_lists)
+    if any(not l for l in inst_lists):
+        return [0] * k
+    counts = [0] * k
+    for j in range(k):
+        others = [inst_lists[q] for q in range(k) if q != j]
+        for s_x, e_x in inst_lists[j]:
+            lo = s_x - n - 1
+            cands = {lo}
+            for lst in others:
+                for s2, _e2 in lst:
+                    c = s2 - n - 1
+                    if lo <= c <= e_x:
+                        cands.add(c)
+            ok = False
+            for ecand in cands:
+                if ecand > e_x:
+                    continue
+                if all(
+                    any(e2 >= ecand and s2 <= ecand + n + 1 for s2, e2 in lst)
+                    for lst in others
+                ):
+                    ok = True
+                    break
+            if ok:
+                counts[j] += 1
+    return counts
 
 
 def unit_idf(n_docs: int, df_u: int) -> float:
@@ -193,18 +261,28 @@ def fts_topk_local(
 
     per_unit_terms, all_terms = _units_needing(units, store)
     tf_by_term, dl_map = _local_postings(store, all_terms)
+    tombs = set(int(x) for x in local_tombstones(store))
 
-    # per-unit doc→tf
-    unit_tf: list[dict[int, int]] = []
-    rehydrated: dict[int, dict] | None = None
-    for u, terms in zip(units, per_unit_terms):
+    rehydrated: dict[int, dict] = {}
+
+    def rehydrate(cand: set) -> None:
+        missing = sorted(cand - rehydrated.keys())
+        if missing:
+            rehydrated.update(rehydrate_local(store, missing))
+
+    def col_tokens(c: dict) -> dict[str, list[str]]:
+        return {
+            "content": tokenize(c["content"]),
+            "heading_path": tokenize(c["heading_path"]),
+        }
+
+    def standalone_map(u: Unit, terms: list[str]) -> dict[int, int]:
         # postings carry COMBINED-column tf, so only unfiltered
         # single-token units score straight from them; anything with a
         # column filter, multiple tokens, or a prefix TAIL inside a
         # phrase goes through the candidate-recheck branch
         if len(u.tokens) == 1 and not u.prefix and u.cols is None:
-            unit_tf.append(dict(tf_by_term.get(u.tokens[0], {})))
-            continue
+            return dict(tf_by_term.get(u.tokens[0], {}))
         if len(u.tokens) == 1 and u.prefix and u.cols is None:
             agg: dict[int, int] = {}
             for t in terms:
@@ -212,8 +290,7 @@ def fts_topk_local(
                     continue
                 for d, tf in tf_by_term.get(t, {}).items():
                     agg[d] = agg.get(d, 0) + tf
-            unit_tf.append(agg)
-            continue
+            return agg
         # AND-intersect candidates from the combined postings (a
         # superset of any column-scoped match), then recheck on the
         # rehydrated per-column text
@@ -226,35 +303,64 @@ def fts_topk_local(
                     tail_docs.update(tf_by_term.get(t, {}))
             full.append(tail_docs)
         if not full or any(not s for s in full):
-            unit_tf.append({})
-            continue
+            return {}
         cand = set.intersection(*full)
-        if rehydrated is None:
-            rehydrated = {}
-        missing = sorted(cand - rehydrated.keys())
-        if missing:
-            rehydrated.update(rehydrate_local(store, missing))
+        rehydrate(cand)
         counts: dict[int, int] = {}
         for d in cand:
             c = rehydrated.get(d)
             if c is None:
                 continue
-            tf = count_unit_cols(
-                {
-                    "content": tokenize(c["content"]),
-                    "heading_path": tokenize(c["heading_path"]),
-                },
-                u,
-            )
+            tf = count_unit_cols(col_tokens(c), u)
             if tf > 0:
                 counts[d] = tf
-        unit_tf.append(counts)
+        return counts
 
-    tombs = set(int(x) for x in local_tombstones(store))
+    standalone: list[dict[int, int]] = [
+        standalone_map(u, terms) for u, terms in zip(units, per_unit_terms)
+    ]
     if tombs:
-        unit_tf = [
-            {d: tf for d, tf in m.items() if d not in tombs} for m in unit_tf
+        standalone = [
+            {d: tf for d, tf in m.items() if d not in tombs}
+            for m in standalone
         ]
+
+    # NEAR groups: replace member tf maps with participation-trimmed
+    # ones (per-column clusters, df stays the standalone row count)
+    unit_tf: list[dict[int, int]] = list(standalone)
+    groups = leaf_groups(ast)
+    done_groups: set[int] = set()
+    for gi, g in enumerate(groups):
+        if g is None or id(g) in done_groups:
+            continue
+        done_groups.add(id(g))
+        idxs = [i for i, gg in enumerate(groups) if gg is g]
+        members = [units[i] for i in idxs]
+        cand = set.intersection(*[set(standalone[i]) for i in idxs]) if all(
+            standalone[i] for i in idxs
+        ) else set()
+        trimmed: list[dict[int, int]] = [{} for _ in idxs]
+        if cand:
+            rehydrate(cand)
+            allowed = members[0].cols or COLUMNS
+            for d in cand:
+                c = rehydrated.get(d)
+                if c is None:
+                    continue
+                ct = col_tokens(c)
+                totals = [0] * len(members)
+                for colname in allowed:
+                    inst = [
+                        unit_instances(ct[colname], mu) for mu in members
+                    ]
+                    counts = near_trim(inst, g.n)
+                    for j, cnt in enumerate(counts):
+                        totals[j] += cnt
+                if all(t > 0 for t in totals):
+                    for j, t in enumerate(totals):
+                        trimmed[j][d] = t
+        for j, i in enumerate(idxs):
+            unit_tf[i] = trimmed[j]
 
     matched, actives = match_and_actives(
         ast, lambda i: _DocSet(set(unit_tf[i]))
@@ -263,7 +369,7 @@ def fts_topk_local(
     if not docs:
         return []
     pos = {d: i for i, d in enumerate(docs)}
-    idfs = [unit_idf(n_docs, len(m)) for m in unit_tf]
+    idfs = [unit_idf(n_docs, len(m)) for m in standalone]
     k1, b = config.bm25_k1, config.bm25_b
     scores = np.zeros(len(docs), dtype=np.float64)
     dls = np.array([dl_map[d] for d in docs], dtype=np.float64)
@@ -327,10 +433,25 @@ _UNIT_ROW = T.StructType(
 
 
 def _unit_frames(
-    spark, store: IndexStore, units: list[Unit], per_unit_terms: list[list[str]]
+    spark,
+    store: IndexStore,
+    units: list[Unit],
+    per_unit_terms: list[list[str]],
+    groups: list | None = None,
 ) -> DataFrame | None:
-    """Union of per-unit (doc_ord, unit_id, tf, dl) frames."""
-    from rifflux_spark.operators.phrase import _decode_candidates
+    """Union of per-unit (doc_ord, unit_id, tf, dl) frames.
+
+    NEAR members emit TWO frames: their standalone frame under
+    ``unit_id + len(units)`` (df = the phrase's global row count —
+    probed FTS5 behavior) and a participation-trimmed frame under their
+    real id from the group verify kernel (used for tf + membership).
+    """
+    groups = groups or [None] * len(units)
+    n_units = len(units)
+
+    def sid(i: int) -> int:
+        # near members' standalone rows carry a shifted id (df only)
+        return i + n_units if groups[i] is not None else i
 
     frames: list[DataFrame] = []
     # group all pure term/prefix units into ONE posting decode: decode
@@ -343,7 +464,7 @@ def _unit_frames(
     term_units: dict[str, list[int]] = {}
     for i, terms in simple:
         for t in terms:
-            term_units.setdefault(t, []).append(i)
+            term_units.setdefault(t, []).append(sid(i))
     if term_units:
         all_simple_terms = sorted(term_units)
         decoded = _decode_unit_postings(store, all_simple_terms)
@@ -363,13 +484,109 @@ def _unit_frames(
     for i, (u, terms) in enumerate(zip(units, per_unit_terms)):
         if len(u.tokens) == 1 and u.cols is None:
             continue
-        frames.append(_phrase_unit_frame(spark, store, u, terms, i))
+        frames.append(_phrase_unit_frame(spark, store, u, terms, sid(i)))
+    # one trimmed frame per distinct NEAR group
+    done: set[int] = set()
+    for i, g in enumerate(groups):
+        if g is None or id(g) in done:
+            continue
+        done.add(id(g))
+        idxs = [j for j, gg in enumerate(groups) if gg is g]
+        frames.append(
+            _near_group_frame(
+                spark, store, g, idxs, [per_unit_terms[j] for j in idxs]
+            )
+        )
     if not frames:
         return None
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def _near_group_frame(
+    spark,
+    store: IndexStore,
+    group,
+    member_ids: list[int],
+    member_terms: list[list[str]],
+) -> DataFrame:
+    """Participation-trimmed rows for one NEAR group: candidates are
+    docs containing every member (combined-postings superset), the
+    verify kernel runs the per-column cluster test and emits one row
+    per (doc, member) where the group matches."""
+    members = list(group.units)
+    all_terms = sorted({t for ts in member_terms for t in ts})
+    decoded = _decode_unit_postings(store, all_terms)
+    pairs: set[tuple[str, str]] = set()
+    n_groups = 0
+    for j, (mu, terms) in enumerate(zip(members, member_terms)):
+        full = sorted(set(mu.tokens[:-1] if mu.prefix else mu.tokens))
+        for t in full:
+            pairs.add((t, f"{j}:{t}"))
+        n_groups += len(full)
+        if mu.prefix:
+            for t in terms:
+                if t.startswith(mu.tokens[-1]):
+                    pairs.add((t, f"{j}:tail"))
+            n_groups += 1
+    gmap = spark.createDataFrame(sorted(pairs), "term string, grp string")
+    cand = (
+        decoded.join(F.broadcast(gmap), "term")
+        .groupBy("doc_ord")
+        .agg(
+            F.countDistinct("grp").alias("n_grps"),
+            F.first("dl").alias("dl"),
+        )
+        .filter(F.col("n_grps") == n_groups)
+        .select("doc_ord", "dl")
+    )
+    chunks = store.chunks().select("doc_ord", "content", "heading_path")
+    cand_chunks = chunks.join(F.broadcast(cand), on="doc_ord", how="inner")
+    allowed = members[0].cols or COLUMNS
+    n_near = group.n
+    ids = list(member_ids)
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_doc: list[int] = []
+            out_uid: list[int] = []
+            out_tf: list[int] = []
+            out_dl: list[int] = []
+            for doc, content, heading, dl in zip(
+                pdf["doc_ord"], pdf["content"], pdf["heading_path"], pdf["dl"]
+            ):
+                ct = {
+                    "content": tokenize(content),
+                    "heading_path": tokenize(heading),
+                }
+                totals = [0] * len(members)
+                for colname in allowed:
+                    inst = [unit_instances(ct[colname], mu) for mu in members]
+                    counts = near_trim(inst, n_near)
+                    for j, cnt in enumerate(counts):
+                        totals[j] += cnt
+                if all(t > 0 for t in totals):
+                    for j, t in enumerate(totals):
+                        out_doc.append(doc)
+                        out_uid.append(ids[j])
+                        out_tf.append(t)
+                        out_dl.append(dl)
+            yield pd.DataFrame(
+                {
+                    "doc_ord": pd.Series(out_doc, dtype="int64"),
+                    "unit_id": pd.Series(out_uid, dtype="int32"),
+                    "tf": pd.Series(out_tf, dtype="int64"),
+                    "dl": pd.Series(out_dl, dtype="int64"),
+                }
+            )
+
+    return cand_chunks.select(
+        "doc_ord", "content", "heading_path", "dl"
+    ).mapInPandas(verify, schema=_UNIT_ROW)
 
 
 def _decode_unit_postings(store: IndexStore, terms: list[str]) -> DataFrame:
@@ -499,7 +716,8 @@ def fts_topk(
     n_docs, avgdl = int(cstats["n_docs"]), float(cstats["avgdl"])
 
     per_unit_terms, _ = _units_needing(units, store)
-    unioned = _unit_frames(spark, store, units, per_unit_terms)
+    groups = leaf_groups(ast)
+    unioned = _unit_frames(spark, store, units, per_unit_terms, groups)
     if unioned is None:
         return empty
     if store.exists("tombstones"):
@@ -508,9 +726,21 @@ def fts_topk(
         )
 
     n_units = len(units)
-    # per-unit df (rows where the unit occurs) as a broadcast dimension
-    unit_df = unioned.groupBy("unit_id").agg(
-        F.count("*").cast("long").alias("df_u")
+    # per-unit df as a broadcast dimension. NEAR members have rows
+    # under TWO ids: the trimmed real id and the standalone shifted id
+    # (i + n_units); their df is the standalone (global phrase) count —
+    # probed FTS5 behavior — so remap and take the max.
+    unit_df = (
+        unioned.groupBy("unit_id")
+        .agg(F.count("*").cast("long").alias("df_u"))
+        .withColumn(
+            "unit_id",
+            F.when(
+                F.col("unit_id") >= n_units, F.col("unit_id") - n_units
+            ).otherwise(F.col("unit_id")),
+        )
+        .groupBy("unit_id")
+        .agg(F.max("df_u").alias("df_u"))
     )
     k1, b = config.bm25_k1, config.bm25_b
     idf_raw = F.log(
@@ -520,8 +750,10 @@ def fts_topk(
     contrib = idf * (F.col("tf") * (k1 + 1.0)) / (
         F.col("tf") + F.lit(k1) * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
     )
-    scored = unioned.join(F.broadcast(unit_df), "unit_id").select(
-        "doc_ord", "unit_id", contrib.alias("contrib")
+    scored = (
+        unioned.filter(F.col("unit_id") < n_units)  # drop df-only rows
+        .join(F.broadcast(unit_df), "unit_id")
+        .select("doc_ord", "unit_id", contrib.alias("contrib"))
     )
     # per-unit contribution columns + presence flags in ONE aggregate;
     # rows are unique per (doc, unit) so max() selects the value

@@ -310,7 +310,20 @@ def build_index(
             tf.write.mode("overwrite").partitionBy("shard").parquet(store.path("tf_stage"))
             _lap("tf_stage")
             mark("tf_stage", None, "tf_stage")
-        tf_staged = spark.read.parquet(store.path("tf_stage"))
+        # explicit schema: a corpus whose every page falls below
+        # min_chunk_chars stages ZERO rows, and an empty parquet dir has
+        # nothing to infer from — the build must still commit (empty
+        # postings + stats), not crash
+        from rifflux_spark.operators.postings import PACKED_TF_SCHEMA
+        import pyspark.sql.types as _T
+
+        _staged_schema = _T.StructType(
+            list(PACKED_TF_SCHEMA.fields)
+            + [_T.StructField("shard", _T.IntegerType(), True)]
+        )
+        tf_staged = spark.read.schema(_staged_schema).parquet(
+            store.path("tf_stage")
+        )
         # shards own DISJOINT term_bucket partitions (shard = bucket mod
         # n_shards), commit independently (uuid gen dirs, flock-serialized
         # manifest swap), and each remains its own checkpoint/resume unit —

@@ -186,12 +186,18 @@ def test_parser_shapes() -> None:
         ("and", Unit(("a",),), Unit(("or",),)),
         Unit(("b",),),
     )
+    from rifflux_spark.functions.ftsparse import NearGroup
+
+    near = parse_fts("NEAR(a b, 3)")
+    assert isinstance(near, NearGroup) and near.n == 3
+    assert parse_fts("NEAR(a b)").n == 10  # default distance
     bad = [
         "(a", "a)", "AND a", "a OR", 'a "', "a NOT",
         "(a) (b)",          # juxtaposition joins units only (FTS5 errors)
         "a (b OR c)",       # ditto
-        "NEAR(a b)",        # unsupported operator
-        "col:a",            # column filter unsupported
+        "NEAR(a b",         # unbalanced NEAR
+        "NEAR(a b, x)",     # non-integer distance
+        "badcol:a",         # unknown column
         "^a", "a + b",      # anchors / phrase glue unsupported
         "a*b",              # non-trailing star
     ]
