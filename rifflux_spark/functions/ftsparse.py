@@ -62,7 +62,7 @@ from rifflux_spark.functions.tokenizer import tokenize
 
 _COLSPEC = r"(-?)(?:\{([^}]*)\}|([A-Za-z_][A-Za-z0-9_]*))\s*:\s*"
 _LEX = re.compile(
-    rf'(?:{_COLSPEC})?"([^"]*)"(\*?)|([(),])|(?:{_COLSPEC})?([^\s(),"]+)'
+    rf'(?:{_COLSPEC})?(\^?)"([^"]*)"(\*?)|([(),+])|(?:{_COLSPEC})?(\^?)([^\s(),+^"]+)'
 )
 _RESERVED = {"AND", "OR", "NOT"}
 _UNSUPPORTED_CHARS = (":", "^", "+")
@@ -86,6 +86,10 @@ class Unit:
     tokens: tuple[str, ...]
     prefix: bool = False
     cols: tuple[str, ...] | None = None
+    # '^' anchor: the unit only matches instances starting at token 0
+    # of a column (probed: tf counts anchored instances, one per
+    # column at most)
+    anchored: bool = False
 
 
 @dataclass(frozen=True)
@@ -125,18 +129,21 @@ def _lex(query: str) -> list:
             # (excluded from every token class) lands here
             raise FtsSyntaxError(f"unexpected input: {between.strip()!r}")
         pos = m.end()
-        (p_neg, p_braced, p_single, phrase, star,
-         paren, w_neg, w_braced, w_single, word) = m.groups()
+        (p_neg, p_braced, p_single, p_caret, phrase, star,
+         paren, w_neg, w_braced, w_single, w_caret, word) = m.groups()
         if phrase is not None:
             cols = _cols_from(p_neg or "", p_braced, p_single)
             toks = tuple(tokenize(phrase))
             if not toks:
                 raise FtsSyntaxError("empty phrase")
-            out.append(Unit(toks, prefix=star == "*", cols=cols))
+            out.append(
+                Unit(toks, prefix=star == "*", cols=cols, anchored=p_caret == "^")
+            )
         elif paren:
             out.append(paren)
         else:
             cols = _cols_from(w_neg or "", w_braced, w_single)
+            anchored = w_caret == "^"
             if word in _RESERVED and cols is None and not (
                 w_braced or w_single
             ):
@@ -158,7 +165,7 @@ def _lex(query: str) -> list:
                 # punctuation-only bareword: skip, so '!!!' lexes to []
                 # (the behavioral contract: such queries return [])
                 continue
-            out.append(Unit(toks, prefix=prefix, cols=cols))
+            out.append(Unit(toks, prefix=prefix, cols=cols, anchored=anchored))
     tail = query[pos:]
     if tail.strip():
         raise FtsSyntaxError(f"unexpected input: {tail.strip()!r}")
@@ -213,12 +220,32 @@ class _Parser:
             return node
         if isinstance(t, Unit):
             # unitseq: juxtaposed units form an implicit-AND cluster
-            # that binds tighter than any explicit operator
-            node = self.next()
+            # that binds tighter than any explicit operator; '+' glues
+            # two adjacent units into ONE phrase ('a + b' ≡ '"a b"',
+            # probed)
+            node = self.glued()
             while isinstance(self.peek(), Unit):
-                node = ("and", node, self.next())
+                node = ("and", node, self.glued())
             return node
         raise FtsSyntaxError(f"expected a term at {t!r}")
+
+    def glued(self) -> Unit:
+        u = self.next()
+        while self.peek() == "+":
+            self.next()
+            nxt = self.peek()
+            if not isinstance(nxt, Unit):
+                raise FtsSyntaxError("'+' must join two phrases")
+            r = self.next()
+            if u.prefix or r.anchored or u.cols != r.cols and r.cols is not None:
+                raise FtsSyntaxError("invalid '+' composition")
+            u = Unit(
+                u.tokens + r.tokens,
+                prefix=r.prefix,
+                cols=u.cols,
+                anchored=u.anchored,
+            )
+        return u
 
     def near_group(self, cols):
         if self.next() != "(":
@@ -229,7 +256,7 @@ class _Parser:
             if u.cols is not None:
                 raise FtsSyntaxError("column filter inside NEAR()")
             members.append(
-                Unit(u.tokens, prefix=u.prefix, cols=cols)
+                Unit(u.tokens, prefix=u.prefix, cols=cols, anchored=u.anchored)
             )
         if not members:
             raise FtsSyntaxError("empty NEAR()")

@@ -65,14 +65,15 @@ MAX_PREFIX_EXPANSION = 4096
 
 def count_unit(tokens: list[str], unit: Unit) -> int:
     """Occurrences of ``unit`` in a token list (overlapping starts
-    count; prefix applies to the unit's last token)."""
+    count; prefix applies to the unit's last token; an anchored unit
+    only matches at token 0)."""
     p = unit.tokens
     n, m = len(tokens), len(p)
     if m == 0 or n < m:
         return 0
     count = 0
     last = m - 1
-    for i in range(n - m + 1):
+    for i in ([0] if unit.anchored else range(n - m + 1)):
         ok = True
         for j in range(last):
             if tokens[i + j] != p[j]:
@@ -104,7 +105,7 @@ def unit_instances(tokens: list[str], unit: Unit) -> list[tuple[int, int]]:
     if m == 0 or n < m:
         return out
     last = m - 1
-    for i in range(n - m + 1):
+    for i in ([0] if unit.anchored else range(n - m + 1)):
         ok = True
         for j in range(last):
             if tokens[i + j] != p[j]:
@@ -281,9 +282,19 @@ def fts_topk_local(
         # single-token units score straight from them; anything with a
         # column filter, multiple tokens, or a prefix TAIL inside a
         # phrase goes through the candidate-recheck branch
-        if len(u.tokens) == 1 and not u.prefix and u.cols is None:
+        if (
+            len(u.tokens) == 1
+            and not u.prefix
+            and u.cols is None
+            and not u.anchored
+        ):
             return dict(tf_by_term.get(u.tokens[0], {}))
-        if len(u.tokens) == 1 and u.prefix and u.cols is None:
+        if (
+            len(u.tokens) == 1
+            and u.prefix
+            and u.cols is None
+            and not u.anchored
+        ):
             agg: dict[int, int] = {}
             for t in terms:
                 if not t.startswith(u.tokens[0]):
@@ -459,7 +470,7 @@ def _unit_frames(
     simple = [
         (i, terms)
         for i, (u, terms) in enumerate(zip(units, per_unit_terms))
-        if len(u.tokens) == 1 and u.cols is None
+        if len(u.tokens) == 1 and u.cols is None and not u.anchored
     ]
     term_units: dict[str, list[int]] = {}
     for i, terms in simple:
@@ -482,7 +493,7 @@ def _unit_frames(
             .select("doc_ord", "unit_id", "tf", "dl")
         )
     for i, (u, terms) in enumerate(zip(units, per_unit_terms)):
-        if len(u.tokens) == 1 and u.cols is None:
+        if len(u.tokens) == 1 and u.cols is None and not u.anchored:
             continue
         frames.append(_phrase_unit_frame(spark, store, u, terms, sid(i)))
     # one trimmed frame per distinct NEAR group

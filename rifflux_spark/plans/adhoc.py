@@ -303,9 +303,10 @@ def _unit_tf_column(unit, round_dummy=None):
     map-only inside whole-stage codegen."""
     p = unit.tokens
     m = len(p)
-    if m == 1 and not unit.prefix:
+    anchored = getattr(unit, "anchored", False)
+    if m == 1 and not unit.prefix and not anchored:
         return F.size(F.filter("tokens", lambda x: x == p[0]))
-    if m == 1 and unit.prefix:
+    if m == 1 and unit.prefix and not anchored:
         return F.size(F.filter("tokens", lambda x: x.startswith(p[0])))
 
     def match_at(i):
@@ -322,7 +323,8 @@ def _unit_tf_column(unit, round_dummy=None):
         return out
 
     starts = F.when(
-        F.size("tokens") >= m, F.sequence(F.lit(0), F.size("tokens") - m)
+        F.size("tokens") >= m,
+        F.sequence(F.lit(0), F.lit(0) if anchored else F.size("tokens") - m),
     ).otherwise(F.array().cast("array<int>"))
     return F.size(F.filter(starts, match_at))
 
@@ -331,9 +333,10 @@ def _unit_tf_sql(unit, i: int) -> str:
     """The DuckDB twin of :func:`_unit_tf_column` as a SELECT item."""
     p = unit.tokens
     m = len(p)
-    if m == 1 and not unit.prefix:
+    anchored = getattr(unit, "anchored", False)
+    if m == 1 and not unit.prefix and not anchored:
         return f"len(list_filter(tk, x -> x = '{p[0]}'))::BIGINT AS tf_{i}"
-    if m == 1 and unit.prefix:
+    if m == 1 and unit.prefix and not anchored:
         return (
             f"len(list_filter(tk, x -> starts_with(x, '{p[0]}')))::BIGINT"
             f" AS tf_{i}"
@@ -345,9 +348,10 @@ def _unit_tf_sql(unit, i: int) -> str:
         else:
             conds.append(f"tk[s + {j}] = '{p[j]}'")
     cond = " AND ".join(conds)
+    hi = "1" if anchored else f"len(tk) - {m} + 1"
     return (
         f"CASE WHEN len(tk) >= {m} THEN "
-        f"len(list_filter(range(1, len(tk) - {m} + 2), s -> {cond}))::BIGINT "
+        f"len(list_filter(range(1, {hi} + 1), s -> {cond}))::BIGINT "
         f"ELSE 0 END AS tf_{i}"
     )
 

@@ -115,6 +115,12 @@ def _queries(chunks) -> list[str]:
         f"{{content heading_path}}:{c0}",  # = unfiltered
         f"content:{prefix}* OR {m0}",      # filtered prefix in boolean
         f'heading_path:"{bg}" OR content:{m1}',
+        # '^' anchors (first token of a column) and '+' phrase glue
+        f"^{c0}",
+        f'^"{bg}"',
+        f"content:^{c0} OR {m0}",
+        bg.replace(" ", " + "),            # 'a + b' ≡ '"a b"'
+        f"^{prefix}*",                     # anchored prefix
     ]
 
 
@@ -191,6 +197,8 @@ def test_parser_shapes() -> None:
     near = parse_fts("NEAR(a b, 3)")
     assert isinstance(near, NearGroup) and near.n == 3
     assert parse_fts("NEAR(a b)").n == 10  # default distance
+    assert parse_fts("^a") == Unit(("a",), anchored=True)
+    assert parse_fts("a + b") == parse_fts('"a b"')
     bad = [
         "(a", "a)", "AND a", "a OR", 'a "', "a NOT",
         "(a) (b)",          # juxtaposition joins units only (FTS5 errors)
@@ -198,7 +206,8 @@ def test_parser_shapes() -> None:
         "NEAR(a b",         # unbalanced NEAR
         "NEAR(a b, x)",     # non-integer distance
         "badcol:a",         # unknown column
-        "^a", "a + b",      # anchors / phrase glue unsupported
+        "a +", "+ a",       # dangling phrase glue
+        "a* + b",           # '*' only on the glued unit's last part
         "a*b",              # non-trailing star
     ]
     for q in bad:
