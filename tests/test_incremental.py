@@ -202,3 +202,58 @@ def test_force_rebuild_wipes_and_rebuilds(spark, tmp_path_factory) -> None:
     m2 = build_index(spark, pages, index_dir, CONFIG, force=True)
     assert m2["skipped_stages"] == []
     assert SearchService(spark, index_dir, CONFIG).lexical("the data", top_k=2)
+
+
+def test_fts_modes_match_full_rebuild_after_incremental(
+    spark, tmp_path_factory
+) -> None:
+    """The FTS language paths (phrase + full MATCH, both engines) must
+    honor tombstones and appended runs exactly like lexical: after an
+    incremental apply, phrase/fts results equal a from-scratch rebuild
+    of the same snapshot — including per-unit df (which must exclude
+    tombstoned docs) and NEAR participation on appended chunks."""
+    pages = synthetic_pages(spark, 60, seed=3)
+    nxt = _mutate(pages)
+
+    inc_dir = str(tmp_path_factory.mktemp("incfts"))
+    build_index(spark, pages, inc_dir, CONFIG, with_embeddings=False)
+    store = IndexStore(spark, inc_dir, CONFIG.n_term_buckets)
+    res = apply_incremental(spark, store, nxt, CONFIG, with_embeddings=False)
+    assert res["tombstoned"] > 0
+
+    full_dir = str(tmp_path_factory.mktemp("fullfts"))
+    build_index(spark, nxt, full_dir, CONFIG, with_embeddings=False)
+
+    inc_svc = SearchService(spark, inc_dir, CONFIG)
+    full_svc = SearchService(spark, full_dir, CONFIG)
+
+    fts_queries = [
+        "tombstone compaction",                 # implicit AND, in mutated text
+        '"tombstone compaction"',               # phrase present only post-apply
+        "cache OR tomb* NOT lineage",           # boolean + prefix
+        "NEAR(tombstone lineage, 3)",           # NEAR over appended text
+        "content:varbyte",                      # column filter
+    ]
+
+    def fts_results(svc, q, engine):
+        return [
+            (r["chunk_id"], round(r["bm25_score"], 6))
+            for r in svc.fts(q, top_k=10, engine=engine)
+        ]
+
+    for q in fts_queries:
+        for engine in ("local", "spark"):
+            assert fts_results(inc_svc, q, engine) == fts_results(
+                full_svc, q, engine
+            ), (q, engine)
+
+    def phrase_results(svc, engine):
+        return [
+            (r["chunk_id"], round(r["bm25_score"], 6))
+            for r in svc.phrase("tombstone compaction lineage", 10, engine=engine)
+        ]
+
+    for engine in ("local", "spark"):
+        assert phrase_results(inc_svc, engine) == phrase_results(
+            full_svc, engine
+        ), engine

@@ -430,3 +430,20 @@ def test_fts_query_plan_prunes_and_takeordered(spark, store) -> None:
     assert "CartesianProduct" not in plan
     rows = df.collect()
     assert rows and all(r["bm25_score"] < 0 for r in rows)
+
+
+def test_near_group_plan_stays_pruned_and_hash_joined(spark, store) -> None:
+    """A NEAR query's distributed plan: posting scans stay term-pruned,
+    the group verify joins candidates by broadcast hash (never a
+    nested-loop on the corpus), and the standalone-df remap adds only
+    broadcast exchanges."""
+    from rifflux_spark.operators.ftsquery import fts_topk
+
+    df = fts_topk(spark, store, "NEAR(cache ttl, 4) OR policy", top_k=5)
+    plan = explain_str(df)
+    assert "PartitionFilters" in plan and "term_bucket" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert all(r["bm25_score"] < 0 for r in rows)
