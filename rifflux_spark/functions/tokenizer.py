@@ -107,6 +107,60 @@ def tokenize(text: str) -> list[str]:
     return [t for t in folded.split() if t]
 
 
+def tokenize_with_offsets(text: str) -> list[tuple[str, int, int]]:
+    """Tokenize with original-text character spans: ``(token, start,
+    end_exclusive)`` per token, same token stream as :func:`tokenize`
+    (asserted in tests). Used by the FTS5-parity ``highlight()``
+    implementation, whose marks land in the ORIGINAL text.
+
+    Non-ASCII goes through the per-char fold: each original character
+    contributes 0..n folded characters ('' for stripped combining
+    marks, ' ' for separators), so a token's span runs from its first
+    to its last CONTRIBUTING original character — zero-width marks
+    inside a token stay inside the span, exactly where FTS5's
+    byte-offset bookkeeping puts them.
+    """
+    if not text:
+        return []
+    if text.isascii():
+        return [
+            (m.group(0), m.start(), m.end())
+            for m in _ASCII_TOKEN_RE.finditer(text.lower())
+        ]
+    out: list[tuple[str, int, int]] = []
+    cur: list[str] = []
+    start = -1
+    last_contrib = -1
+    for i, ch in enumerate(text):
+        folded = (
+            ch.lower()
+            if ch.isascii() and ch.isalnum()
+            else (" " if ch.isascii() else _fold_char(ch))
+        )
+        if folded == "":
+            continue  # stripped combining mark: no boundary, no chars
+        if folded.isspace():
+            if cur:
+                out.append(("".join(cur), start, last_contrib + 1))
+                cur = []
+            continue
+        # a single folded char may expand ('ﬁ' → 'fi'); it can also
+        # contain a separator from the exception table — split on it
+        parts = folded.split(" ")
+        for pi, part in enumerate(parts):
+            if pi > 0 and cur:
+                out.append(("".join(cur), start, last_contrib + 1))
+                cur = []
+            if part:
+                if not cur:
+                    start = i
+                cur.append(part)
+                last_contrib = i
+    if cur:
+        out.append(("".join(cur), start, last_contrib + 1))
+    return out
+
+
 def tokenize_series(texts: pd.Series) -> pd.Series:
     """Vectorized entry point used inside Arrow-batched pandas UDFs."""
     return texts.map(lambda t: tokenize(t) if isinstance(t, str) else [])

@@ -118,11 +118,11 @@ def unit_instances(tokens: list[str], unit: Unit) -> list[tuple[int, int]]:
     return out
 
 
-def near_trim(
+def near_participating(
     inst_lists: list[list[tuple[int, int]]], n: int
-) -> list[int]:
-    """FTS5 NEAR participation: per member, the number of instances
-    that belong to at least one valid cluster.
+) -> list[list[tuple[int, int]]]:
+    """FTS5 NEAR participation: per member, the instances that belong
+    to at least one valid cluster.
 
     A set of one instance per member is a valid cluster iff
     ``maxStart − minEnd − 1 ≤ n``; equivalently (separable form) there
@@ -135,10 +135,11 @@ def near_trim(
     """
     k = len(inst_lists)
     if any(not l for l in inst_lists):
-        return [0] * k
-    counts = [0] * k
+        return [[] for _ in range(k)]
+    out: list[list[tuple[int, int]]] = []
     for j in range(k):
         others = [inst_lists[q] for q in range(k) if q != j]
+        kept: list[tuple[int, int]] = []
         for s_x, e_x in inst_lists[j]:
             lo = s_x - n - 1
             cands = {lo}
@@ -147,7 +148,6 @@ def near_trim(
                     c = s2 - n - 1
                     if lo <= c <= e_x:
                         cands.add(c)
-            ok = False
             for ecand in cands:
                 if ecand > e_x:
                     continue
@@ -155,11 +155,17 @@ def near_trim(
                     any(e2 >= ecand and s2 <= ecand + n + 1 for s2, e2 in lst)
                     for lst in others
                 ):
-                    ok = True
+                    kept.append((s_x, e_x))
                     break
-            if ok:
-                counts[j] += 1
-    return counts
+        out.append(kept)
+    return out
+
+
+def near_trim(
+    inst_lists: list[list[tuple[int, int]]], n: int
+) -> list[int]:
+    """Participating-instance COUNTS per member (the bm25 tf)."""
+    return [len(l) for l in near_participating(inst_lists, n)]
 
 
 def unit_idf(n_docs: int, df_u: int) -> float:

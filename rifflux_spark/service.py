@@ -346,6 +346,48 @@ class SearchService:
             for r in rows
         ]
 
+    def highlight(
+        self,
+        query: str,
+        top_k: int = 10,
+        marks: tuple[str, str] = ("<b>", "</b>"),
+        engine: str = "auto",
+    ) -> list[dict[str, Any]]:
+        """FTS5 ``highlight()`` parity: run the MATCH query, then wrap
+        the matched-and-active instance spans in each result's content
+        and heading_path (operators/highlight.py — NEAR-trimmed,
+        anchored-only, column-filter-aware, overlap-merged, probed
+        against SQLite). Driver-side over the final k rows only."""
+        from rifflux_spark.functions.ftsparse import FtsSyntaxError, parse_fts
+        from rifflux_spark.operators.highlight import highlight_columns
+
+        rows = self.fts(query, top_k=top_k, engine=engine)
+        if not rows:
+            return rows
+        try:
+            ast = parse_fts(query)
+        except FtsSyntaxError:
+            fallback = " ".join(compile_query(query))
+            ast = parse_fts(fallback) if fallback else None
+        if ast is None:
+            return rows
+        out = []
+        for r in rows:
+            hl = highlight_columns(
+                ast,
+                {"content": r["content"], "heading_path": r["heading_path"]},
+                marks[0],
+                marks[1],
+            )
+            out.append(
+                {
+                    **r,
+                    "content_highlighted": hl["content"],
+                    "heading_path_highlighted": hl["heading_path"],
+                }
+            )
+        return out
+
     def semantic(self, query_vector, top_k: int, engine: str = "auto") -> list[dict[str, Any]]:
         if query_vector is None:
             return []

@@ -152,5 +152,26 @@ class SqliteOracle:
         cur = self.conn.execute(sql, (match, top_k))
         return [dict(r) for r in cur.fetchall()]
 
+    def highlight_search(
+        self, match: str, top_k: int, open_mark: str = "[", close_mark: str = "]"
+    ) -> list[dict[str, Any]]:
+        """Raw MATCH with FTS5 highlight() over both indexed columns."""
+        sql = """
+            SELECT
+              c.chunk_id,
+              highlight(chunks_fts, 0, ?, ?) AS content_hl,
+              highlight(chunks_fts, 1, ?, ?) AS heading_hl,
+              bm25(chunks_fts) AS bm25_score
+            FROM chunks_fts
+            JOIN chunks c ON c.id = chunks_fts.rowid
+            WHERE chunks_fts MATCH ?
+            ORDER BY bm25(chunks_fts)
+            LIMIT ?
+        """
+        cur = self.conn.execute(
+            sql, (open_mark, close_mark, open_mark, close_mark, match, top_k)
+        )
+        return [dict(r) for r in cur.fetchall()]
+
     def close(self) -> None:
         self.conn.close()
