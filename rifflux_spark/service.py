@@ -388,6 +388,53 @@ class SearchService:
             )
         return out
 
+    def snippet(
+        self,
+        query: str,
+        top_k: int = 10,
+        col: str = "content",
+        n_tokens: int = 10,
+        marks: tuple[str, str] = ("<b>", "</b>"),
+        ellipsis: str = "…",
+        engine: str = "auto",
+    ) -> list[dict[str, Any]]:
+        """FTS5 ``snippet()`` parity: run the MATCH query, then render
+        each result's best ``n_tokens`` window of ``col`` with the
+        matches highlighted (operators/highlight.snippet_column —
+        window selection and centering reverse-engineered against
+        SQLite and pinned by randomized differential tests)."""
+        from rifflux_spark.functions.ftsparse import FtsSyntaxError, parse_fts
+        from rifflux_spark.operators.highlight import snippet_column
+
+        rows = self.fts(query, top_k=top_k, engine=engine)
+        if not rows:
+            return rows
+        try:
+            ast = parse_fts(query)
+        except FtsSyntaxError:
+            fallback = " ".join(compile_query(query))
+            ast = parse_fts(fallback) if fallback else None
+        if ast is None:
+            return rows
+        return [
+            {
+                **r,
+                "snippet": snippet_column(
+                    ast,
+                    {
+                        "content": r["content"],
+                        "heading_path": r["heading_path"],
+                    },
+                    col,
+                    marks[0],
+                    marks[1],
+                    ellipsis,
+                    n_tokens,
+                ),
+            }
+            for r in rows
+        ]
+
     def semantic(self, query_vector, top_k: int, engine: str = "auto") -> list[dict[str, Any]]:
         if query_vector is None:
             return []

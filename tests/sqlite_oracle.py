@@ -173,5 +173,32 @@ class SqliteOracle:
         )
         return [dict(r) for r in cur.fetchall()]
 
+    def snippet_search(
+        self,
+        match: str,
+        top_k: int,
+        col: int = 0,
+        n_tokens: int = 10,
+        open_mark: str = "[",
+        close_mark: str = "]",
+        ellipsis: str = "…",
+    ) -> list[dict[str, Any]]:
+        """Raw MATCH with FTS5 snippet() over one indexed column."""
+        sql = f"""
+            SELECT
+              c.chunk_id,
+              snippet(chunks_fts, {col}, ?, ?, ?, {n_tokens}) AS snip,
+              bm25(chunks_fts) AS bm25_score
+            FROM chunks_fts
+            JOIN chunks c ON c.id = chunks_fts.rowid
+            WHERE chunks_fts MATCH ?
+            ORDER BY bm25(chunks_fts)
+            LIMIT ?
+        """
+        cur = self.conn.execute(
+            sql, (open_mark, close_mark, ellipsis, match, top_k)
+        )
+        return [dict(r) for r in cur.fetchall()]
+
     def close(self) -> None:
         self.conn.close()

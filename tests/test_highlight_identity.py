@@ -169,3 +169,95 @@ def test_tokenize_with_offsets_parity() -> None:
         assert [t for t, _s, _e in withoff] == tokenize(text), text
         for t, s, e in withoff:
             assert 0 <= s < e <= len(text), (text, t, s, e)
+
+
+def _snippet_pair(service, oracle, q, n_tokens=10):
+    got = service.snippet(
+        q, top_k=10, n_tokens=n_tokens, marks=("[", "]"), ellipsis="…",
+        engine="local",
+    )
+    want = oracle.snippet_search(q, top_k=10, col=0, n_tokens=n_tokens)
+    assert [r["chunk_id"] for r in got] == [r["chunk_id"] for r in want], q
+    return got, want
+
+
+def _snippet_fidelity(service, oracle, queries_n) -> tuple[int, int]:
+    """(exact_matches, total) vs FTS5 snippet(); also asserts the
+    structural contract on every row: a non-empty snippet, correct
+    ellipsis budget, and marks rendered with the same open/close
+    tokens."""
+    exact = total = 0
+    for q, n in queries_n:
+        got, want = _snippet_pair(service, oracle, q, n)
+        for g, w in zip(got, want):
+            total += 1
+            if g["snippet"] == w["snip"]:
+                exact += 1
+            body = g["snippet"].strip("…")
+            n_body_tokens = len(
+                tokenize(body.replace("[", " ").replace("]", " "))
+            )
+            assert 0 < n_body_tokens <= n, (q, n, g["snippet"])
+    return exact, total
+
+
+def test_snippet_fidelity_fixed(dense_index, spark) -> None:
+    """Window SELECTION is a fitted approximation of FTS5's (see
+    snippet_column docstring); this pins the fidelity floor so a
+    regression in the fitted rule is visible — marking inside any
+    window is exact highlight() parity, tested separately."""
+    index_dir, oracle = dense_index
+    service = SearchService(spark, index_dir, CONFIG)
+    qn = [(q, n) for q in QUERIES for n in (6, 10, 17)]
+    exact, total = _snippet_fidelity(service, oracle, qn)
+    assert total >= 100
+    assert exact / total >= 0.85, f"snippet fidelity {exact}/{total}"
+
+
+def test_snippet_fidelity_randomized(dense_index, spark) -> None:
+    index_dir, oracle = dense_index
+    service = SearchService(spark, index_dir, CONFIG)
+    rng = random.Random(13)
+    qn = []
+    for _ in range(30):
+        r = rng.random()
+        if r < 0.35:
+            q = f'"{rng.choice(VOCAB)} {rng.choice(VOCAB)}"'
+        elif r < 0.7:
+            q = f"{rng.choice(VOCAB)} OR {rng.choice(VOCAB)[:3]}*"
+        else:
+            q = f"{rng.choice(VOCAB)} {rng.choice(VOCAB)}"
+        qn.append((q, rng.choice([5, 8, 12, 20])))
+    exact, total = _snippet_fidelity(service, oracle, qn)
+    assert total >= 60
+    assert exact / total >= 0.85, f"snippet fidelity {exact}/{total}"
+
+
+def test_snippet_on_markdown_corpus(spark, tmp_path_factory) -> None:
+    """Markdown text has real sentence punctuation — the regime the
+    sentence-aware window rule was fitted for."""
+    index_dir = str(tmp_path_factory.mktemp("snipmd"))
+    build_index(
+        spark, synthetic_pages(spark, 60, seed=5), index_dir, CONFIG,
+        with_embeddings=False,
+    )
+    store = IndexStore(spark, index_dir, CONFIG.n_term_buckets)
+    chunk_rows = (
+        store.chunks()
+        .orderBy("doc_ord")
+        .select("doc_ord", "url", "chunk_id", "chunk_index", "heading_path", "content")
+        .collect()
+    )
+    oracle = SqliteOracle()
+    oracle.seed([r.asDict() for r in chunk_rows])
+    try:
+        service = SearchService(spark, index_dir, CONFIG)
+        qn = [
+            (q, n)
+            for q in ["cache ttl", '"cache ttl"', "cach* OR policy", "the data"]
+            for n in (8, 15)
+        ]
+        exact, total = _snippet_fidelity(service, oracle, qn)
+        assert exact / total >= 0.8, f"snippet fidelity {exact}/{total}"
+    finally:
+        oracle.close()
