@@ -447,6 +447,18 @@ def run_stress(spark, n_docs: int, page_scale: int, cpus: int) -> dict:
     t0 = time.perf_counter()
     service.search(" ".join(rare_terms), top_k=10, mode="lexical")
     selective_sec = time.perf_counter() - t0
+    # the FTS language paths at stress scale: an exact phrase over the
+    # two rarest terms (candidate-recheck stays df-proportional) and a
+    # boolean+prefix MATCH — both df-routed like the selective probe
+    t0 = time.perf_counter()
+    service.phrase(" ".join(rare_terms[:2]), top_k=10)
+    phrase_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    service.fts(
+        f"{rare_terms[0]} OR {rare_terms[1][:4]}* NOT {rare_terms[2]}",
+        top_k=10,
+    )
+    fts_sec = time.perf_counter() - t0
     shutil.rmtree(index_dir, ignore_errors=True)
     shutil.rmtree(pages_dir, ignore_errors=True)
     return {
@@ -457,6 +469,8 @@ def run_stress(spark, n_docs: int, page_scale: int, cpus: int) -> dict:
         "chunks_per_sec": round(n_chunks / sec, 2),
         "stopword_query_sec": round(stopword_sec, 4),
         "selective_query_sec": round(selective_sec, 4),
+        "phrase_query_sec": round(phrase_sec, 4),
+        "fts_query_sec": round(fts_sec, 4),
         "selective_terms": rare_df,
     }
 
