@@ -39,6 +39,10 @@ _PHRASE_ORACLE = phrase_oracle_sql("part filter", top_k=10)
 
 _FTS_QUERY = '"part filter" OR sl* NOT window'
 _FTS_ORACLE = fts_oracle_sql(_FTS_QUERY, top_k=15)
+
+from rifflux_spark.functions.classifier import quality_scores_oracle_sql as _qc_sql
+
+_QC_ORACLE = _qc_sql(where="doc_id < 120")
 from rifflux_spark.sources.catalog import diff_snapshot, prune_missing
 
 SF0001 = "/root/testdata/sf0.001"
@@ -1100,6 +1104,19 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_logical(_docs(spark, sf_dir), "part filter", top_k=10)
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-linear quality classifier (functions/classifier.py —
+    the FineWeb-Edu 'score every page with a cheap linear model'
+    stage): feature hashing + exact integer logit + integer-compare
+    threshold, ALL map-only Catalyst (no shuffle, no UDF); trained
+    weights are the documented seam (md5-derived stand-ins exercise
+    the identical plan)."""
+    from rifflux_spark.functions.classifier import quality_scores
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 120)
+    return quality_scores(docs).orderBy("doc_id")
+
+
 def q_fts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full FTS5 MATCH evaluation, index-free (plans/adhoc.fts_logical):
     a phrase unit, a prefix unit, and boolean OR/NOT in one query. The
@@ -1296,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vec_quantize": q_vec_quantize,
         "phrase_search": q_phrase_search,
         "fts_query": q_fts_query,
+        "quality_classifier": q_quality_classifier,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -2254,6 +2272,7 @@ FROM qq ORDER BY vec_id
 """,
         "phrase_search": _PHRASE_ORACLE,
         "fts_query": _FTS_ORACLE,
+        "quality_classifier": _QC_ORACLE,
         "sessionize": """
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -120,3 +120,39 @@ def test_substring_dedup_bounded_exchanges_and_no_python(corpus) -> None:
     assert n_exchanges(df) <= 6, plan
     for keys in exchange_keys(plan):
         assert set(keys) <= {"whash", "id"}, keys
+
+
+def test_quality_classifier_is_map_only_and_exact(spark) -> None:
+    """The hashed-linear classifier (functions/classifier.py) must be
+    map-only — zero exchanges, no Python eval — and its integer logit
+    must equal a driver-side recomputation (exactness of the
+    per-token micro-weight sum under any partitioning)."""
+    import hashlib
+
+    from rifflux_spark.functions.classifier import quality_scores
+
+    rows = [
+        (0, "alpha beta gamma alpha"),
+        (1, ""),
+        (2, "Mixed CASE tokens, with punct!"),
+        (3, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = quality_scores(df)
+    plan = explain_str(out)
+    assert n_exchanges(out) == 0, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def w(tok: str) -> int:
+        v = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+        return round((v / 4294967296.0 - 0.5) * 1e6)
+
+    import re as _re
+
+    got = {r["doc_id"]: r for r in out.collect()}
+    for doc_id, text in rows:
+        toks = _re.findall(r"[0-9a-z]+", text.lower())
+        lm = sum(w(t) for t in toks)
+        assert got[doc_id]["n_tokens"] == len(toks)
+        assert abs(got[doc_id]["logit"] - lm / 1e6) < 1e-12
+        assert got[doc_id]["keep"] == (lm > 20_000 * len(toks))
