@@ -213,3 +213,39 @@ def test_parser_shapes() -> None:
     for q in bad:
         with pytest.raises(FtsSyntaxError):
             parse_fts(q)
+
+
+def test_engines_agree_on_randomized_queries(built_index, spark) -> None:
+    """local-vs-spark engine agreement on randomized MATCH queries —
+    the fixed battery pins both engines to SQLite; this fuzzes the
+    corners where the two implementations could drift from each other
+    (pivoted flag assembly vs dict algebra, NEAR frames, df remap)."""
+    import random as _random
+
+    index_dir, oracle, chunks = built_index
+    service = SearchService(spark, index_dir, CONFIG)
+    vocab, bigrams = _vocab(chunks)
+    common = [t for t, _ in vocab.most_common(8)]
+    rng = _random.Random(31337)
+    for _ in range(12):
+        parts = []
+        for _ in range(rng.randrange(1, 4)):
+            r = rng.random()
+            w = rng.choice(common)
+            if r < 0.25:
+                parts.append(f'"{w} {rng.choice(common)}"')
+            elif r < 0.4:
+                parts.append(f"{w[:3]}*")
+            elif r < 0.55:
+                parts.append(f"NEAR({w} {rng.choice(common)}, {rng.randrange(0, 6)})")
+            elif r < 0.7:
+                parts.append(f"content:{w}")
+            else:
+                parts.append(w)
+        glue = rng.choice([" ", " OR ", " NOT ", " AND "])
+        q = glue.join(parts)
+        loc = service.fts(q, top_k=10, engine="local")
+        spk = service.fts(q, top_k=10, engine="spark")
+        assert [r["chunk_id"] for r in loc] == [r["chunk_id"] for r in spk], q
+        for a, b in zip(loc, spk):
+            assert abs(a["bm25_score"] - b["bm25_score"]) < 1e-9, q
