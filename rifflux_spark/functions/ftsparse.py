@@ -37,10 +37,15 @@ scores with tf = its PARTICIPATING instances (members of at least one
 valid cluster) and df = its standalone row count. A column filter
 ahead of the group (``col:NEAR(...)``) scopes every member.
 
-Unsupported FTS5 syntax — ``^`` anchors and ``+`` phrase glue — raises
-:class:`FtsSyntaxError`; the service mirrors the reference's
-query-error fallback (sqlite_store.py:246-254) by retrying the bare
-terms.
+``^`` initial-token anchors and ``a + b`` phrase glue are supported
+(probed semantics: anchored instances only match at a column's token
+0 and only they count toward tf; glue concatenates adjacent units into
+one phrase). Barewords accept exactly FTS5's character set — ASCII
+alphanumerics, ``_``, and non-ASCII; any other ASCII punctuation
+inside a bareword (``state-of-the-art``, ``don't``) is a syntax error
+in FTS5 and raises here, so the service applies the reference's
+query-error fallback (sqlite_store.py:246-254): retry the bare
+tokens (implicit AND), never silently invent phrase semantics.
 
 **Scoring/membership contract** (pinned by probes; see
 operators/ftsquery.py): a row matches iff the boolean tree is true
@@ -65,7 +70,6 @@ _LEX = re.compile(
     rf'(?:{_COLSPEC})?(\^?)"([^"]*)"(\*?)|([(),+])|(?:{_COLSPEC})?(\^?)([^\s(),+^"]+)'
 )
 _RESERVED = {"AND", "OR", "NOT"}
-_UNSUPPORTED_CHARS = (":", "^", "+")
 NEAR_DEFAULT = 10
 # the engine's indexed columns, in FTS5 table order (reference
 # schema.sql: chunks_fts(content, heading_path))
@@ -153,17 +157,24 @@ def _lex(query: str) -> list:
                 # colspec (if any) scopes the whole group
                 out.append(("NEAR", cols))
                 continue
-            if any(ch in word for ch in _UNSUPPORTED_CHARS):
-                raise FtsSyntaxError(f"unsupported syntax in: {word!r}")
             prefix = word.endswith("*")
             if prefix:
                 word = word[:-1]
             if "*" in word:
                 raise FtsSyntaxError(f"non-trailing '*' in: {word!r}")
+            # FTS5 barewords: ASCII alphanumerics, '_', and non-ASCII
+            # only — other ASCII punctuation ('-', '.', ':', "'") is a
+            # MATCH syntax error there, and must be here too, so the
+            # caller's bare-terms fallback kicks in instead of this
+            # lexer silently inventing phrase semantics for
+            # 'state-of-the-art' (FTS5 would reject the query)
+            for ch in word:
+                if ch.isascii() and not (ch.isalnum() or ch == "_"):
+                    raise FtsSyntaxError(f"illegal bareword char in: {word!r}")
             toks = tuple(tokenize(word))
             if not toks:
-                # punctuation-only bareword: skip, so '!!!' lexes to []
-                # (the behavioral contract: such queries return [])
+                # a bareword of non-ASCII separators (e.g. '—') folds
+                # to nothing: skip (contributes no unit)
                 continue
             out.append(Unit(toks, prefix=prefix, cols=cols, anchored=anchored))
     tail = query[pos:]

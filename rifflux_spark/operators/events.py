@@ -44,15 +44,17 @@ _EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
 
 def _idiv(col: Column, n: int) -> Column:
-    """Exact integer floor-division for non-negative longs.
+    """Exact integer FLOOR-division for longs (negative-safe).
 
-    ``(col / n).cast("long")`` routes through IEEE double division;
-    subtracting the integer modulo first makes the numerator exactly
-    divisible, so the division is exact whenever the quotient is
-    representable (< 2^53) — no boundary-rounding risk against the
-    DuckDB oracle's native integer ``//``.
+    ``(col / n).cast("long")`` routes through IEEE double division and
+    truncates toward zero; subtracting the POSITIVE modulo (pmod)
+    first makes the numerator exactly divisible and the quotient the
+    true floor — exact whenever it is representable (< 2^53), matching
+    the DuckDB oracle's native integer ``//`` for pre-1970 timestamps
+    too (Spark's ``%`` takes the dividend's sign and would mis-bucket
+    them).
     """
-    return ((col - (col % F.lit(n))) / F.lit(n)).cast("long")
+    return ((col - F.pmod(col, F.lit(n))) / F.lit(n)).cast("long")
 
 
 def micros(ts_col: str) -> Column:

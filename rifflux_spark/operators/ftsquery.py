@@ -559,8 +559,20 @@ def _near_group_frame(
         .filter(F.col("n_grps") == n_groups)
         .select("doc_ord", "dl")
     )
+    from rifflux_spark.operators.phrase import _cand_join
+    from rifflux_spark.operators.local_exec import local_df
+
+    group_fulls = sorted(
+        {
+            t
+            for mu in members
+            for t in (mu.tokens[:-1] if mu.prefix else mu.tokens)
+        }
+    )
+    dfs = local_df(store, group_fulls)
+    bound = min(dfs.values()) if dfs else None
     chunks = store.chunks().select("doc_ord", "content", "heading_path")
-    cand_chunks = chunks.join(F.broadcast(cand), on="doc_ord", how="inner")
+    cand_chunks = _cand_join(chunks, cand, bound)
     allowed = members[0].cols or COLUMNS
     n_near = group.n
     ids = list(member_ids)
@@ -680,8 +692,14 @@ def _phrase_unit_frame(
             .filter(F.col("n_terms") == len(uniq))
             .select("doc_ord", "dl")
         )
+    from rifflux_spark.operators.phrase import _cand_join
+    from rifflux_spark.operators.local_exec import local_df
+
+    full_terms = sorted(set(unit.tokens[:-1] if unit.prefix else unit.tokens))
+    dfs = local_df(store, full_terms)
+    bound = min(dfs.values()) if dfs else None
     chunks = store.chunks().select("doc_ord", "content", "heading_path")
-    cand_chunks = chunks.join(F.broadcast(cand), on="doc_ord", how="inner")
+    cand_chunks = _cand_join(chunks, cand, bound)
     u = unit
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

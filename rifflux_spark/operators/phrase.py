@@ -56,6 +56,19 @@ from rifflux_spark.functions.tokenizer import compile_query, tokenize
 from rifflux_spark.operators.codec import bm25_wtf, decode_blocks_batch
 from rifflux_spark.sources.tables import IndexStore
 
+# candidate frames at or under this row bound get an explicit broadcast
+# hint into the chunk scan; above it the join is left to the planner
+# (AQE still broadcasts at runtime when the actual size allows) — a
+# forced broadcast of a stopword phrase's corpus-sized candidate set
+# would hit Spark's broadcast hard limit instead of degrading
+BROADCAST_CAND_MAX = 4_000_000
+
+
+def _cand_join(chunks, cand, bound: int | None):
+    if bound is not None and bound <= BROADCAST_CAND_MAX:
+        cand = F.broadcast(cand)
+    return chunks.join(cand, on="doc_ord", how="inner")
+
 _CAND_ROW = T.StructType(
     [
         T.StructField("doc_ord", T.LongType(), False),
@@ -200,10 +213,14 @@ def phrase_topk(
     cand = phrase_candidates(spark, store, phrase)
     if cand is None:
         return empty
+    # the candidate count is bounded by the rarest token's df — read
+    # driver-side (ms) to decide the join strategy
+    from rifflux_spark.operators.local_exec import local_df
+
+    dfs = local_df(store, sorted(set(phrase)))
+    bound = min(dfs.values()) if dfs else 0
     chunks = store.chunks().select("doc_ord", "content", "heading_path")
-    ver = _verify_phrase(
-        chunks.join(F.broadcast(cand), on="doc_ord", how="inner"), phrase
-    )
+    ver = _verify_phrase(_cand_join(chunks, cand, bound), phrase)
     # phrase df as a broadcast scalar: ranking does not depend on it (a
     # single phrase's idf is a constant factor), so the duplicated
     # verify branch under this aggregate cannot change membership/order

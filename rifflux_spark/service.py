@@ -259,43 +259,88 @@ class SearchService:
         with self.store.read_snapshot():
             return self._fts(query, top_k, engine=engine)
 
+    def _parse_with_fallback(self, query: str):
+        """Parse a MATCH expression; on a syntax error apply the
+        reference's fallback contract (sqlite_store.py:246-254): retry
+        the bare space-joined tokens (FTS5 implicit AND). Returns
+        (ast_or_None, effective_query)."""
+        from rifflux_spark.functions.ftsparse import FtsSyntaxError, parse_fts
+
+        try:
+            return parse_fts(query), query
+        except FtsSyntaxError:
+            fallback = " ".join(compile_query(query))
+            if not fallback:
+                return None, query
+            try:
+                return parse_fts(fallback), fallback
+            except FtsSyntaxError:
+                return None, query
+
+    @staticmethod
+    def _result_row(
+        chunk: dict[str, Any] | Any, score: float
+    ) -> dict[str, Any]:
+        get = chunk.get if isinstance(chunk, dict) else chunk.__getitem__
+        return {
+            "chunk_id": get("chunk_id"),
+            "path": get("url"),
+            "heading_path": get("heading_path"),
+            "chunk_index": get("chunk_index"),
+            "content": get("content"),
+            "bm25_score": score,
+        }
+
     def _fts(
         self, query: str, top_k: int, engine: str = "auto"
     ) -> list[dict[str, Any]]:
-        from rifflux_spark.functions.ftsparse import FtsSyntaxError, parse_fts
+        from rifflux_spark.functions.ftsparse import FtsSyntaxError
         from rifflux_spark.operators import ftsquery as FQ
 
+        ast, query = self._parse_with_fallback(query)
+        if ast is None:
+            return []
         try:
-            ast = parse_fts(query)
+            return self._fts_exec(ast, query, top_k, engine, FQ)
         except FtsSyntaxError:
-            # reference fallback: bare space-joined terms; FTS5 parses
-            # that as implicit AND of the individual tokens
+            # errors can also surface at EXECUTION time (a prefix whose
+            # vocabulary expansion blows the MAX_PREFIX_EXPANSION cap);
+            # the fallback contract applies there too
             fallback = " ".join(compile_query(query))
-            if not fallback:
+            if not fallback or fallback == query:
                 return []
+            from rifflux_spark.functions.ftsparse import parse_fts
+
             try:
                 ast = parse_fts(fallback)
             except FtsSyntaxError:
                 return []
-            query = fallback
-        if ast is None:
-            return []
+            if ast is None:
+                return []
+            return self._fts_exec(ast, fallback, top_k, engine, FQ)
+
+    def _fts_exec(
+        self, ast, query: str, top_k: int, engine: str, FQ
+    ) -> list[dict[str, Any]]:
         if engine != "spark":
             from rifflux_spark.functions.ftsparse import collect_units
             from rifflux_spark.operators import local_exec
 
             units = collect_units(ast)
-            # route on the full (non-prefix) tokens' posting volume; a
-            # prefix tail is not an index term (its expansion is capped
-            # at MAX_PREFIX_EXPANSION upstream)
-            fulls = sorted(
-                {
-                    t
-                    for u in units
-                    for t in (u.tokens[:-1] if u.prefix else u.tokens)
-                }
-            )
-            dfs = local_exec.local_df(self.store, fulls)
+            # route on the FULL working set: plain tokens plus every
+            # prefix tail's vocabulary expansion (a pure-prefix query
+            # can decode far more postings than its token count
+            # suggests — the expansion IS the working set)
+            terms: set[str] = set()
+            for u in units:
+                if u.prefix:
+                    terms.update(u.tokens[:-1])
+                    terms.update(
+                        FQ.expand_prefix_local(self.store, u.tokens[-1])
+                    )
+                else:
+                    terms.update(u.tokens)
+            dfs = local_exec.local_df(self.store, sorted(terms))
             use_local = engine == "local" or (
                 sum(dfs.values()) <= self.LOCAL_EXEC_MAX_POSTINGS
             )
@@ -310,14 +355,7 @@ class SearchService:
 
                 chunks = rehydrate_local(self.store, [d for d, _ in topk])
                 return [
-                    {
-                        "chunk_id": c["chunk_id"],
-                        "path": c["url"],
-                        "heading_path": c["heading_path"],
-                        "chunk_index": c["chunk_index"],
-                        "content": c["content"],
-                        "bm25_score": score,
-                    }
+                    self._result_row(c, score)
                     for doc_ord, score in topk
                     if (c := chunks.get(doc_ord)) is not None
                 ]
@@ -334,17 +372,7 @@ class SearchService:
             .orderBy(F.asc("bm25_score"), F.asc("doc_ord"))
             .collect()
         )
-        return [
-            {
-                "chunk_id": r["chunk_id"],
-                "path": r["url"],
-                "heading_path": r["heading_path"],
-                "chunk_index": r["chunk_index"],
-                "content": r["content"],
-                "bm25_score": r["bm25_score"],
-            }
-            for r in rows
-        ]
+        return [self._result_row(r, r["bm25_score"]) for r in rows]
 
     def highlight(
         self,
@@ -364,11 +392,7 @@ class SearchService:
         rows = self.fts(query, top_k=top_k, engine=engine)
         if not rows:
             return rows
-        try:
-            ast = parse_fts(query)
-        except FtsSyntaxError:
-            fallback = " ".join(compile_query(query))
-            ast = parse_fts(fallback) if fallback else None
+        ast, _q = self._parse_with_fallback(query)
         if ast is None:
             return rows
         out = []
@@ -409,11 +433,7 @@ class SearchService:
         rows = self.fts(query, top_k=top_k, engine=engine)
         if not rows:
             return rows
-        try:
-            ast = parse_fts(query)
-        except FtsSyntaxError:
-            fallback = " ".join(compile_query(query))
-            ast = parse_fts(fallback) if fallback else None
+        ast, _q = self._parse_with_fallback(query)
         if ast is None:
             return rows
         return [

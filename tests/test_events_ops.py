@@ -349,3 +349,25 @@ def test_hll_shuffle_carries_registers_not_values(spark) -> None:
     first_exchange = plan.split(") Exchange", 1)[1][:300]
     assert "bucket" in first_exchange
     assert "user_id" not in first_exchange
+
+
+def test_idiv_floors_negative_timestamps(spark) -> None:
+    """Pre-1970 micros must bucket by FLOOR (DuckDB `//` semantics),
+    not truncate-toward-zero (regression: `%` sign-of-dividend)."""
+    from rifflux_spark.operators.events import _idiv
+
+    df = spark.createDataFrame(
+        [(-1,), (-60_000_001,), (0,), (59_999_999,), (-120_000_000,)],
+        "us long",
+    )
+    got = {
+        r["us"]: r["b"]
+        for r in df.select("us", _idiv(F.col("us"), 60_000_000).alias("b")).collect()
+    }
+    assert got == {
+        -1: -1,
+        -60_000_001: -2,
+        0: 0,
+        59_999_999: 0,
+        -120_000_000: -2,
+    }

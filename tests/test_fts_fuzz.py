@@ -107,3 +107,32 @@ def test_service_fts_total_on_garbage(spark, tmp_path_factory) -> None:
         assert isinstance(svc.fts(q, top_k=3), list), q
         assert isinstance(svc.highlight(q, top_k=3), list), q
         assert isinstance(svc.snippet(q, top_k=3), list), q
+
+
+def test_prefix_overexpansion_falls_back(spark, tmp_path_factory, monkeypatch) -> None:
+    """FtsSyntaxError can surface at EXECUTION time (vocabulary
+    expansion past MAX_PREFIX_EXPANSION); the service must apply the
+    bare-terms fallback there too, not propagate (regression for the
+    escape found in review)."""
+    from rifflux_spark import service as service_mod
+    from rifflux_spark.config import EngineConfig
+    from rifflux_spark.operators import ftsquery
+    from rifflux_spark.plans.build import build_index
+    from rifflux_spark.service import SearchService
+    from rifflux_spark.sources.pages import synthetic_pages
+
+    cfg = EngineConfig(
+        block_size=16, salt_range=64, n_term_buckets=8, n_build_shards=1,
+        embedding_dim=16,
+    )
+    idx = str(tmp_path_factory.mktemp("expidx"))
+    build_index(spark, synthetic_pages(spark, 40, seed=9), idx, cfg,
+                with_embeddings=False)
+    svc = SearchService(spark, idx, cfg)
+    monkeypatch.setattr(ftsquery, "MAX_PREFIX_EXPANSION", 1)
+    # 'w*' expands to the whole synthetic vocab -> raises internally;
+    # fallback runs the bare token 'w' (not an index term -> [])
+    out = svc.fts("w* OR cache", top_k=5)
+    assert isinstance(out, list)
+    # a plain query still works under the tiny cap
+    assert isinstance(svc.fts("cache ttl", top_k=5), list)

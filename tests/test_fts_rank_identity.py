@@ -185,7 +185,11 @@ def test_parser_shapes() -> None:
     kind, l, r = parse_fts("a NOT b c")
     assert kind == "not" and r == ("and", Unit(("b",),), Unit(("c",),))
     assert parse_fts("(a OR b) NOT c")[0] == "not"
-    assert parse_fts("...") is None
+    # '...' is an illegal bareword in FTS5 (ASCII punctuation) — raises,
+    # and the service-level fallback turns it into [] (tested below)
+    with pytest.raises(FtsSyntaxError):
+        parse_fts("...")
+    assert parse_fts("—") is None  # non-ASCII separator folds to nothing
     # lowercase keywords are terms
     assert parse_fts("a or b") == (
         "and",
@@ -206,6 +210,8 @@ def test_parser_shapes() -> None:
         "NEAR(a b",         # unbalanced NEAR
         "NEAR(a b, x)",     # non-integer distance
         "badcol:a",         # unknown column
+        "state-of-the-art", # FTS5-illegal bareword punctuation
+        "don't",            # ditto
         "a +", "+ a",       # dangling phrase glue
         "a* + b",           # '*' only on the glued unit's last part
         "a*b",              # non-trailing star
