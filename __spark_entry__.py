@@ -1237,6 +1237,77 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.join(exact, "event_type").orderBy("event_type")
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS / ROLLUP (SURVEY §2.G lists these as absent from
+    the reference): doc counts and char sums by (source, lang), by
+    source, and grand total in ONE pass — Spark's rollup() plans a
+    single Expand+aggregate, not three scans. grouping_id
+    disambiguates NULL-as-total from NULL-as-value."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .orderBy(
+            "gid",
+            F.col("source").asc_nulls_last(),
+            F.col("lang").asc_nulls_last(),
+        )
+    )
+
+
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/analytic window-function breadth over events (absent
+    from the reference per SURVEY §2.G): row_number, rank, dense_rank,
+    ntile, lag/lead deltas, and a running sum — all inside ONE
+    partitioning (user_id), so the plan pays a single exchange."""
+    from rifflux_spark.operators.events import micros, vmicro
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id") < 12)
+        .select(
+            "user_id", "event_id",
+            micros("ts").alias("ts_us"),
+            vmicro("value").alias("vmic"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+            (F.lead("vmic").over(w) - F.col("vmic")).alias("next_delta_vmic"),
+            F.sum("vmic")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("running_vmic"),
+        )
+        .orderBy("user_id", "rn")
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT / EXCEPT / UNION — SURVEY §2.G lists
+    them as absent from the reference): doc-id sets from two
+    independent predicates composed set-wise, with a tag column so one
+    result carries all three algebra outcomes."""
+    docs = _docs(spark, sf_dir)
+    a = docs.filter(F.col("n_chars") > 150).select("doc_id")
+    b = docs.filter(F.col("source") == "src0").select("doc_id")
+    both = a.intersect(b).withColumn("op", F.lit("both"))
+    only_a = a.exceptAll(b).withColumn("op", F.lit("only_long"))
+    only_b = b.exceptAll(a).withColumn("op", F.lit("only_src0"))
+    return both.unionByName(only_a).unionByName(only_b).orderBy("op", "doc_id")
+
+
 # ------------------------------------------------- classical relational demos
 
 
@@ -1319,6 +1390,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "rollup_chain": q_rollup_chain,
         "hll_distinct": q_hll_distinct,
+        "grouping_sets": q_grouping_sets,
+        "set_ops": q_set_ops,
+        "window_suite": q_window_suite,
         "curation_pipeline": q_curation_pipeline,
         "source_filter": q_source_filter,
         "metadata_kv": q_metadata_kv,
@@ -2357,6 +2431,43 @@ d AS (
 )
 SELECT * FROM (SELECT * FROM h UNION ALL SELECT * FROM d)
 ORDER BY level, event_type, bucket_start_us
+""",
+        "set_ops": """
+WITH a AS (SELECT doc_id FROM documents WHERE n_chars > 150),
+     b AS (SELECT doc_id FROM documents WHERE source = 'src0')
+SELECT doc_id, 'both' AS op FROM (SELECT doc_id FROM a INTERSECT SELECT doc_id FROM b)
+UNION ALL
+SELECT doc_id, 'only_long' FROM (SELECT doc_id FROM a EXCEPT ALL SELECT doc_id FROM b)
+UNION ALL
+SELECT doc_id, 'only_src0' FROM (SELECT doc_id FROM b EXCEPT ALL SELECT doc_id FROM a)
+ORDER BY op, doc_id
+""",
+        "grouping_sets": """
+SELECT source, lang, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars,
+       (GROUPING(source) * 2 + GROUPING(lang))::BIGINT AS gid
+FROM documents
+GROUP BY ROLLUP (source, lang)
+ORDER BY gid, source ASC NULLS LAST, lang ASC NULLS LAST
+""",
+        "window_suite": """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 1e6) AS BIGINT) AS vmic
+  FROM events WHERE user_id < 12
+)
+SELECT user_id, event_id,
+       row_number() OVER w AS rn,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4) OVER w AS quartile,
+       (ts_us - lag(ts_us) OVER w)::BIGINT AS gap_us,
+       (lead(vmic) OVER w - vmic)::BIGINT AS next_delta_vmic,
+       sum(vmic) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS running_vmic
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+ORDER BY user_id, rn
 """,
         "hll_distinct": """
 WITH x AS (
