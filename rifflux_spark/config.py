@@ -46,6 +46,11 @@ class EngineConfig:
     n_term_buckets: int = 32
     # shards (groups of term buckets) per build job — the lineage/resume unit
     n_build_shards: int = 4
+    # FTS5-style prefix indexes (operators/prefix.py): for each length L
+    # here, merged '\x01'+term[:L] marker postings are built so `tok*`
+    # queries of that length read ONE posting list instead of expanding
+    # against the vocabulary. Opt-in — () builds none.
+    prefix_lengths: tuple[int, ...] = ()
     # encode-shuffle key is (term_bucket, salt % n_bucket_splits): splits > 1
     # spread a hot term's salted runs over that many tasks while keeping the
     # postings table at ≤ buckets × splits files regardless of cluster size
@@ -73,6 +78,11 @@ class EngineConfig:
             auto_reindex_on_search=_env("AUTO_REINDEX_ON_SEARCH", "0") in ("1", "true", "True"),
             auto_reindex_min_interval_seconds=float(_env("AUTO_REINDEX_MIN_INTERVAL_SECONDS", "2.0")),
             block_size=int(_env("BLOCK_SIZE", "128")),
+            prefix_lengths=tuple(
+                int(x)
+                for x in _env("PREFIX_LENGTHS", "").split(",")
+                if x.strip()
+            ),
             salt_range=int(_env("SALT_RANGE", str(1 << 20))),
             n_term_buckets=int(_env("N_TERM_BUCKETS", "32")),
             n_build_shards=int(_env("N_BUILD_SHARDS", "4")),

@@ -194,14 +194,24 @@ def expand_prefix_local(store: IndexStore, prefix: str) -> list[str]:
 
 
 def _units_needing(units: list[Unit], store: IndexStore):
-    """Resolve each unit to the index terms whose postings it needs;
-    prefix tails expand against the vocabulary. Returns
-    (per-unit term lists, the union term list)."""
+    """Resolve each unit to the index terms whose postings it needs.
+    A prefix tail whose length has a PREFIX INDEX (operators/prefix.py,
+    ``store.prefix_lengths``) resolves to its single merged marker term
+    — one posting list, no vocabulary scan, no expansion cap; other
+    tails expand against the vocabulary. Returns (per-unit term lists,
+    the union term list)."""
+    from rifflux_spark.operators.prefix import marker
+
+    indexed = set(getattr(store, "prefix_lengths", ()) or ())
     per_unit: list[list[str]] = []
     for u in units:
         if u.prefix:
-            expansion = expand_prefix_local(store, u.tokens[-1])
-            terms = sorted(set(u.tokens[:-1]) | set(expansion))
+            p = u.tokens[-1]
+            if len(p) in indexed:
+                tail = [marker(p)]
+            else:
+                tail = expand_prefix_local(store, p)
+            terms = sorted(set(u.tokens[:-1]) | set(tail))
         else:
             terms = sorted(set(u.tokens))
         per_unit.append(terms)
@@ -301,10 +311,10 @@ def fts_topk_local(
             and u.cols is None
             and not u.anchored
         ):
+            from rifflux_spark.operators.prefix import tail_match_terms
+
             agg: dict[int, int] = {}
-            for t in terms:
-                if not t.startswith(u.tokens[0]):
-                    continue
+            for t in tail_match_terms(terms, u.tokens[0]):
                 for d, tf in tf_by_term.get(t, {}).items():
                     agg[d] = agg.get(d, 0) + tf
             return agg
@@ -314,10 +324,11 @@ def fts_topk_local(
         full_tokens = u.tokens[:-1] if u.prefix else u.tokens
         full = [set(tf_by_term.get(t, {})) for t in sorted(set(full_tokens))]
         if u.prefix:
+            from rifflux_spark.operators.prefix import tail_match_terms
+
             tail_docs = set()
-            for t in terms:
-                if t.startswith(u.tokens[-1]):
-                    tail_docs.update(tf_by_term.get(t, {}))
+            for t in tail_match_terms(terms, u.tokens[-1]):
+                tail_docs.update(tf_by_term.get(t, {}))
             full.append(tail_docs)
         if not full or any(not s for s in full):
             return {}
@@ -544,9 +555,10 @@ def _near_group_frame(
             pairs.add((t, f"{j}:{t}"))
         n_groups += len(full)
         if mu.prefix:
-            for t in terms:
-                if t.startswith(mu.tokens[-1]):
-                    pairs.add((t, f"{j}:tail"))
+            from rifflux_spark.operators.prefix import tail_match_terms
+
+            for t in tail_match_terms(terms, mu.tokens[-1]):
+                pairs.add((t, f"{j}:tail"))
             n_groups += 1
     gmap = spark.createDataFrame(sorted(pairs), "term string, grp string")
     cand = (
@@ -662,8 +674,10 @@ def _phrase_unit_frame(
     (doc_ord, unit_id, tf, dl) where tf > 0."""
     decoded = _decode_unit_postings(store, terms)
     if unit.prefix:
+        from rifflux_spark.operators.prefix import tail_match_terms
+
         full = sorted(set(unit.tokens[:-1]))
-        tail = [t for t in terms if t.startswith(unit.tokens[-1])]
+        tail = tail_match_terms(terms, unit.tokens[-1])
         # presence groups: each full token is its own group; the tail
         # expansion is ONE group (any match counts). A term can play
         # BOTH roles ("cache cach*" where the expansion includes

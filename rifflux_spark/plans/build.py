@@ -392,13 +392,43 @@ def build_index(
 
     # --- corpus stats (driver-side; no Spark job) ---
     # total_tokens == Σ cf over term_stats (each (term,doc) tf summed ==
-    # each doc's dl summed); term_stats is small, read via pyarrow
+    # each doc's dl summed); term_stats is small, read via pyarrow.
+    # Prefix-marker rows (operators/prefix.py) are excluded — they are
+    # derived views of the same tokens and must not inflate avgdl.
     if "stats" not in done:
-        total_tokens = store.sum_column("term_stats", "cf")
+        total_tokens = store.sum_column(
+            "term_stats", "cf", exclude_prefix_markers=True
+        )
         avgdl = total_tokens / n_chunks if n_chunks else 0.0
         store.write_corpus_stats(n_chunks, total_tokens, avgdl)
         mark("stats", 1, "corpus_stats")
     avgdl = float(store.corpus_stats()["avgdl"])
+
+    # --- FTS5-style prefix indexes (opt-in; operators/prefix.py) ---
+    # marker postings ride the normal codec/bucket layout; a `tok*`
+    # query of a configured length reads ONE merged posting list
+    # instead of expanding against the vocabulary.
+    if config.prefix_lengths and "prefix_postings" not in done:
+        from rifflux_spark.operators.prefix import (
+            prefix_term_deltas,
+            prefix_thin_postings,
+        )
+        from rifflux_spark.plans.incremental import _merge_term_stats
+
+        thin = prefix_thin_postings(
+            store.chunks().select("doc_ord", "dl", "tokens"),
+            config.prefix_lengths,
+        )
+        blocks = encode_postings(thin, config)
+        store.write_postings(blocks, mode="append")
+        _merge_term_stats(spark, store, prefix_term_deltas(thin))
+        store.meta_set(
+            "layout.prefix_lengths",
+            ",".join(str(x) for x in sorted(set(config.prefix_lengths))),
+        )
+        store.prefix_lengths = tuple(sorted(set(config.prefix_lengths)))
+        _lap("prefix_postings")
+        mark("prefix_postings", None, "prefix_postings")
 
     # --- embeddings: join the concurrent job (started above) ---
     if emb_thread is not None:

@@ -211,6 +211,15 @@ def apply_incremental(
                     (-F.sum("tf")).cast("long").alias("d_cf"),
                 )
             )
+            if getattr(store, "prefix_lengths", ()):
+                from rifflux_spark.operators.prefix import (
+                    prefix_term_deltas as _ptd,
+                    prefix_thin_postings as _ptp,
+                )
+
+                minus_ts = minus_ts.unionByName(
+                    _ptd(_ptp(dying, store.prefix_lengths), sign=-1)
+                )
 
         # --- appended runs for new/changed docs, ords above current max ---
         dl_plus = 0
@@ -244,6 +253,22 @@ def apply_incremental(
             )
             blocks = encode_postings(packed, config)
             store.write_postings(blocks, mode="append")
+            if getattr(store, "prefix_lengths", ()):
+                # prefix indexes (operators/prefix.py): append the new
+                # docs' merged marker postings — their ordinals sit in
+                # fresh salt ranges above the ceiling, so the appended
+                # marker runs slot in exactly like term runs
+                from rifflux_spark.operators.prefix import (
+                    prefix_term_deltas,
+                    prefix_thin_postings,
+                )
+
+                pthin = prefix_thin_postings(
+                    staged_new.select("doc_ord", "dl", "tokens"),
+                    store.prefix_lengths,
+                )
+                store.write_postings(encode_postings(pthin, config), mode="append")
+                prefix_plus = prefix_term_deltas(pthin)
             agg = staged_new.agg(F.count("*").alias("n"), F.sum("dl").alias("sdl")).collect()[0]
             n_appended, dl_plus = int(agg["n"]), int(agg["sdl"] or 0)
             # +stats straight off the packs (n = df contribution per
@@ -252,6 +277,8 @@ def apply_incremental(
                 F.sum("n").cast("long").alias("d_df"),
                 F.sum("tf_sum").cast("long").alias("d_cf"),
             )
+            if getattr(store, "prefix_lengths", ()):
+                plus_ts = plus_ts.unionByName(prefix_plus)
 
             if with_embeddings:
                 dim = config.embedding_dim

@@ -328,19 +328,13 @@ class SearchService:
 
             units = collect_units(ast)
             # route on the FULL working set: plain tokens plus every
-            # prefix tail's vocabulary expansion (a pure-prefix query
-            # can decode far more postings than its token count
-            # suggests — the expansion IS the working set)
-            terms: set[str] = set()
-            for u in units:
-                if u.prefix:
-                    terms.update(u.tokens[:-1])
-                    terms.update(
-                        FQ.expand_prefix_local(self.store, u.tokens[-1])
-                    )
-                else:
-                    terms.update(u.tokens)
-            dfs = local_exec.local_df(self.store, sorted(terms))
+            # prefix tail's resolved terms — ONE merged marker when a
+            # prefix index covers the length (operators/prefix.py),
+            # else the vocabulary expansion (a pure-prefix query can
+            # decode far more postings than its token count suggests —
+            # the resolved terms ARE the working set)
+            _per_unit, all_terms = FQ._units_needing(units, self.store)
+            dfs = local_exec.local_df(self.store, all_terms)
             use_local = engine == "local" or (
                 sum(dfs.values()) <= self.LOCAL_EXEC_MAX_POSTINGS
             )

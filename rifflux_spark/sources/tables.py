@@ -235,6 +235,15 @@ class IndexStore:
                 )
             self.n_term_buckets = int(n_term_buckets)
         self.salt_range = self._persisted_layout("layout.salt_range")
+        # prefix-index lengths (operators/prefix.py) — () when the index
+        # was built without them; metadata may not exist yet mid-build
+        try:
+            pl = self.meta_get("layout.prefix_lengths")
+        except Exception:
+            pl = None
+        self.prefix_lengths: tuple[int, ...] = (
+            tuple(int(x) for x in pl.split(",") if x.strip()) if pl else ()
+        )
 
     def _persisted_layout(self, key: str) -> int | None:
         v = self.meta_get(key) if Path(self.path("metadata_kv")).exists() else None
@@ -794,14 +803,25 @@ class IndexStore:
                 best = v if best is None else max(best, v)
         return best
 
-    def sum_column(self, name: str, col: str) -> int:
+    def sum_column(
+        self, name: str, col: str, exclude_prefix_markers: bool = False
+    ) -> int:
         """Driver-side column sum for small tables (e.g. term_stats.cf).
-        On Iceberg this is a stats/metadata-table read or a tiny agg job."""
+        On Iceberg this is a stats/metadata-table read or a tiny agg job.
+        ``exclude_prefix_markers`` drops synthetic '\x01'-prefixed rows
+        (operators/prefix.py) — corpus stats must count real tokens only.
+        """
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         total = 0
         for f in self.data_files(name):
-            t = pq.read_table(f, columns=[col])
+            cols = [col] + (["term"] if exclude_prefix_markers else [])
+            t = pq.read_table(f, columns=cols)
+            if exclude_prefix_markers:
+                t = t.filter(
+                    pc.invert(pc.starts_with(t.column("term"), "\x01"))
+                )
             s = t.column(0).to_pandas().sum()
             total += int(s) if s == s else 0  # NaN-safe on empty files
         return total
