@@ -154,3 +154,15 @@ def test_incremental_apply_maintains_prefix_index(
             assert _results(inc_svc, q, engine) == _results(
                 full_svc, q, engine
             ), (q, engine)
+
+    # compaction rewrites marker blocks like any term blocks: results
+    # stay identical and the tombstone set clears
+    from rifflux_spark.plans.incremental import compact
+
+    c = compact(spark, store, CONFIG_PFX)
+    assert c["purged"] > 0 and not store.exists("tombstones")
+    inc_svc2 = SearchService(spark, inc_dir, CONFIG_PFX)
+    for q in ["cac*", "the* OR ins*"]:
+        assert _results(inc_svc2, q, "local") == _results(
+            full_svc, q, "local"
+        ), q
