@@ -420,8 +420,12 @@ def build_index(
             config.prefix_lengths,
         )
         blocks = encode_postings(thin, config)
-        store.write_postings(blocks, mode="append")
-        _merge_term_stats(spark, store, prefix_term_deltas(thin))
+        # ONE snapshot transaction: a build killed mid-stage must
+        # publish nothing (a resume re-runs the stage from scratch —
+        # partially-committed marker postings would double their tf)
+        with store.transaction():
+            store.write_postings(blocks, mode="append")
+            _merge_term_stats(spark, store, prefix_term_deltas(thin))
         store.meta_set(
             "layout.prefix_lengths",
             ",".join(str(x) for x in sorted(set(config.prefix_lengths))),
