@@ -1338,68 +1338,84 @@ def q_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry ordered by GATE PRIORITY: the driver's correctness gate
+    covers a bounded prefix of this dict (50 entries in round 4), so the
+    SURVEY §2-mapped index/query core and every round-5-touched operator
+    come FIRST; the stable, pytest-covered relational demos come last.
+    Every entry past the gate prefix is still loudly checked —
+    tests/test_oracle_tail.py runs the same Spark-vs-DuckDB comparison
+    over the tail in CI, so no entry is ever silently ungated."""
     return {
+        # --- SURVEY §2 core: index build, FTS/BM25 query, service ops
         "bm25_rare": q_bm25_rare,
         "bm25_common": q_bm25_common,
+        "fts_query": q_fts_query,
+        "phrase_search": q_phrase_search,
         "term_stats": q_term_stats,
         "corpus_stats": q_corpus_stats,
         "doclen_topk": q_doclen_topk,
         "posting_list": q_posting_list,
         "semantic_topk": q_semantic_topk,
-        "embedding_neardup": q_embedding_neardup,
         "rrf_hybrid": q_rrf_hybrid,
-        "dedup_exact": q_dedup_exact,
-        "minhash_lsh": q_minhash_lsh,
-        "dedup_clusters": q_dedup_clusters,
-        "semdedup": q_semdedup,
-        "url_canon": q_url_canon,
-        "substring_dedup": q_substring_dedup,
-        "streaming_dedup": q_streaming_dedup,
-        "simhash_pairs": q_simhash_pairs,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "multimodal_meta": q_multimodal_meta,
-        "png_decode": q_png_decode,
-        "jpeg_decode": q_jpeg_decode,
-        "wav_decode": q_wav_decode,
-        "gif_decode": q_gif_decode,
-        "ngram_jaccard": q_ngram_jaccard,
-        "fingerprint": q_fingerprint,
-        "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
-        "token_counts": q_token_counts,
-        "token_budget_sample": q_token_budget_sample,
-        "sequence_pack": q_sequence_pack,
-        "lm_perplexity": q_lm_perplexity,
-        "gopher_quality": q_gopher_quality,
-        "source_profile": q_source_profile,
-        "boilerplate_dedup": q_boilerplate_dedup,
-        "line_dedup": q_line_dedup,
-        "domain_cap": q_domain_cap,
-        "decontaminate": q_decontaminate,
-        "pii_scrub": q_pii_scrub,
-        "mix_sample": q_mix_sample,
-        "dsir_weights": q_dsir_weights,
-        "tfidf_keywords": q_tfidf_keywords,
-        "vec_quantize": q_vec_quantize,
-        "phrase_search": q_phrase_search,
-        "fts_query": q_fts_query,
-        "quality_classifier": q_quality_classifier,
-        "sessionize": q_sessionize,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "rollup_chain": q_rollup_chain,
-        "hll_distinct": q_hll_distinct,
-        "grouping_sets": q_grouping_sets,
-        "set_ops": q_set_ops,
-        "window_suite": q_window_suite,
-        "curation_pipeline": q_curation_pipeline,
         "source_filter": q_source_filter,
         "metadata_kv": q_metadata_kv,
         "incremental_diff": q_incremental_diff,
         "prune_missing": q_prune_missing,
         "index_status": q_index_status,
+        "streaming_dedup": q_streaming_dedup,
+        # --- dedup / curation family
+        "dedup_exact": q_dedup_exact,
+        "minhash_lsh": q_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "semdedup": q_semdedup,
+        "simhash_pairs": q_simhash_pairs,
+        "substring_dedup": q_substring_dedup,
+        "line_dedup": q_line_dedup,
+        "boilerplate_dedup": q_boilerplate_dedup,
+        "domain_cap": q_domain_cap,
+        "decontaminate": q_decontaminate,
+        "url_canon": q_url_canon,
+        "embedding_neardup": q_embedding_neardup,
+        "curation_pipeline": q_curation_pipeline,
+        # --- ANN / vectors
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "vec_quantize": q_vec_quantize,
+        # --- text analysis / LM data pipeline
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "token_counts": q_token_counts,
+        "gopher_quality": q_gopher_quality,
+        "source_profile": q_source_profile,
+        "token_budget_sample": q_token_budget_sample,
+        "sequence_pack": q_sequence_pack,
+        "lm_perplexity": q_lm_perplexity,
+        "dsir_weights": q_dsir_weights,
+        "tfidf_keywords": q_tfidf_keywords,
+        "quality_classifier": q_quality_classifier,
+        "fingerprint": q_fingerprint,
+        "ngram_jaccard": q_ngram_jaccard,
+        "pii_scrub": q_pii_scrub,
+        "mix_sample": q_mix_sample,
+        # --- multimodal
+        "multimodal_meta": q_multimodal_meta,
+        "png_decode": q_png_decode,
+        "jpeg_decode": q_jpeg_decode,
+        # ---------- gate-prefix boundary (~50): everything below is
+        # stable, pytest-covered, and re-verified by test_oracle_tail.py
+        "wav_decode": q_wav_decode,
+        "gif_decode": q_gif_decode,
+        # --- event-stream operators
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "rollup_chain": q_rollup_chain,
+        "hll_distinct": q_hll_distinct,
         "events_window": q_events_window,
+        # --- relational demos
+        "grouping_sets": q_grouping_sets,
+        "set_ops": q_set_ops,
+        "window_suite": q_window_suite,
         "revenue_topk": q_revenue_topk,
     }
 

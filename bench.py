@@ -505,6 +505,7 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
 
     scaling = None
+    detail_pairs_full: list[dict] | None = None
     details: list[dict] = []
     if scale_docs > 0:
         spark = fresh_session(cpus)
@@ -557,6 +558,18 @@ def main() -> None:
             )
             pairs.append(s2)
             details.append(d2)
+        # PRINTED record stays compact (the driver tail-captures 2000
+        # chars — round 4's line outgrew it): essentials + window flag +
+        # the [efficiency, window_ok] ensemble. Full attempts/pairs
+        # detail lives ONLY in BENCH_DETAIL.json.
+        secondary = None
+        if len(pairs) > 1:
+            secondary = {
+                "cpus_lo": pairs[1]["cpus_lo"],
+                "cpus_hi": pairs[1]["cpus_hi"],
+                "efficiency": pairs[1]["efficiency"],
+                "window_ok": bool(pairs[1]["window"]["ok"]),
+            }
         scaling = {
             "n_docs": scale_docs,
             "cpus_lo": best["cpus_lo"],
@@ -566,18 +579,16 @@ def main() -> None:
             "docs_per_sec_lo": best["docs_per_sec_lo"],
             "docs_per_sec_hi": best["docs_per_sec_hi"],
             "efficiency": best["efficiency"],
+            "window_ok": bool(best["window"]["ok"]),
             "efficiency_vs_host_envelope": best["efficiency_vs_host_envelope"],
             "attempts": [
-                {
-                    "efficiency": p["efficiency"],
-                    "window_ok": bool(p["window"]["ok"]),
-                    "mem_eff": p["window"]["mem_eff"],
-                }
+                [round(p["efficiency"], 4), int(bool(p["window"]["ok"]))]
                 for p in attempts
             ],
-            "pairs": pairs,
+            "secondary": secondary,
             "detail_file": "BENCH_DETAIL.json",
         }
+        detail_pairs_full = pairs
         shutil.rmtree(corpus_dir, ignore_errors=True)
 
     # --- stress: one large-corpus build at full parallelism ---
@@ -672,7 +683,11 @@ def main() -> None:
     # full run's detail — merge the blocks it actually produced.
     try:
         detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
-        detail = {"record": out, "scaling_pairs_detail": details}
+        detail = {
+            "record": out,
+            "scaling_pairs_summary": detail_pairs_full,
+            "scaling_pairs_detail": details,
+        }
         if scaling is None or stress is None:
             try:
                 prev = json.loads(detail_path.read_text(encoding="utf-8"))
@@ -722,8 +737,11 @@ def main() -> None:
                 s = e.get("scaling")
                 if not s:
                     continue
-                prim = (s.get("pairs") or [{}])[0]
-                ok = bool(prim.get("window", {}).get("ok"))
+                if "window_ok" in s:  # compact shape (round 5+)
+                    ok = bool(s["window_ok"])
+                else:  # legacy shape: full pair dicts
+                    prim = (s.get("pairs") or [{}])[0]
+                    ok = bool(prim.get("window", {}).get("ok"))
                 ents.append((e.get("ts", ""), float(s.get("efficiency", 0.0)), ok))
         if out.get("scaling") is not None and ents:
             bts, beff, bok = max(ents, key=lambda t: (t[2], t[1]))
@@ -735,7 +753,31 @@ def main() -> None:
             out["scaling"]["history"] = [[round(x[1], 4), int(x[2])] for x in ents[-12:]]
     except OSError:
         pass
-    print(json.dumps(out))
+    # SELF-CHECK (round-4 regression guard): the driver tail-captures
+    # 2000 chars of stdout — the printed line MUST stay under that and
+    # MUST be valid JSON, or the round's north-rule evidence vanishes
+    # (BENCH_r02/r04 `parsed: null`). Budget 1900 bytes; shed the least
+    # essential fields first. scaling.efficiency + window_ok are the
+    # north-rule payload and are never shed.
+    _SHED = [
+        ("scaling", "history"),
+        ("scaling", "attempts"),
+        ("scaling", "secondary"),
+        ("curation", None),
+        ("queries", None),
+    ]
+    line = json.dumps(out)
+    for blk, key in _SHED:
+        if len(line) <= 1900:
+            break
+        if key is None:
+            out.pop(blk, None)
+        elif isinstance(out.get(blk), dict):
+            out[blk].pop(key, None)
+        line = json.dumps(out)
+    assert len(line) <= 1900, f"bench record line {len(line)}B > 1900B budget"
+    json.loads(line)  # must round-trip before it becomes the artifact
+    print(line)
     sys.stdout.flush()
     _quiet_stop(spark)
 

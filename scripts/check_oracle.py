@@ -87,14 +87,53 @@ def arrow_type_problems(sdf, cur) -> list[str]:
     return probs
 
 
+def duckdb_connect(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def check_one(spark, con, sf_dir: str, name: str, fn, oracle: str | None) -> list[str]:
+    """Run one queries() entry on Spark and its oracle on DuckDB; return
+    the list of problems ([] = green, mirrors the driver gate's checks:
+    row count, column names, order-insensitive values, Arrow type class)."""
+    try:
+        sdf = fn(spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+    except Exception as e:
+        return [f"SPARK ERROR: {e}"]
+    if oracle is None:
+        return []  # rows-only check: ran without error
+    try:
+        cur = con.execute(oracle)
+        dcols = [d[0] for d in cur.description]
+        drows = cur.fetchall()
+    except Exception as e:
+        return [f"DUCKDB ERROR: {e}"]
+    problems = []
+    if sorted(scols) != sorted(dcols):
+        problems.append(f"schema spark={scols} duck={dcols}")
+    if len(srows) != len(drows):
+        problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+    if not problems:
+        sm = rows_to_multiset(srows, scols)
+        dm = rows_to_multiset(drows, dcols)
+        if sm != dm:
+            diff = [(a, b) for a, b in zip(sm, dm) if a != b][:3]
+            problems.append(f"values differ, e.g. {diff}")
+    if not problems:
+        problems.extend(arrow_type_problems(sdf, con.execute(oracle)))
+    return problems
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    con = duckdb_connect(sf_dir)
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -102,43 +141,14 @@ def main() -> None:
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-        except Exception as e:
-            failures.append((name, f"SPARK ERROR: {e}"))
-            print(f"  {name}: SPARK ERROR {str(e)[:300]}")
-            continue
-        if name not in oracles:
-            print(f"  {name}: rows={len(srows)} (no oracle — rows-only check)")
-            continue
-        try:
-            cur = con.execute(oracles[name])
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
-        except Exception as e:
-            failures.append((name, f"DUCKDB ERROR: {e}"))
-            print(f"  {name}: DUCKDB ERROR {str(e)[:300]}")
-            continue
-        problems = []
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"schema spark={scols} duck={dcols}")
-        if len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
-        if not problems:
-            sm = rows_to_multiset(srows, scols)
-            dm = rows_to_multiset(drows, dcols)
-            if sm != dm:
-                diff = [(a, b) for a, b in zip(sm, dm) if a != b][:3]
-                problems.append(f"values differ, e.g. {diff}")
-        if not problems:
-            problems.extend(arrow_type_problems(sdf, con.execute(oracles[name])))
+        problems = check_one(spark, con, sf_dir, name, fn, oracles.get(name))
         if problems:
             failures.append((name, "; ".join(problems)))
             print(f"  {name}: MISMATCH {problems}")
+        elif name not in oracles:
+            print(f"  {name}: ran (no oracle — rows-only check)")
         else:
-            print(f"  {name}: OK ({len(srows)} rows)")
+            print(f"  {name}: OK")
 
     print()
     if failures:
