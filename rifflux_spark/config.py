@@ -51,6 +51,12 @@ class EngineConfig:
     # queries of that length read ONE posting list instead of expanding
     # against the vocabulary. Opt-in — () builds none.
     prefix_lengths: tuple[int, ...] = ()
+    # positional postings (operators/positions.py): opt-in extra table
+    # of column-strided token positions per (term, doc), riding the same
+    # block codec + (term_bucket, salt) layout; phrase/NEAR queries then
+    # narrow by position intersection with zero chunk-table access.
+    # Storage cost ~4 bytes/occurrence — FTS5's own poslist trade.
+    store_positions: bool = False
     # encode-shuffle key is (term_bucket, salt % n_bucket_splits): splits > 1
     # spread a hot term's salted runs over that many tasks while keeping the
     # postings table at ≤ buckets × splits files regardless of cluster size
@@ -83,6 +89,7 @@ class EngineConfig:
                 for x in _env("PREFIX_LENGTHS", "").split(",")
                 if x.strip()
             ),
+            store_positions=_env("STORE_POSITIONS", "0") in ("1", "true", "True"),
             salt_range=int(_env("SALT_RANGE", str(1 << 20))),
             n_term_buckets=int(_env("N_TERM_BUCKETS", "32")),
             n_build_shards=int(_env("N_BUILD_SHARDS", "4")),

@@ -210,17 +210,30 @@ def phrase_topk(
     cstats = cstats or store.corpus_stats()
     n_docs, avgdl = int(cstats["n_docs"]), float(cstats["avgdl"])
 
-    cand = phrase_candidates(spark, store, phrase)
-    if cand is None:
-        return empty
-    # the candidate count is bounded by the rarest token's df — read
-    # driver-side (ms) to decide the join strategy
-    from rifflux_spark.operators.local_exec import local_df
+    if store.has_positions():
+        # positional path (operators/positions.py): candidates narrow by
+        # position intersection — zero chunk-table access
+        from rifflux_spark.operators.positions import positional_phrase_counts
 
-    dfs = local_df(store, sorted(set(phrase)))
-    bound = min(dfs.values()) if dfs else 0
-    chunks = store.chunks().select("doc_ord", "content", "heading_path")
-    ver = _verify_phrase(_cand_join(chunks, cand, bound), phrase)
+        ver = positional_phrase_counts(store, phrase)
+        if ver is None:
+            return empty
+        if store.exists("tombstones"):
+            ver = ver.join(
+                F.broadcast(store.tombstones()), on="doc_ord", how="left_anti"
+            )
+    else:
+        cand = phrase_candidates(spark, store, phrase)
+        if cand is None:
+            return empty
+        # the candidate count is bounded by the rarest token's df — read
+        # driver-side (ms) to decide the join strategy
+        from rifflux_spark.operators.local_exec import local_df
+
+        dfs = local_df(store, sorted(set(phrase)))
+        bound = min(dfs.values()) if dfs else 0
+        chunks = store.chunks().select("doc_ord", "content", "heading_path")
+        ver = _verify_phrase(_cand_join(chunks, cand, bound), phrase)
     # phrase df as a broadcast scalar: ranking does not depend on it (a
     # single phrase's idf is a constant factor), so the duplicated
     # verify branch under this aggregate cannot change membership/order
@@ -268,6 +281,37 @@ def phrase_topk_local(
     uniq = sorted(set(phrase))
     cstats = cstats or store.corpus_stats()
     n_docs, avgdl = int(cstats["n_docs"]), float(cstats["avgdl"])
+
+    if store.has_positions():
+        # positional fast path: intersect poslists, never touch chunks
+        from rifflux_spark.operators.positions import (
+            local_positions,
+            phrase_instance_starts,
+        )
+
+        per_term, dl_map = local_positions(store, uniq)
+        if any(not per_term[u] for u in uniq):
+            return []
+        cand = set.intersection(*(set(per_term[u]) for u in uniq))
+        tombs = local_tombstones(store)
+        if tombs.size:
+            cand -= set(int(x) for x in tombs)
+        verified = []
+        for doc_ord in sorted(cand):
+            tfp = int(
+                phrase_instance_starts([per_term[t][doc_ord] for t in phrase]).size
+            )
+            if tfp > 0:
+                verified.append((doc_ord, tfp))
+        if not verified:
+            return []
+        idf = phrase_idf(n_docs, len(verified))
+        docs = np.array([d for d, _ in verified], dtype=np.int64)
+        tfs = np.array([tf for _, tf in verified], dtype=np.float64)
+        dls = np.array([dl_map[d] for d, _ in verified], dtype=np.float64)
+        scores = idf * bm25_wtf(tfs, dls, avgdl, config.bm25_k1, config.bm25_b)
+        order = np.lexsort((docs, -scores))[:top_k]
+        return [(int(docs[i]), float(-scores[i])) for i in order]
 
     buckets = {term_bucket(t, store.n_term_buckets) for t in uniq}
     files = _bucket_files(store, "postings", buckets)

@@ -434,6 +434,31 @@ def build_index(
         _lap("prefix_postings")
         mark("prefix_postings", None, "prefix_postings")
 
+    # --- positional postings (opt-in; operators/positions.py) ---
+    # FTS5-style poslists as a sibling table in the same physical
+    # layout: phrase/NEAR queries narrow by position intersection
+    # instead of rehydrating candidate text.
+    if config.store_positions and "positions" not in done:
+        from rifflux_spark.operators.positions import (
+            encode_position_postings,
+            packed_positions,
+        )
+
+        pblocks = encode_position_postings(
+            packed_positions(
+                store.chunks().select("doc_ord", "dl", "tokens", "heading_path"),
+                config,
+            ),
+            config,
+        )
+        # one snapshot transaction, same resume discipline as the
+        # prefix stage: a killed build publishes nothing
+        with store.transaction():
+            store.write_positions(pblocks)
+        store.meta_set("layout.store_positions", "1")
+        _lap("positions")
+        mark("positions", None, "positions")
+
     # --- embeddings: join the concurrent job (started above) ---
     if emb_thread is not None:
         emb_thread.join()
