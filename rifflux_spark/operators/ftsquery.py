@@ -54,7 +54,11 @@ from rifflux_spark.functions.ftsparse import (
     parse_fts,
 )
 from rifflux_spark.functions.tokenizer import tokenize
-from rifflux_spark.operators.codec import bm25_wtf, decode_blocks_batch
+from rifflux_spark.operators.codec import (
+    POS_COL_STRIDE,
+    bm25_wtf,
+    decode_blocks_batch,
+)
 from rifflux_spark.sources.tables import IndexStore
 
 # vocabulary expansion guard: a 1-letter prefix over a web-scale vocab
@@ -222,6 +226,87 @@ def _units_needing(units: list[Unit], store: IndexStore):
 # --------------------------------------------------------------- local path
 
 
+class _PositionalCtx:
+    """Local-path positional instance provider (operators/positions.py):
+    when the index stores poslists, recheck-class units (multi-token /
+    column-filtered / anchored / prefix-tail-in-phrase) and NEAR members
+    compute their instances from position intersection instead of
+    rehydrated text. A unit falls back to text recheck when its prefix
+    tail cannot be enumerated (marker-indexed length whose expansion
+    overflows) — correctness is path-independent, pinned in
+    tests/test_positional_phrase.py and the NEAR identity suite."""
+
+    # NEAR distances at or past this cannot be proven column-local by
+    # the stride encoding — fall back to text recheck (never hit by
+    # sane queries; FTS5 default N is 10)
+    MAX_NEAR = POS_COL_STRIDE // 2
+
+    def __init__(self, store: IndexStore, units: list[Unit], groups: list) -> None:
+        self._pos: dict[str, dict[int, "np.ndarray"]] = {}
+        self._slots: dict[int, list[list[str]]] = {}
+        if not store.has_positions():
+            return
+        from rifflux_spark.operators.prefix import is_marker
+
+        needed: set[str] = set()
+        for i, u in enumerate(units):
+            in_near = groups[i] is not None
+            recheck_class = not (
+                len(u.tokens) == 1 and u.cols is None and not u.anchored
+            )
+            if not (in_near or recheck_class):
+                continue
+            slots: list[list[str]] = [[t] for t in (u.tokens[:-1] if u.prefix else u.tokens)]
+            if u.prefix:
+                try:
+                    tail = [
+                        t
+                        for t in expand_prefix_local(store, u.tokens[-1])
+                        if not is_marker(t)
+                    ]
+                except FtsSyntaxError:
+                    continue  # unit stays on the text-recheck path
+                if not tail:
+                    tail = []
+                slots.append(tail)
+            self._slots[i] = slots
+            for s in slots:
+                needed.update(s)
+        if self._slots:
+            from rifflux_spark.operators.positions import local_positions
+
+            self._pos, _ = local_positions(store, sorted(needed))
+
+    def usable(self, i: int) -> bool:
+        return i in self._slots
+
+    def starts(self, i: int, unit: Unit, doc: int) -> "np.ndarray":
+        """Strided instance starts of unit ``i`` in ``doc`` (anchored
+        applied; column filtering is the caller's, since NEAR scopes it
+        group-wide)."""
+        from rifflux_spark.operators.positions import phrase_instance_starts
+
+        slot_arrays: list[np.ndarray] = []
+        for terms in self._slots[i]:
+            arrs = [
+                a
+                for a in (self._pos.get(t, {}).get(doc) for t in terms)
+                if a is not None
+            ]
+            if not arrs:
+                return np.empty(0, dtype=np.int64)
+            slot_arrays.append(
+                arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
+            )
+        starts = phrase_instance_starts(slot_arrays)
+        if unit.anchored and starts.size:
+            starts = starts[starts % POS_COL_STRIDE == 0]
+        return starts
+
+    def n_slots(self, i: int) -> int:
+        return len(self._slots[i])
+
+
 def _local_postings(store: IndexStore, terms: list[str]):
     """Decode every posting for ``terms`` coordinator-side →
     (term→{doc: tf}, doc→dl)."""
@@ -279,6 +364,8 @@ def fts_topk_local(
     per_unit_terms, all_terms = _units_needing(units, store)
     tf_by_term, dl_map = _local_postings(store, all_terms)
     tombs = set(int(x) for x in local_tombstones(store))
+    groups = leaf_groups(ast)
+    posctx = _PositionalCtx(store, units, groups)
 
     rehydrated: dict[int, dict] = {}
 
@@ -293,7 +380,7 @@ def fts_topk_local(
             "heading_path": tokenize(c["heading_path"]),
         }
 
-    def standalone_map(u: Unit, terms: list[str]) -> dict[int, int]:
+    def standalone_map(i: int, u: Unit, terms: list[str]) -> dict[int, int]:
         # postings carry COMBINED-column tf, so only unfiltered
         # single-token units score straight from them; anything with a
         # column filter, multiple tokens, or a prefix TAIL inside a
@@ -333,8 +420,18 @@ def fts_topk_local(
         if not full or any(not s for s in full):
             return {}
         cand = set.intersection(*full)
-        rehydrate(cand)
         counts: dict[int, int] = {}
+        if posctx.usable(i):
+            # positional recheck: instance starts from poslist
+            # intersection — no rehydration
+            from rifflux_spark.operators.positions import filter_unit_starts
+
+            for d in cand:
+                starts = filter_unit_starts(posctx.starts(i, u, d), False, u.cols)
+                if starts.size:
+                    counts[d] = int(starts.size)
+            return counts
+        rehydrate(cand)
         for d in cand:
             c = rehydrated.get(d)
             if c is None:
@@ -345,7 +442,8 @@ def fts_topk_local(
         return counts
 
     standalone: list[dict[int, int]] = [
-        standalone_map(u, terms) for u, terms in zip(units, per_unit_terms)
+        standalone_map(i, u, terms)
+        for i, (u, terms) in enumerate(zip(units, per_unit_terms))
     ]
     if tombs:
         standalone = [
@@ -356,7 +454,6 @@ def fts_topk_local(
     # NEAR groups: replace member tf maps with participation-trimmed
     # ones (per-column clusters, df stays the standalone row count)
     unit_tf: list[dict[int, int]] = list(standalone)
-    groups = leaf_groups(ast)
     done_groups: set[int] = set()
     for gi, g in enumerate(groups):
         if g is None or id(g) in done_groups:
@@ -368,7 +465,26 @@ def fts_topk_local(
             standalone[i] for i in idxs
         ) else set()
         trimmed: list[dict[int, int]] = [{} for _ in idxs]
-        if cand:
+        if cand and all(posctx.usable(ii) for ii in idxs) and g.n < _PositionalCtx.MAX_NEAR:
+            # positional NEAR: strided instances make cross-column
+            # clusters numerically infeasible, so ONE near_trim over
+            # the combined lists equals the per-column sum
+            from rifflux_spark.operators.positions import filter_unit_starts
+
+            allowed = members[0].cols
+            for d in cand:
+                inst = []
+                for j, ii in enumerate(idxs):
+                    s = filter_unit_starts(
+                        posctx.starts(ii, members[j], d), False, allowed
+                    )
+                    m = posctx.n_slots(ii)
+                    inst.append([(int(p), int(p) + m - 1) for p in s])
+                counts = near_trim(inst, g.n)
+                if all(c > 0 for c in counts):
+                    for j, cnt in enumerate(counts):
+                        trimmed[j][d] = cnt
+        elif cand:
             rehydrate(cand)
             allowed = members[0].cols or COLUMNS
             for d in cand:
@@ -509,10 +625,18 @@ def _unit_frames(
             )
             .select("doc_ord", "unit_id", "tf", "dl")
         )
+    has_pos = store.has_positions()
     for i, (u, terms) in enumerate(zip(units, per_unit_terms)):
         if len(u.tokens) == 1 and u.cols is None and not u.anchored:
             continue
-        frames.append(_phrase_unit_frame(spark, store, u, terms, sid(i)))
+        f = (
+            _phrase_unit_frame_positional(spark, store, u, sid(i))
+            if has_pos
+            else None
+        )
+        if f is None:
+            f = _phrase_unit_frame(spark, store, u, terms, sid(i))
+        frames.append(f)
     # one trimmed frame per distinct NEAR group
     done: set[int] = set()
     for i, g in enumerate(groups):
@@ -520,11 +644,16 @@ def _unit_frames(
             continue
         done.add(id(g))
         idxs = [j for j, gg in enumerate(groups) if gg is g]
-        frames.append(
-            _near_group_frame(
+        f = (
+            _near_group_frame_positional(spark, store, g, idxs)
+            if has_pos
+            else None
+        )
+        if f is None:
+            f = _near_group_frame(
                 spark, store, g, idxs, [per_unit_terms[j] for j in idxs]
             )
-        )
+        frames.append(f)
     if not frames:
         return None
     out = frames[0]
@@ -743,6 +872,198 @@ def _phrase_unit_frame(
     return cand_chunks.select("doc_ord", "content", "heading_path", "dl").mapInPandas(
         verify, schema=_UNIT_ROW
     )
+
+
+def _unit_slot_terms(store: IndexStore, unit: Unit) -> list[list[str]] | None:
+    """Per-slot index terms for positional evaluation: exact tokens are
+    their own slot; a prefix tail expands against the vocabulary
+    (markers carry no positions). None = not positionally evaluable
+    (expansion overflow) — caller falls back to text recheck."""
+    from rifflux_spark.operators.prefix import is_marker
+
+    slots: list[list[str]] = [[t] for t in (unit.tokens[:-1] if unit.prefix else unit.tokens)]
+    if unit.prefix:
+        try:
+            tail = [
+                t
+                for t in expand_prefix_local(store, unit.tokens[-1])
+                if not is_marker(t)
+            ]
+        except FtsSyntaxError:
+            return None
+        slots.append(tail)
+    return slots
+
+
+def _grouped_slot_positions(spark, store: IndexStore, slot_pairs, n_slots: int):
+    """Positional rows → one row per doc with every slot present:
+    (doc_ord, dl, parts=[(slot, pos-binary)...]). ``slot_pairs`` =
+    (term, slot-label) pairs; a term may serve several slots."""
+    from rifflux_spark.operators.positions import _decode_to_rows
+
+    terms = sorted({t for t, _ in slot_pairs})
+    rows = _decode_to_rows(store.positions_for_terms(terms))
+    smap = spark.createDataFrame(sorted(set(slot_pairs)), "term string, slot string")
+    return (
+        rows.join(F.broadcast(smap), "term")
+        .groupBy("doc_ord")
+        .agg(
+            F.max("dl").alias("dl"),
+            F.countDistinct("slot").alias("n_slots"),
+            F.collect_list(F.struct("slot", "pos")).alias("parts"),
+        )
+        .filter(F.col("n_slots") == n_slots)
+        .select("doc_ord", "dl", "parts")
+    )
+
+
+def _slot_arrays_of(parts, labels: list[str]) -> list[np.ndarray] | None:
+    """parts=[(slot, pos-bin)...] → per-label sorted-unique position
+    arrays (None when a label is absent)."""
+    by: dict[str, list[np.ndarray]] = {}
+    for p in parts:
+        # array<struct> arrives as dicts through mapInPandas
+        slot, pos = (p["slot"], p["pos"]) if isinstance(p, dict) else (p[0], p[1])
+        by.setdefault(slot, []).append(np.frombuffer(pos, dtype="<u4").astype(np.int64))
+    out: list[np.ndarray] = []
+    for lab in labels:
+        arrs = by.get(lab)
+        if not arrs:
+            return None
+        out.append(arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs)))
+    return out
+
+
+def _phrase_unit_frame_positional(
+    spark, store: IndexStore, unit: Unit, unit_id: int
+) -> DataFrame | None:
+    """Positional twin of :func:`_phrase_unit_frame`: instance counts
+    from poslist intersection — candidates bounded by position-
+    intersected df, zero chunk-table access."""
+    slots = _unit_slot_terms(store, unit)
+    if slots is None:
+        return None
+    labels = [str(j) for j in range(len(slots))]
+    pairs = [(t, lab) for lab, terms in zip(labels, slots) for t in terms]
+    if not pairs or any(not terms for terms in slots):
+        return (
+            spark.createDataFrame([], _UNIT_ROW)
+        )
+    grouped = _grouped_slot_positions(spark, store, pairs, len(slots))
+    u = unit
+
+    def count(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rifflux_spark.operators.positions import (
+            filter_unit_starts,
+            phrase_instance_starts,
+        )
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            tfs = np.zeros(len(pdf), dtype=np.int64)
+            for r, parts in enumerate(pdf["parts"]):
+                arrs = _slot_arrays_of(parts, labels)
+                if arrs is None:
+                    continue
+                starts = filter_unit_starts(
+                    phrase_instance_starts(arrs), u.anchored, u.cols
+                )
+                tfs[r] = starts.size
+            out = pd.DataFrame(
+                {
+                    "doc_ord": pdf["doc_ord"],
+                    "unit_id": np.int32(unit_id),
+                    "tf": tfs,
+                    "dl": pdf["dl"],
+                }
+            )
+            yield out[out["tf"] > 0]
+
+    return grouped.mapInPandas(count, schema=_UNIT_ROW)
+
+
+def _near_group_frame_positional(
+    spark,
+    store: IndexStore,
+    group,
+    member_ids: list[int],
+) -> DataFrame | None:
+    """Positional twin of :func:`_near_group_frame`: participation
+    trimming over strided instances (cross-column clusters numerically
+    infeasible, so one near_trim equals the per-column sum)."""
+    members = list(group.units)
+    if group.n >= _PositionalCtx.MAX_NEAR:
+        return None
+    member_slots: list[list[list[str]]] = []
+    for mu in members:
+        slots = _unit_slot_terms(store, mu)
+        if slots is None:
+            return None
+        member_slots.append(slots)
+    labels_of: list[list[str]] = []
+    pairs: list[tuple[str, str]] = []
+    for j, slots in enumerate(member_slots):
+        labs = [f"{j}:{s}" for s in range(len(slots))]
+        labels_of.append(labs)
+        for lab, terms in zip(labs, slots):
+            for t in terms:
+                pairs.append((t, lab))
+    n_slots = sum(len(s) for s in member_slots)
+    if any(not terms for slots in member_slots for terms in slots):
+        return spark.createDataFrame([], _UNIT_ROW)
+    grouped = _grouped_slot_positions(spark, store, pairs, n_slots)
+    allowed = members[0].cols
+    n_near = group.n
+    ids = list(member_ids)
+    anchored = [mu.anchored for mu in members]
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rifflux_spark.operators.positions import (
+            filter_unit_starts,
+            phrase_instance_starts,
+        )
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_doc: list[int] = []
+            out_uid: list[int] = []
+            out_tf: list[int] = []
+            out_dl: list[int] = []
+            for doc, dl, parts in zip(pdf["doc_ord"], pdf["dl"], pdf["parts"]):
+                inst = []
+                ok = True
+                for j, labs in enumerate(labels_of):
+                    arrs = _slot_arrays_of(parts, labs)
+                    if arrs is None:
+                        ok = False
+                        break
+                    starts = phrase_instance_starts(arrs)
+                    if anchored[j] and starts.size:
+                        starts = starts[starts % POS_COL_STRIDE == 0]
+                    starts = filter_unit_starts(starts, False, allowed)
+                    m = len(labs)
+                    inst.append([(int(p), int(p) + m - 1) for p in starts])
+                if not ok:
+                    continue
+                counts = near_trim(inst, n_near)
+                if all(c > 0 for c in counts):
+                    for j, t in enumerate(counts):
+                        out_doc.append(doc)
+                        out_uid.append(ids[j])
+                        out_tf.append(t)
+                        out_dl.append(dl)
+            yield pd.DataFrame(
+                {
+                    "doc_ord": pd.Series(out_doc, dtype="int64"),
+                    "unit_id": pd.Series(out_uid, dtype="int32"),
+                    "tf": pd.Series(out_tf, dtype="int64"),
+                    "dl": pd.Series(out_dl, dtype="int64"),
+                }
+            )
+
+    return grouped.mapInPandas(verify, schema=_UNIT_ROW)
 
 
 def fts_topk(

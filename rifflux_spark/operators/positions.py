@@ -337,6 +337,25 @@ def phrase_instance_starts(pos_lists: list[np.ndarray]) -> np.ndarray:
     return cur
 
 
+COL_INDEX = {"content": 0, "heading_path": 1}
+
+
+def filter_unit_starts(
+    starts: np.ndarray, anchored: bool, cols: tuple[str, ...] | None
+) -> np.ndarray:
+    """Apply FTS5 unit modifiers to strided instance starts: ``^`` keeps
+    only column-initial instances (offset-within-column == 0); a column
+    filter keeps instances whose column (start // POS_COL_STRIDE) is
+    allowed — an instance lives entirely in one column by the stride
+    encoding."""
+    if anchored and starts.size:
+        starts = starts[starts % POS_COL_STRIDE == 0]
+    if cols is not None and starts.size:
+        allowed = np.array(sorted(COL_INDEX[c] for c in cols), dtype=np.int64)
+        starts = starts[np.isin(starts // POS_COL_STRIDE, allowed)]
+    return starts
+
+
 # ------------------------------------------------------------- query paths
 
 _POS_ROW = T.StructType(
