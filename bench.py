@@ -62,6 +62,8 @@ SPARK_GRAFT_SCALE_BUDGET_SEC (wall-clock budget for extra attempts,
 default 2400), SPARK_GRAFT_GATE_MEM (mem-probe efficiency floor,
 default 0.55), SPARK_GRAFT_GATE_TRIES (default 4),
 SPARK_GRAFT_STRESS_DOCS (default 200000; 0 skips the stress block),
+SPARK_GRAFT_STRESS_DOCS2 (second corpus point for stopword growth
+evidence, default 2× STRESS_DOCS; 0 skips),
 SPARK_GRAFT_STDERR_LOG (0 keeps stderr on the console).
 """
 
@@ -444,6 +446,20 @@ def run_stress(spark, n_docs: int, page_scale: int, cpus: int) -> dict:
     t0 = time.perf_counter()
     service.search(stopword_q, top_k=10, mode="lexical")
     stopword_sec = time.perf_counter() - t0
+    # BUDGETED stopword probe (config.lexical_budget_postings): the
+    # impact-ordered range closure decodes ~budget postings regardless
+    # of corpus size — the honest sublinear mode for stopword-class
+    # queries (exact mode stays linear, as FTS5's own full scan is);
+    # returned scores are exact, coverage is the documented trade
+    import dataclasses as _dc
+
+    bsvc = SearchService(
+        spark, index_dir, _dc.replace(CONFIG, lexical_budget_postings=500_000)
+    )
+    bsvc.lexical("and system query index", top_k=10, engine="spark")  # warm
+    t0 = time.perf_counter()
+    bsvc.search(stopword_q, top_k=10, mode="lexical")
+    stopword_budgeted_sec = time.perf_counter() - t0
     t0 = time.perf_counter()
     service.search(" ".join(rare_terms), top_k=10, mode="lexical")
     selective_sec = time.perf_counter() - t0
@@ -468,6 +484,7 @@ def run_stress(spark, n_docs: int, page_scale: int, cpus: int) -> dict:
         "docs_per_sec": round(n_docs / sec, 2),
         "chunks_per_sec": round(n_chunks / sec, 2),
         "stopword_query_sec": round(stopword_sec, 4),
+        "stopword_budgeted_sec": round(stopword_budgeted_sec, 4),
         "selective_query_sec": round(selective_sec, 4),
         "phrase_query_sec": round(phrase_sec, 4),
         "fts_query_sec": round(fts_sec, 4),
@@ -597,6 +614,20 @@ def main() -> None:
         spark = fresh_session(cpus)
         warmup(spark, cpus)
         stress = run_stress(spark, stress_docs, page_scale, cpus)
+        # second corpus point (2× docs): the corpus-growth evidence the
+        # round-4 verdict asked for — exact stopword time grows ~linearly
+        # (FTS5's own full-scan behavior), the BUDGETED mode stays ~flat
+        stress2_docs = int(os.environ.get("SPARK_GRAFT_STRESS_DOCS2", str(stress_docs * 2)))
+        if stress2_docs > 0:
+            s2 = run_stress(spark, stress2_docs, page_scale, cpus)
+            stress["scale2"] = {
+                k: s2[k]
+                for k in (
+                    "n_docs", "n_chunks", "docs_per_sec",
+                    "stopword_query_sec", "stopword_budgeted_sec",
+                    "selective_query_sec",
+                )
+            }
 
     # --- headline: sf-dir corpus build + query latency at full parallelism
     spark = fresh_session(cpus)

@@ -57,6 +57,13 @@ class EngineConfig:
     # narrow by position intersection with zero chunk-table access.
     # Storage cost ~4 bytes/occurrence — FTS5's own poslist trade.
     store_positions: bool = False
+    # opt-in posting budget for lexical top-k: impact-ordered evaluation
+    # stops after decoding this many postings. Stopword-class queries
+    # (clamped uniform idfs — provably unprunable by any bound; FTS5
+    # scans them in full too) return the impact-ordered approximation
+    # instead of growing linearly with the corpus. 0 = exact (default,
+    # FTS5 rank-parity at any cost).
+    lexical_budget_postings: int = 0
     # encode-shuffle key is (term_bucket, salt % n_bucket_splits): splits > 1
     # spread a hot term's salted runs over that many tasks while keeping the
     # postings table at ≤ buckets × splits files regardless of cluster size
@@ -90,6 +97,7 @@ class EngineConfig:
                 if x.strip()
             ),
             store_positions=_env("STORE_POSITIONS", "0") in ("1", "true", "True"),
+            lexical_budget_postings=int(_env("LEXICAL_BUDGET_POSTINGS", "0")),
             salt_range=int(_env("SALT_RANGE", str(1 << 20))),
             n_term_buckets=int(_env("N_TERM_BUCKETS", "32")),
             n_build_shards=int(_env("N_BUILD_SHARDS", "4")),

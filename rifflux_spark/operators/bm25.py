@@ -68,9 +68,18 @@ def idf_for_terms(store: IndexStore, terms: list[str], n_docs: int) -> dict[str,
     return out
 
 
-def _score_blocks(blocks: DataFrame, idf: dict[str, float], avgdl: float, k1: float, b: float) -> DataFrame:
+def _score_blocks(
+    blocks: DataFrame,
+    idf: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    ranges: list[tuple[int, int]] | None = None,
+) -> DataFrame:
     """Decode blocks → per-(doc, term) partial scores, pre-aggregated per
-    Arrow batch to shrink the shuffle."""
+    Arrow batch to shrink the shuffle. ``ranges`` (budgeted mode): keep
+    only docs inside the selected doc intervals, so every emitted doc
+    has ALL its postings decoded — scores stay exact."""
     idf_b = dict(idf)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -90,6 +99,11 @@ def _score_blocks(blocks: DataFrame, idf: dict[str, float], avgdl: float, k1: fl
             )
             idf_per = np.repeat(np.array([idf_b[t] for t in pdf["term"]]), ns)
             partials = bm25_wtf(tf, dl, avgdl, k1, b) * idf_per
+            if ranges is not None:
+                inside = wand.mask_docs_to_ranges(docs, ranges)
+                docs, partials = docs[inside], partials[inside]
+                if docs.size == 0:
+                    continue
             agg = pd.DataFrame({"doc_ord": docs, "partial": partials}).groupby(
                 "doc_ord", as_index=False
             )["partial"].sum()
@@ -137,10 +151,15 @@ def bm25_topk(
 
     blocks = store.postings_for_terms(terms)
 
-    if prune:
-        blocks = _prune_blocks(blocks, idf, top_k, avgdl, config, min_blocks_to_prune, store=store)
+    ranges = None
+    if prune or int(getattr(config, "lexical_budget_postings", 0) or 0) > 0:
+        blocks, ranges = _prune_blocks(
+            blocks, idf, top_k, avgdl, config, min_blocks_to_prune, store=store
+        )
 
-    scored = _score_blocks(blocks, idf, avgdl, config.bm25_k1, config.bm25_b)
+    scored = _score_blocks(
+        blocks, idf, avgdl, config.bm25_k1, config.bm25_b, ranges=ranges
+    )
     agg = scored.groupBy("doc_ord").agg(F.sum("partial").alias("score"))
     # incremental deletes: drop tombstoned docs (set is small between
     # compactions — broadcast anti-join; compaction clears it)
@@ -148,6 +167,21 @@ def bm25_topk(
         agg = agg.join(F.broadcast(store.tombstones()), on="doc_ord", how="left_anti")
     topk = agg.orderBy(F.desc("score"), F.asc("doc_ord")).limit(top_k)
     return topk.select("doc_ord", (-F.col("score")).alias("bm25_score"))
+
+
+def _key_col():
+    return F.concat_ws(
+        "\x00", "term", F.col("salt").cast("string"), F.col("block_seq").cast("string")
+    )
+
+
+def _keys_of(meta, idxs) -> list[str]:
+    return [
+        "\x00".join(
+            (meta[i]["term"], str(int(meta[i]["salt"])), str(int(meta[i]["block_seq"])))
+        )
+        for i in idxs
+    ]
 
 
 def _prune_blocks(
@@ -158,52 +192,69 @@ def _prune_blocks(
     config: EngineConfig,
     min_blocks_to_prune: int = 64,
     store: IndexStore | None = None,
-) -> DataFrame:
-    """Drop blocks that provably cannot host any top-k doc.
+) -> tuple[DataFrame, list[tuple[int, int]] | None]:
+    """Drop blocks that provably cannot host any top-k doc; optionally
+    apply the posting budget. Returns (blocks, ranges) — ranges non-None
+    only in budgeted mode (the scorer masks docs to them).
 
-    Driver-side on block *metadata* only (one row per block for the query's
-    terms). Falls back to no-op when there are fewer blocks than the seed
-    pass would cost to justify, and also when there are MORE than
-    ``max_blocks_to_prune``: a six-figure block count means stopword-class
-    terms whose clamped idfs make every bound uniform — WAND cannot prune,
-    and collecting that much metadata to the driver plus the extra seed
-    job costs more than the decode it would save.
+    Driver-side on block *metadata* only (one row per block for the
+    query's terms), with the same range-aligned bound math as the
+    coordinator path (operators/wand.py):
+
+    - bounds near-uniform (stopword-class, clamped idfs) → no-op: no θ
+      can beat a flat bound, the seed job would be pure overhead —
+      UNLESS ``config.lexical_budget_postings`` caps the scan, in which
+      case the impact-ordered range closure picks what to decode and
+      every returned doc still carries its exact full score.
+    - otherwise: seed the highest-aligned-bound blocks, θ = k-th best
+      live seed score, keep blocks whose bound ≥ θ (exactness proof in
+      the module docstring).
     """
-    max_blocks_to_prune = 20_000
-    # one job for both guards AND the metadata: collect at most cap+1 rows
-    # — hitting the cap means stopword-class terms (no-op), and a short
-    # result gives the block count for the min guard for free
+    budget = int(getattr(config, "lexical_budget_postings", 0) or 0)
+    # metadata rows are ~60 B; the cap only bounds pathological
+    # many-term queries. Budgeted mode needs the full picture.
+    max_blocks_to_prune = 200_000
     meta = (
-        blocks.select("term", "salt", "block_seq", "n_docs", "block_max_tf", "block_min_dl")
+        blocks.select(
+            "term", "salt", "block_seq", "n_docs", "first_doc", "last_doc",
+            "block_max_tf", "block_min_dl",
+        )
         .limit(max_blocks_to_prune + 1)
         .collect()
     )
     n_blocks = len(meta)
     if n_blocks < min_blocks_to_prune or n_blocks > max_blocks_to_prune:
-        return blocks
-    # shared WAND math (operators/wand.py) — identical bound/seed/keep
-    # logic as the coordinator path (local_exec), by construction
-    terms_arr = [r["term"] for r in meta]
-    keys = [(r["term"], int(r["salt"]), int(r["block_seq"])) for r in meta]
+        return blocks, None
+    terms_arr = np.array([r["term"] for r in meta])
+    ns = np.array([int(r["n_docs"]) for r in meta], dtype=np.int64)
+    firsts = np.array([int(r["first_doc"]) for r in meta], dtype=np.int64)
+    lasts = np.array([int(r["last_doc"]) for r in meta], dtype=np.int64)
     ub = wand.block_upper_bounds(
-        terms_arr,
+        list(terms_arr),
         [r["block_max_tf"] for r in meta],
         [r["block_min_dl"] for r in meta],
         idf, avgdl, config.bm25_k1, config.bm25_b,
     )
-    seed, total_other = wand.seed_blocks_and_slack(
-        terms_arr, ub, [int(r["n_docs"]) for r in meta], top_k
-    )
-    # if the seed set is everything, skip the extra pass
-    if len(seed) >= n_blocks:
-        return blocks
-    seed_keys = {keys[i] for i in seed}
+    bound = wand.aligned_bounds(terms_arr, firsts, lasts, ub)
+    total_postings = int(ns.sum())
 
-    seed_blocks = blocks.filter(
-        F.concat_ws("\x00", "term", F.col("salt").cast("string"), F.col("block_seq").cast("string")).isin(
-            ["\x00".join((t, str(s), str(q))) for t, s, q in seed_keys]
+    if budget and total_postings > budget:
+        salts = np.array([int(r["salt"]) for r in meta], dtype=np.int64)
+        seqs = np.array([int(r["block_seq"]) for r in meta], dtype=np.int64)
+        order = wand.selection_order(terms_arr, salts, seqs, bound)
+        mask, ranges = wand.budget_ranges(
+            terms_arr, firsts, lasts, ns, bound, budget, order=order
         )
-    )
+        keep_keys = _keys_of(meta, np.flatnonzero(mask))
+        return blocks.filter(_key_col().isin(keep_keys)), ranges
+
+    if wand.is_uniform(bound):
+        return blocks, None
+
+    seed = wand.seed_by_bound(bound, ns, top_k)
+    if seed.size >= n_blocks:
+        return blocks, None
+    seed_blocks = blocks.filter(_key_col().isin(_keys_of(meta, seed)))
     seed_agg = (
         _score_blocks(seed_blocks, idf, avgdl, config.bm25_k1, config.bm25_b)
         .groupBy("doc_ord")
@@ -215,16 +266,18 @@ def _prune_blocks(
         seed_agg = seed_agg.join(F.broadcast(store.tombstones()), on="doc_ord", how="left_anti")
     seed_scores = seed_agg.orderBy(F.desc("score")).limit(top_k).collect()
     if len(seed_scores) < top_k:
-        return blocks  # not enough docs to justify pruning
-    theta = float(seed_scores[-1]["score"])
+        return blocks, None  # not enough docs to justify pruning
+    # one-ulp safety margin: θ from partial sums can exceed the exact
+    # value by rounding; shave it so a boundary tie is never pruned
+    theta = float(np.nextafter(seed_scores[-1]["score"], -np.inf))
 
-    keep_keys = [
-        "\x00".join((keys[i][0], str(keys[i][1]), str(keys[i][2])))
-        for i in wand.keep_indices(terms_arr, ub, seed, total_other, theta)
-    ]
-    return blocks.filter(
-        F.concat_ws("\x00", "term", F.col("salt").cast("string"), F.col("block_seq").cast("string")).isin(keep_keys)
-    )
+    keep = np.flatnonzero(bound >= theta)
+    keep_set = set(int(i) for i in keep) | set(int(i) for i in seed)
+    # a barely-selective keep set costs more (huge In-filter, second
+    # decode of nearly everything) than it saves — scan instead
+    if len(keep_set) >= 0.7 * n_blocks:
+        return blocks, None
+    return blocks.filter(_key_col().isin(_keys_of(meta, sorted(keep_set)))), None
 
 
 def rehydrate(topk: DataFrame, store: IndexStore) -> DataFrame:

@@ -68,26 +68,46 @@ def encode_varbyte(values: np.ndarray) -> bytes:
 
 
 def decode_varbyte(data: bytes, n: int | None = None) -> np.ndarray:
-    """Decode LEB128 bytes back to uint64 (vectorized)."""
+    """Decode LEB128 bytes back to uint64 (vectorized).
+
+    Hot-path shapes get O(1)-dispatch fast lanes: posting payloads are
+    overwhelmingly uniform-width (stopword gaps and tfs are 1 byte,
+    dls 2 bytes), where the general scatter machinery (value-index
+    cumsum + bitwise_or.at) costs ~5× the arithmetic. The uniform lanes
+    are pure slicing + one shift-or; mixed streams fall through to the
+    general path. Identical outputs by construction (fuzz-pinned)."""
     if not data:
         return np.empty(0, dtype=np.uint64)
     raw = np.frombuffer(data, dtype=np.uint8)
-    is_last = (raw & 0x80) == 0
-    # value index for each byte: cumsum of previous terminators
-    val_idx = np.zeros(raw.shape, dtype=np.int64)
-    val_idx[1:] = np.cumsum(is_last[:-1])
-    n_vals = int(is_last.sum())
-    # byte position within its value
-    starts = np.flatnonzero(np.concatenate(([True], is_last[:-1])))
-    byte_pos = np.arange(raw.shape[0], dtype=np.int64) - starts[val_idx]
-    out = np.zeros(n_vals, dtype=np.uint64)
-    np.bitwise_or.at(
-        out,
-        val_idx,
-        (raw & 0x7F).astype(np.uint64) << (byte_pos.astype(np.uint64) * np.uint64(7)),
-    )
+    is_cont = raw >= 0x80  # continuation bit set
+    n_vals = int(raw.size - int(is_cont.sum()))
     if n is not None and n_vals != n:
         raise ValueError(f"decoded {n_vals} values, expected {n}")
+    # fast lane: every value single-byte
+    if n_vals == raw.size:
+        return raw.astype(np.uint64)
+    # fast lane: every value exactly two bytes (low7 | high7<<7)
+    if 2 * n_vals == raw.size:
+        ev, od = is_cont[0::2], is_cont[1::2]
+        if ev.all() and not od.any():
+            out = (raw[0::2] & np.uint8(0x7F)).astype(np.uint64)
+            out |= raw[1::2].astype(np.uint64) << np.uint64(7)
+            return out
+    # general lane: one gather pass per byte of significance (maxlen is
+    # tiny — ≤3 for doc gaps, ≤10 ever), no scatter, no per-byte index
+    # arrays. ~10× the old bitwise_or.at formulation on mixed streams.
+    is_last = ~is_cont
+    ends = np.flatnonzero(is_last)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    len_k = ends - starts + 1
+    maxlen = int(len_k.max())
+    low7 = raw & np.uint8(0x7F)
+    out = np.zeros(n_vals, dtype=np.uint64)
+    for j in range(maxlen):
+        mask = len_k > j
+        out[mask] |= low7[starts[mask] + j].astype(np.uint64) << np.uint64(7 * j)
     return out
 
 
@@ -150,9 +170,12 @@ def decode_blocks_batch(
         z = np.empty(0, dtype=np.int64)
         return z, z.copy(), z.copy()
     total = int(n.sum())
-    gaps = decode_varbyte(b"".join(gaps_list), total).astype(np.int64)
-    tfs = decode_varbyte(b"".join(tfs_list), total).astype(np.int64)
-    dls = decode_varbyte(b"".join(dls_list), total).astype(np.int64)
+    # view, not astype: decoded values are far below 2^63, so the
+    # uint64→int64 reinterpret is exact and copy-free (the decode of a
+    # stopword query is these three arrays' allocation cost)
+    gaps = decode_varbyte(b"".join(gaps_list), total).view(np.int64)
+    tfs = decode_varbyte(b"".join(tfs_list), total).view(np.int64)
+    dls = decode_varbyte(b"".join(dls_list), total).view(np.int64)
     ends = np.cumsum(n)
     g = np.cumsum(gaps)
     # per-segment base = running cumsum at the END of the previous segment

@@ -122,17 +122,42 @@ def local_dead_ords(store: IndexStore) -> np.ndarray:
     return np.unique(np.concatenate([_ord_set(store, "tombstones"), _ord_set(store, "purged")]))
 
 
-def _decode_score(rows: list[tuple], idf: dict[str, float], avgdl: float, k1: float, b: float):
-    """Decode + BM25-score block rows → (doc_ord array, partial array).
+def _cat_binary(col) -> bytes:
+    """Concatenate a pyarrow binary column's values WITHOUT materializing
+    per-row Python bytes objects: consecutive values share one contiguous
+    data buffer, so the join is a single buffer slice per chunk. (The old
+    ``b"".join(to_pylist())`` cost more than the varbyte decode itself on
+    a 30k-block stopword read.)"""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    parts = []
+    for ch in chunks:
+        n = len(ch)
+        if n == 0:
+            continue
+        offs = np.frombuffer(ch.buffers()[1], dtype=np.int32)
+        o0, o1 = int(offs[ch.offset]), int(offs[ch.offset + n])
+        parts.append(memoryview(ch.buffers()[2])[o0:o1])
+    return b"".join(parts)
 
-    One vectorized pass over ALL blocks (codec.decode_blocks_batch); the
-    per-posting idf factor is an np.repeat of each block's term idf."""
-    if not rows:
+
+def _decode_score_arrow(t, idf: dict[str, float], avgdl: float, k1: float, b: float):
+    """Decode + BM25-score an Arrow block table → (doc_ord, partial).
+
+    One vectorized pass over ALL blocks; payload bytes flow straight from
+    the Arrow buffers into the varbyte decoder."""
+    if t is None or t.num_rows == 0:
         return np.empty(0, dtype=np.int64), np.empty(0)
-    terms, ns, firsts, gaps_l, tfs_l, dls_l = zip(*rows)
-    docs, tf, dl = decode_blocks_batch(gaps_l, tfs_l, dls_l, ns, firsts)
+    ns = t.column("n_docs").to_numpy().astype(np.int64)
+    firsts = t.column("first_doc").to_numpy().astype(np.int64)
+    docs, tf, dl = decode_blocks_batch(
+        [_cat_binary(t.column("gaps"))],
+        [_cat_binary(t.column("tfs"))],
+        [_cat_binary(t.column("dls"))],
+        ns,
+        firsts,
+    )
     idf_per = np.repeat(
-        np.array([idf[t] for t in terms]), np.asarray(ns, dtype=np.int64)
+        np.array([idf[x] for x in t.column("term").to_pylist()]), ns
     )
     return docs, bm25_wtf(tf, dl, avgdl, k1, b) * idf_per
 
@@ -157,11 +182,25 @@ def bm25_topk_local(
     """Driver-side BM25 top-k: [(doc_ord, negated_score)], best first.
 
     Exactly the semantics of operators/bm25.bm25_topk (same codec, same
-    constants, same (score desc, doc_ord asc) tie-break, same negation),
-    including block-max WAND pruning: blocks whose upper bound plus the
-    other terms' best-block bounds cannot reach the seed top-k threshold
-    are never decoded — correctness-invariant on/off (tested).
-    """
+    constants, same (score desc, doc_ord asc) tie-break, same negation).
+    Pruning is IMPACT-ORDERED EARLY TERMINATION (the block-max WAND
+    bound math from operators/wand.py, reorganized as a scan): blocks
+    are decoded in descending ``UB(B_t) + Σ_{t'≠t} max UB(B_t')`` order
+    in geometric waves; after each wave θ = the k-th best accumulated
+    LIVE score, and the scan STOPS once the next block's bound is below
+    θ. Exactness proof is the WAND keep test's: every undecoded block's
+    bound < θ means no doc it holds can reach the top-k, and a doc with
+    one undecoded block has true score < θ, so its partial sum cannot
+    displace a fully-scored member (all of whose blocks have bound ≥
+    their true score ≥ θ and are therefore decoded). Correctness-
+    invariant on/off (tested).
+
+    ``config.lexical_budget_postings > 0`` additionally caps the decoded
+    posting count: stopword-class queries (clamped uniform idfs — no
+    bound can prune them, the FTS5 engine scans them in full too) stop
+    at the budget and return the impact-ordered approximation — an
+    explicit opt-in accuracy/latency trade; 0 (default) keeps the exact
+    FTS5-parity behavior at any cost."""
     config = config or EngineConfig()
     terms = compile_query(query)
     if not terms:
@@ -181,64 +220,126 @@ def bm25_topk_local(
     files = _bucket_files(store, "postings", buckets)
     t = _read_filtered(
         files,
-        ["term", "n_docs", "first_doc", "gaps", "tfs", "dls", "block_max_tf", "block_min_dl"],
+        ["term", "salt", "block_seq", "n_docs", "first_doc", "last_doc",
+         "gaps", "tfs", "dls", "block_max_tf", "block_min_dl"],
         qterms,
     )
     if t is None:
         return []
     tombs = local_tombstones(store)
+    k1, b = config.bm25_k1, config.bm25_b
+    n_blocks = t.num_rows
+    budget = int(getattr(config, "lexical_budget_postings", 0) or 0)
+    ns = t.column("n_docs").to_numpy().astype(np.int64)
+    total_postings = int(ns.sum())
+    over_budget = budget > 0 and total_postings > budget
 
-    rows = list(
-        zip(
-            t.column("term").to_pylist(),
-            t.column("n_docs").to_pylist(),
-            t.column("first_doc").to_pylist(),
-            t.column("gaps").to_pylist(),
-            t.column("tfs").to_pylist(),
-            t.column("dls").to_pylist(),
-        )
+    if (not prune and not over_budget) or n_blocks < min_blocks_to_prune:
+        docs, partials = _decode_score_arrow(t, idf, avgdl, k1, b)
+        return _finish_topk(docs, partials, tombs, top_k)
+
+    # range-aligned disjunctive bounds (operators/wand.py): each block
+    # charged the other terms' best OVERLAPPING block, not their global
+    # best — tighter, same exactness proof
+    terms_arr = np.array(t.column("term").to_pylist())
+    firsts = t.column("first_doc").to_numpy().astype(np.int64)
+    lasts = t.column("last_doc").to_numpy().astype(np.int64)
+    ub = wand.block_upper_bounds(
+        list(terms_arr),
+        t.column("block_max_tf").to_pylist(),
+        t.column("block_min_dl").to_pylist(),
+        idf, avgdl, k1, b,
     )
+    bound = wand.aligned_bounds(terms_arr, firsts, lasts, ub)
 
-    if prune and len(rows) >= min_blocks_to_prune:
-        # block-max WAND via the shared bound/seed/keep math
-        # (operators/wand.py) — identical to operators/bm25._prune_blocks
-        terms_arr = t.column("term").to_pylist()
-        ub = wand.block_upper_bounds(
+    if over_budget:
+        # budgeted mode: impact-ordered RANGE CLOSURE — every returned
+        # doc has ALL its postings decoded (exact scores); the trade is
+        # coverage of the corpus, never the correctness of shown scores.
+        # Selection order is row-order-independent (ties broken on
+        # (term, salt, seq)) so this matches the distributed path.
+        order = wand.selection_order(
             terms_arr,
-            t.column("block_max_tf").to_pylist(),
-            t.column("block_min_dl").to_pylist(),
-            idf, avgdl, config.bm25_k1, config.bm25_b,
+            t.column("salt").to_numpy().astype(np.int64),
+            t.column("block_seq").to_numpy().astype(np.int64),
+            bound,
         )
-        seed, total_other = wand.seed_blocks_and_slack(
-            terms_arr, ub, [r[1] for r in rows], top_k
+        mask, ranges = wand.budget_ranges(
+            terms_arr, firsts, lasts, ns, bound, budget, order=order
         )
-        if len(seed) < len(rows):
-            docs_s, part_s = _decode_score([rows[i] for i in seed], idf, avgdl, config.bm25_k1, config.bm25_b)
-            uniq_s, sums_s = _agg_topk(docs_s, part_s)
-            if tombs.size:
-                # θ must lower-bound the k-th best LIVE score — a
-                # tombstoned doc in the seed would inflate it and
-                # over-prune blocks holding live survivors
-                live = ~np.isin(uniq_s, tombs)
-                uniq_s, sums_s = uniq_s[live], sums_s[live]
-            if uniq_s.size >= top_k:
-                theta = float(np.sort(sums_s)[-top_k])
-                rows = [
-                    rows[i]
-                    for i in wand.keep_indices(terms_arr, ub, seed, total_other, theta)
-                ]
+        sl = t.take(pa.array(np.flatnonzero(mask)))
+        docs, partials = _decode_score_arrow(sl, idf, avgdl, k1, b)
+        inside = wand.mask_docs_to_ranges(docs, ranges)
+        return _finish_topk(docs[inside], partials[inside], tombs, top_k)
 
-    docs, partials = _decode_score(rows, idf, avgdl, config.bm25_k1, config.bm25_b)
+    # uniformity bail: stopword-class queries (clamped idfs) have near-
+    # flat bounds no θ can beat — skip the wave machinery and decode
+    # once (exactly what the no-prune path does; FTS5 scans these too)
+    if wand.is_uniform(bound):
+        docs, partials = _decode_score_arrow(t, idf, avgdl, k1, b)
+        return _finish_topk(docs, partials, tombs, top_k)
+
+    # impact-ordered early termination: decode in descending bound
+    # order in geometric waves; stop once the next bound is provably
+    # below the k-th best accumulated LIVE score (strict <: an equal
+    # bound could still tie in and win on doc_ord)
+    order = np.argsort(-bound, kind="stable")  # deterministic tie order
+    acc_docs: list[np.ndarray] = []
+    acc_parts: list[np.ndarray] = []
+    acc_blk: list[np.ndarray] = []  # block index per posting, for re-ordering
+    done = 0
+    wave = max(top_k * 64, 4096)  # postings per wave, grows geometrically
+    while done < n_blocks:
+        end = done
+        wave_postings = 0
+        while end < n_blocks and wave_postings < wave:
+            wave_postings += int(ns[order[end]])
+            end += 1
+        idx = np.sort(order[done:end])
+        sl = t.take(pa.array(idx))
+        d, p = _decode_score_arrow(sl, idf, avgdl, k1, b)
+        acc_docs.append(d)
+        acc_parts.append(p)
+        acc_blk.append(np.repeat(idx, ns[idx]))
+        done = end
+        if done >= n_blocks:
+            break
+        uniq, sums = _agg_topk(np.concatenate(acc_docs), np.concatenate(acc_parts))
+        if tombs.size:
+            live = ~np.isin(uniq, tombs)
+            uniq, sums = uniq[live], sums[live]
+        if uniq.size >= top_k:
+            # one-ulp safety margin: θ from partial sums can exceed the
+            # exact value by rounding; shave it so a boundary tie is
+            # never pruned
+            theta = np.nextafter(np.sort(sums)[-top_k], -np.inf)
+            if bound[order[done]] < theta:
+                break  # exact early termination (WAND keep-test proof)
+        wave *= 4
+
+    if not acc_docs:
+        return []
+    docs = np.concatenate(acc_docs)
+    parts = np.concatenate(acc_parts)
+    # restore the original (term-sorted) posting order so per-doc float
+    # summation order — hence every last ulp of every score — is
+    # IDENTICAL to the no-prune full decode (rank ties must not flip
+    # between paths)
+    perm = np.argsort(np.concatenate(acc_blk), kind="stable")
+    return _finish_topk(docs[perm], parts[perm], tombs, top_k)
+
+
+def _finish_topk(
+    docs: np.ndarray, partials: np.ndarray, tombs: np.ndarray, top_k: int
+) -> list[tuple[int, float]]:
     if docs.size == 0:
         return []
     uniq, sums = _agg_topk(docs, partials)
-
     if tombs.size:
         keep = ~np.isin(uniq, tombs)
         uniq, sums = uniq[keep], sums[keep]
     if uniq.size == 0:
         return []
-
     # top-k by (score desc, doc_ord asc): lexsort on (-score, doc)
     order = np.lexsort((uniq, -sums))[:top_k]
     return [(int(uniq[i]), float(-sums[i])) for i in order]
