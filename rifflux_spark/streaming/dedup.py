@@ -133,3 +133,84 @@ def run_changed_pages(
     )
     query.awaitTermination()
     return emitted
+
+
+def _committed_batches(store) -> set[int]:
+    """Batch ids already committed to the ``changed_pages`` table —
+    driver-side column-pruned read of a tiny int column. The manifest
+    commit is atomic (generation dir + pointer swap), so a batch id is
+    visible iff ALL of that batch's rows are."""
+    import pyarrow.parquet as pq
+
+    if not store.exists("changed_pages"):
+        return set()
+    out: set[int] = set()
+    for f in store.data_files("changed_pages"):
+        out.update(
+            int(v) for v in pq.read_table(f, columns=["batch_id"]).column("batch_id").to_pylist()
+        )
+    return out
+
+
+def commit_changed_batch(store, batch_df, batch_id: int) -> bool:
+    """Idempotent per-batch committer: append the batch (tagged with its
+    id) as one atomic manifest generation; a replayed id is a no-op.
+    Returns True when the batch was written, False when skipped."""
+    from pyspark.sql import functions as F2
+
+    if batch_id in _committed_batches(store):
+        return False  # replay after restart — already committed atomically
+    store.write_small(
+        batch_df.withColumn("batch_id", F2.lit(batch_id)),
+        "changed_pages",
+        mode="append",
+    )
+    return True
+
+
+def run_changed_pages_to_store(
+    spark,
+    pages_dir: str,
+    checkpoint_dir: str,
+    store_dir: str,
+    schema: str = "url string, warc_ts timestamp, html binary, text string, lang string",
+    max_files_per_trigger: int = 64,
+) -> dict:
+    """PRODUCTION sink for the stateful changed-pages filter: each
+    micro-batch appends straight into the snapshot-manifest store
+    (table ``changed_pages``) — nothing is ever materialized on the
+    driver. Exactly-once across restarts and foreachBatch replays:
+    every batch is written WITH its ``batch_id``; a replayed batch id
+    (Structured Streaming re-runs the last in-flight batch after a
+    crash) is detected against the committed table and skipped, and the
+    manifest commit is atomic, so a batch is either fully visible or
+    absent — never half-written. This is the shape a real deployment
+    runs (reference analog: the watcher→reindex loop, watcher.py:35-243);
+    :func:`run_changed_pages` remains the test/demo harness.
+
+    Returns {"rows": total committed rows, "batches": committed ids}.
+    """
+    from pyspark.sql import functions as F2
+
+    from rifflux_spark.sources.tables import IndexStore
+
+    store = IndexStore(spark, store_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_dir)
+    )
+
+    def handle(batch_df, batch_id: int) -> None:
+        commit_changed_batch(store, batch_df, int(batch_id))
+
+    query = (
+        changed_pages(stream)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    n = store.count_rows("changed_pages") if store.exists("changed_pages") else 0
+    return {"rows": int(n), "batches": sorted(_committed_batches(store))}

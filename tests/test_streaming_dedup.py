@@ -59,3 +59,55 @@ def test_changed_pages_reverting_content_reemits(spark, dirs) -> None:
     _write(spark, pages, [("a", "v1")])
     got = run_changed_pages(spark, pages, ckpt)
     assert [(r["url"], r["text"], r["n_seen"]) for r in got] == [("a", "v1", 3)]
+
+
+def test_store_sink_two_activations_exactly_once(spark, dirs) -> None:
+    """Production sink (run_changed_pages_to_store): two activations
+    drain into the manifest store with NO driver materialization;
+    exactly-once rows across activations, and a replayed batch id is
+    skipped (idempotent append)."""
+    from rifflux_spark.sources.tables import IndexStore
+    from rifflux_spark.streaming.dedup import (
+        _committed_batches,
+        run_changed_pages_to_store,
+    )
+
+    pages, ckpt = dirs
+    store_dir = tempfile.mkdtemp(prefix="rifflux_sd_store_")
+    try:
+        _write(spark, pages, [("a", "v1"), ("b", "x"), ("a", "v1")])
+        r1 = run_changed_pages_to_store(spark, pages, ckpt, store_dir)
+        assert r1["rows"] == 2  # a(v1), b(x) — duplicate a suppressed
+
+        _write(spark, pages, [("a", "v1"), ("b", "y"), ("c", "z")])
+        r2 = run_changed_pages_to_store(spark, pages, ckpt, store_dir)
+        assert r2["rows"] == 4  # + b(y), c(z); unchanged a suppressed
+
+        store = IndexStore(spark, store_dir)
+        rows = {
+            (r["url"], r["text"], r["n_seen"])
+            for r in spark.read.parquet(
+                *[str(f) for f in store.data_files("changed_pages")]
+            ).collect()
+        }
+        assert rows == {
+            ("a", "v1", 1), ("b", "x", 1), ("b", "y", 2), ("c", "z", 1)
+        }
+
+        # replay idempotence: re-committing an already-committed batch id
+        # must be a no-op (foreachBatch re-runs the last batch on crash)
+        from rifflux_spark.streaming.dedup import commit_changed_batch
+
+        committed = _committed_batches(store)
+        assert committed
+        replay = spark.createDataFrame(
+            [("a", "v1", "deadbeef", 1)],
+            "url string, text string, content_sha string, n_seen long",
+        )
+        assert commit_changed_batch(store, replay, max(committed)) is False
+        assert store.count_rows("changed_pages") == 4
+        # a genuinely new batch id still commits
+        assert commit_changed_batch(store, replay, max(committed) + 100) is True
+        assert store.count_rows("changed_pages") == 5
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
