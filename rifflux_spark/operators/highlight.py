@@ -72,30 +72,37 @@ def snippet_column(
     ellipsis: str,
     n_tokens: int,
 ) -> str:
-    """FTS5-style ``snippet()`` for one column: pick the best
-    ``n_tokens`` window and highlight it (marking inside the window is
-    exact highlight() parity).
+    """FTS5 ``snippet()`` for one column: pick the best ``n_tokens``
+    window and highlight it (marking inside the window is exact
+    highlight() parity).
 
-    Window SELECTION is a quantified approximation of FTS5's: the rule
-    below was fitted against SQLite on randomized corpora and
-    reproduces FTS5's exact window in ≥90% of cases (pinned in
-    tests/test_highlight_identity.py; FTS5's residual behavior around
-    its sentence finder resists black-box reconstruction):
+    Window SELECTION is a from-scratch reimplementation of the
+    algorithm in SQLite's public fts5_aux.c (fts5SnippetFunction /
+    fts5SnippetScore / Fts5SFinder), replacing round-4's black-box
+    fitted rule:
 
-    - candidate windows per active instance at position ``io``: one
-      anchored at ``io``, plus — when the enclosing sentence start
-      ``jj`` (largest start ≤ io, token 0 counts) still covers io
-      (``jj + n_tokens > io``) — one anchored at ``jj`` with a +20
-      sentence bonus;
-    - window score = 1000 per distinct unit present + 1 per extra
-      instance; strictly-greater wins (ties keep the earliest);
-    - an instance-anchored winner is re-centered to ``iFirst -
-      (n_tokens - (iLast - iFirst)) // 2`` (iLast = exclusive end of
-      the last instance in the scored window), clamped to
-      ``[0, n_col - n_tokens]``; a sentence-anchored winner displays
-      from the sentence start;
+    - sentence starts = token 0, plus every token whose nearest
+      preceding non-whitespace character is ``.`` or ``:``
+      (fts5SentenceFinderCb);
+    - instances are scanned in position order (xInst order); for each
+      instance at ``io`` two candidates are scored with a fresh
+      per-phrase ``aSeen``: the window anchored at ``io``, and — when
+      the column is longer than the window and the enclosing sentence
+      start ``jj`` (largest start, found by FTS5's scan loop) is
+      STRICTLY before ``io`` — the window anchored at ``jj`` with a
+      +120 bonus when ``jj == 0`` else +100;
+    - window score = 1000 per distinct phrase present + 1 per extra
+      instance (start offset inside the window; fts5SnippetScore);
+      strictly-greater wins, so ties keep the earliest candidate;
+    - an instance-anchored winner re-centers to ``iFirst - (nToken -
+      (iLast - iFirst)) / 2`` with C truncating division (iFirst =
+      first in-window instance start in scan order, iLast = exclusive
+      end of the LAST in-window instance in scan order), clamped high
+      then low; a sentence-anchored winner displays from the sentence
+      start unadjusted;
     - a column with at most ``n_tokens`` tokens renders whole, no
-      ellipsis; otherwise truncated sides get the ellipsis string.
+      ellipsis; otherwise a truncated side gets the ellipsis string
+      (trailing one iff ``start + n_tokens < column token count``).
     """
     toks = {c: tokenize_with_offsets(texts[c] or "") for c in COLUMNS}
     col_tokens = {c: [t for t, _s, _e in toks[c]] for c in COLUMNS}
@@ -112,11 +119,14 @@ def snippet_column(
     n_col = len(offs)
 
     def render(start: int, end: int, lead_ell: bool, trail_ell: bool) -> str:
+        # instances STRADDLING a window edge are marked up to the edge
+        # (fts5HighlightCb opens at iRangeStart for an instance already
+        # in flight and closes at iRangeEnd for one still open)
         spans = [
-            (s, e)
+            (max(s, start), min(e, end - 1))
             for lst in spans_by_unit
             for (s, e) in lst
-            if s >= start and e < end
+            if s < end and e >= start
         ]
         spans = sorted(set(spans))
         merged: list[list[int]] = []
@@ -126,14 +136,18 @@ def snippet_column(
             else:
                 merged.append([s, e])
         pieces: list[str] = [ellipsis] if lead_ell else []
-        pos = offs[start][1] if n_col else 0
+        # a window touching a TEXT edge renders through it: FTS5 copies
+        # from char 0 when iRangeStart==0 and to the end of the column
+        # text once the range covers the last token (trailing
+        # punctuation included — no ellipsis on that side)
+        pos = (offs[start][1] if start > 0 else 0) if n_col else 0
         for s_tok, e_tok in merged:
             pieces.append(text[pos : offs[s_tok][1]])
             pieces.append(open_mark)
             pieces.append(text[offs[s_tok][1] : offs[e_tok][2]])
             pieces.append(close_mark)
             pos = offs[e_tok][2]
-        tail_char = offs[end - 1][2] if n_col else 0
+        tail_char = (offs[end - 1][2] if end < n_col else len(text)) if n_col else 0
         pieces.append(text[pos:tail_char])
         if trail_ell:
             pieces.append(ellipsis)
@@ -144,51 +158,75 @@ def snippet_column(
     if not all_spans:
         return render(0, n_tokens, False, True)
 
-    # sentence starts: token 0 plus any token following .!? in the
-    # ORIGINAL text (FTS5's sentence finder drives its window choice)
+    # Fts5SFinder: token 0, plus every token whose nearest preceding
+    # non-whitespace character in the original text is '.' or ':'
     sent_starts = [0]
-    for ti in range(n_col - 1):
-        prev_end = offs[ti][2]
-        nxt_start = offs[ti + 1][1]
-        between = text[prev_end:nxt_start]
-        if any(ch in between for ch in ".!?"):
-            sent_starts.append(ti + 1)
+    for ti in range(1, n_col):
+        tok_start = offs[ti][1]
+        c = ""
+        for j in range(tok_start - 1, -1, -1):
+            c = text[j]
+            if not c.isspace():
+                break
+        if c in (".", ":"):
+            sent_starts.append(ti)
 
-    def window_score(lo: int) -> tuple[int, int, int]:
+    # xInst order: instances sorted by position (FTS5 surfaces them in
+    # occurrence order); each carries its phrase (unit) index for aSeen
+    xinst = sorted(
+        (s, e, ui)
+        for ui, lst in enumerate(spans_by_unit)
+        for (s, e) in lst
+    )
+
+    def snippet_score(ipos: int) -> tuple[int, int, int]:
+        """fts5SnippetScore: (score, iFirst, iLast) for the window
+        [ipos, ipos + n_tokens). iFirst/iLast follow scan order."""
         score = 0
         i_first = -1
         i_last = 0
-        for u_spans in spans_by_unit:
-            seen = False
-            for s, e in u_spans:
-                if lo <= s < lo + n_tokens:
-                    score += 1 if seen else 1000
-                    seen = True
-                    if i_first < 0 or s < i_first:
-                        i_first = s
-                    i_last = max(i_last, e + 1)  # exclusive end
+        seen: set[int] = set()
+        for s, e, ui in xinst:
+            if ipos <= s < ipos + n_tokens:
+                score += 1 if ui in seen else 1000
+                seen.add(ui)
+                if i_first < 0:
+                    i_first = s
+                i_last = e + 1  # iOff + phrase size
         return score, i_first, i_last
 
-    best_score = -1
+    def cdiv2(x: int) -> int:
+        return -((-x) // 2) if x < 0 else x // 2
+
+    best_score = 0
     start = 0
-    for io, _ie in all_spans:
-        jj = max((s for s in sent_starts if s <= io), default=None)
-        cands: list[tuple[str, int]] = [("inst", io)]
-        if jj is not None and jj + n_tokens > io:
-            cands.append(("sent", jj))
-        for kind, lo in cands:
-            score, i_first, i_last = window_score(lo)
-            if kind == "sent":
-                score += 20
-            if score > best_score:
-                best_score = score
-                if kind == "sent":
-                    st = lo
-                else:
-                    st = i_first - (n_tokens - (i_last - i_first)) // 2
-                start = max(0, min(st, n_col - n_tokens))
-    end = start + n_tokens
-    return render(start, end, start > 0, end < n_col)
+    for io, _ie, _ui in xinst:
+        # candidate 1: window anchored at the instance, re-centered
+        score, i_first, i_last = snippet_score(io)
+        if score > best_score:
+            best_score = score
+            i_adj = i_first - cdiv2(n_tokens - (i_last - i_first))
+            if i_adj + n_tokens > n_col:
+                i_adj = n_col - n_tokens
+            if i_adj < 0:
+                i_adj = 0
+            start = i_adj
+        # candidate 2: the enclosing sentence start (fts5SnippetFunction:
+        # only when strictly before the instance; +120 bonus for a
+        # document-leading sentence, +100 otherwise; no re-centering)
+        if sent_starts and n_col > n_tokens:
+            jj = 0
+            while jj < len(sent_starts) - 1 and sent_starts[jj + 1] <= io:
+                jj += 1
+            sj = sent_starts[jj]
+            if sj < io:
+                score, _f, _l = snippet_score(sj)
+                score += 120 if sj == 0 else 100
+                if score > best_score:
+                    best_score = score
+                    start = sj
+    end = min(start + n_tokens, n_col)
+    return render(start, end, start > 0, start + n_tokens < n_col)
 
 
 def highlight_columns(

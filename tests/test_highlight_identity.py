@@ -202,16 +202,15 @@ def _snippet_fidelity(service, oracle, queries_n) -> tuple[int, int]:
 
 
 def test_snippet_fidelity_fixed(dense_index, spark) -> None:
-    """Window SELECTION is a fitted approximation of FTS5's (see
-    snippet_column docstring); this pins the fidelity floor so a
-    regression in the fitted rule is visible — marking inside any
-    window is exact highlight() parity, tested separately."""
+    """Window selection now reimplements FTS5's actual algorithm
+    (fts5_aux.c — see snippet_column docstring), so the gate is EXACT
+    match on every row, not a fidelity floor."""
     index_dir, oracle = dense_index
     service = SearchService(spark, index_dir, CONFIG)
     qn = [(q, n) for q in QUERIES for n in (6, 10, 17)]
     exact, total = _snippet_fidelity(service, oracle, qn)
     assert total >= 100
-    assert exact / total >= 0.85, f"snippet fidelity {exact}/{total}"
+    assert exact == total, f"snippet fidelity {exact}/{total}"
 
 
 def test_snippet_fidelity_randomized(dense_index, spark) -> None:
@@ -230,7 +229,7 @@ def test_snippet_fidelity_randomized(dense_index, spark) -> None:
         qn.append((q, rng.choice([5, 8, 12, 20])))
     exact, total = _snippet_fidelity(service, oracle, qn)
     assert total >= 60
-    assert exact / total >= 0.85, f"snippet fidelity {exact}/{total}"
+    assert exact == total, f"snippet fidelity {exact}/{total}"
 
 
 def test_snippet_on_markdown_corpus(spark, tmp_path_factory) -> None:
@@ -258,6 +257,6 @@ def test_snippet_on_markdown_corpus(spark, tmp_path_factory) -> None:
             for n in (8, 15)
         ]
         exact, total = _snippet_fidelity(service, oracle, qn)
-        assert exact / total >= 0.8, f"snippet fidelity {exact}/{total}"
+        assert exact == total, f"snippet fidelity {exact}/{total}"
     finally:
         oracle.close()
