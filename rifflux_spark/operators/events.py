@@ -153,6 +153,16 @@ def asof_join(
     (the running last). Cost: ONE shuffle on ``key`` shared by both
     sides, zero row amplification.
 
+    Hot-key bound: like sessionize, a single key's full timeline
+    serializes on one task by construction. For a pathological key the
+    two-stage fix is time-bucketing — window within (key, time_bucket),
+    then carry each bucket's LAST right payload into the next bucket's
+    head as one extra boundary row per bucket (a broadcast-sized frame:
+    buckets, not rows). Not implemented here because the per-key window
+    is the semantics-preserving default and the event tables' key
+    cardinality (users) dwarfs any one key's history; the note is the
+    scale contract.
+
     Returns the left rows with a ``_asof`` struct column holding the
     matched right payload (null when no right row precedes).
     """
