@@ -82,35 +82,47 @@ def _score_blocks(
     has ALL its postings decoded — scores stay exact."""
     idf_b = dict(idf)
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
+    def score(batches):
+        # Arrow-native (mapInArrow): payload bytes flow straight from
+        # the record batch's contiguous binary buffers into the varbyte
+        # decoder (_cat_binary) — no per-blob Python bytes objects; the
+        # per-batch partial agg is a sorted reduceat, not a pandas
+        # groupby hash
+        import pyarrow as pa
+
+        from rifflux_spark.operators.local_exec import _cat_binary
+
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            # one vectorized decode of EVERY block in the Arrow batch
-            # (LEB128 self-delimits, so the byte concatenation decodes in
-            # one pass; per-posting idf is an np.repeat per block)
-            ns = pdf["n_docs"].to_numpy(dtype=np.int64)
+            ns = rb.column("n_docs").to_numpy().astype(np.int64)
             docs, tf, dl = decode_blocks_batch(
-                [bytes(x) for x in pdf["gaps"]],
-                [bytes(x) for x in pdf["tfs"]],
-                [bytes(x) for x in pdf["dls"]],
+                [_cat_binary(rb.column("gaps"))],
+                [_cat_binary(rb.column("tfs"))],
+                [_cat_binary(rb.column("dls"))],
                 ns,
-                pdf["first_doc"].to_numpy(dtype=np.int64),
+                rb.column("first_doc").to_numpy().astype(np.int64),
             )
-            idf_per = np.repeat(np.array([idf_b[t] for t in pdf["term"]]), ns)
+            idf_per = np.repeat(
+                np.array([idf_b[t] for t in rb.column("term").to_pylist()]), ns
+            )
             partials = bm25_wtf(tf, dl, avgdl, k1, b) * idf_per
             if ranges is not None:
                 inside = wand.mask_docs_to_ranges(docs, ranges)
                 docs, partials = docs[inside], partials[inside]
                 if docs.size == 0:
                     continue
-            agg = pd.DataFrame({"doc_ord": docs, "partial": partials}).groupby(
-                "doc_ord", as_index=False
-            )["partial"].sum()
-            yield agg
+            order = np.argsort(docs, kind="stable")
+            docs, partials = docs[order], partials[order]
+            uniq, starts = np.unique(docs, return_index=True)
+            sums = np.add.reduceat(partials, starts)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(uniq, pa.int64()), pa.array(sums, pa.float64())],
+                names=["doc_ord", "partial"],
+            )
 
     cols = ["term", "gaps", "tfs", "dls", "n_docs", "first_doc"]
-    return blocks.select(*cols).mapInPandas(score, schema=_SCORE_ROW)
+    return blocks.select(*cols).mapInArrow(score, schema=_SCORE_ROW)
 
 
 def bm25_topk(
