@@ -475,6 +475,27 @@ def run_stress(spark, n_docs: int, page_scale: int, cpus: int) -> dict:
         top_k=10,
     )
     fts_sec = time.perf_counter() - t0
+
+    # positional postings at stress scale: resume the SAME build with
+    # store_positions=True (build_id ignores the flag, so only the
+    # positions stage runs — its wall time is the opt-in storage cost),
+    # then re-time the SAME phrase probe on the poslist-intersection
+    # path for a like-for-like recheck-vs-positional comparison
+    import dataclasses as _dc
+
+    from rifflux_spark.plans.build import build_index as _bi
+
+    t0 = time.perf_counter()
+    _bi(
+        spark, pages, index_dir,
+        _dc.replace(CONFIG, store_positions=True),
+        with_embeddings=False,
+    )
+    positions_build_sec = time.perf_counter() - t0
+    service.phrase(" ".join(rare_terms[:2]), top_k=10)  # warm the path
+    t0 = time.perf_counter()
+    service.phrase(" ".join(rare_terms[:2]), top_k=10)
+    phrase_positional_sec = time.perf_counter() - t0
     shutil.rmtree(index_dir, ignore_errors=True)
     shutil.rmtree(pages_dir, ignore_errors=True)
     return {
@@ -487,6 +508,8 @@ def run_stress(spark, n_docs: int, page_scale: int, cpus: int) -> dict:
         "stopword_budgeted_sec": round(stopword_budgeted_sec, 4),
         "selective_query_sec": round(selective_sec, 4),
         "phrase_query_sec": round(phrase_sec, 4),
+        "phrase_positional_sec": round(phrase_positional_sec, 4),
+        "positions_build_sec": round(positions_build_sec, 2),
         "fts_query_sec": round(fts_sec, 4),
         "selective_terms": rare_df,
     }
