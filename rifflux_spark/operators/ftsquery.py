@@ -760,27 +760,36 @@ def _near_group_frame(
 
 
 def _decode_unit_postings(store: IndexStore, terms: list[str]) -> DataFrame:
-    """Posting blocks for ``terms`` → (doc_ord, term, tf, dl) rows."""
+    """Posting blocks for ``terms`` → (doc_ord, term, tf, dl) rows
+    (Arrow-native: payload bytes flow straight from the record batch's
+    binary buffers, term labels repeat via Arrow take — no pandas)."""
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
+    def decode(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from rifflux_spark.operators.local_exec import _cat_binary
+
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            ns = pdf["n_docs"].to_numpy(dtype=np.int64)
+            ns = rb.column("n_docs").to_numpy().astype(np.int64)
             docs, tf, dl = decode_blocks_batch(
-                [bytes(x) for x in pdf["gaps"]],
-                [bytes(x) for x in pdf["tfs"]],
-                [bytes(x) for x in pdf["dls"]],
+                [_cat_binary(rb.column("gaps"))],
+                [_cat_binary(rb.column("tfs"))],
+                [_cat_binary(rb.column("dls"))],
                 ns,
-                pdf["first_doc"].to_numpy(dtype=np.int64),
+                rb.column("first_doc").to_numpy().astype(np.int64),
             )
-            yield pd.DataFrame(
-                {
-                    "doc_ord": docs,
-                    "term": np.repeat(pdf["term"].to_numpy(), ns),
-                    "tf": tf,
-                    "dl": dl,
-                }
+            row_idx = np.repeat(np.arange(rb.num_rows, dtype=np.int64), ns)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(docs, pa.int64()),
+                    pc.take(rb.column("term"), pa.array(row_idx)),
+                    pa.array(tf, pa.int64()),
+                    pa.array(dl, pa.int64()),
+                ],
+                names=["doc_ord", "term", "tf", "dl"],
             )
 
     schema = T.StructType(
@@ -793,7 +802,7 @@ def _decode_unit_postings(store: IndexStore, terms: list[str]) -> DataFrame:
     )
     cols = ["term", "gaps", "tfs", "dls", "n_docs", "first_doc"]
     blocks = store.postings_for_terms(terms)
-    return blocks.select(*cols).mapInPandas(decode, schema=schema)
+    return blocks.select(*cols).mapInArrow(decode, schema=schema)
 
 
 def _phrase_unit_frame(

@@ -111,25 +111,38 @@ def phrase_idf(n_docs: int, df_p: int) -> float:
 
 def _decode_candidates(blocks: DataFrame) -> DataFrame:
     """Posting blocks → (doc_ord, term, dl) rows via the shared
-    vectorized block decoder (tf is not needed until verification)."""
+    vectorized block decoder (tf is not needed until verification).
+    Arrow-native: payloads flow from the batch's binary buffers."""
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
+    def decode(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from rifflux_spark.operators.local_exec import _cat_binary
+
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            ns = pdf["n_docs"].to_numpy(dtype=np.int64)
+            ns = rb.column("n_docs").to_numpy().astype(np.int64)
             docs, _tf, dl = decode_blocks_batch(
-                [bytes(x) for x in pdf["gaps"]],
-                [bytes(x) for x in pdf["tfs"]],
-                [bytes(x) for x in pdf["dls"]],
+                [_cat_binary(rb.column("gaps"))],
+                [_cat_binary(rb.column("tfs"))],
+                [_cat_binary(rb.column("dls"))],
                 ns,
-                pdf["first_doc"].to_numpy(dtype=np.int64),
+                rb.column("first_doc").to_numpy().astype(np.int64),
             )
-            terms = np.repeat(pdf["term"].to_numpy(), ns)
-            yield pd.DataFrame({"doc_ord": docs, "term": terms, "dl": dl})
+            row_idx = np.repeat(np.arange(rb.num_rows, dtype=np.int64), ns)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(docs, pa.int64()),
+                    pc.take(rb.column("term"), pa.array(row_idx)),
+                    pa.array(dl, pa.int64()),
+                ],
+                names=["doc_ord", "term", "dl"],
+            )
 
     cols = ["term", "gaps", "tfs", "dls", "n_docs", "first_doc"]
-    return blocks.select(*cols).mapInPandas(decode, schema=_CAND_ROW)
+    return blocks.select(*cols).mapInArrow(decode, schema=_CAND_ROW)
 
 
 def _verify_phrase(cand_chunks: DataFrame, phrase: list[str]) -> DataFrame:
