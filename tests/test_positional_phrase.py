@@ -205,3 +205,16 @@ def test_incremental_appends_and_compact_purges_positions(
             contents(inc_svc2.phrase(q, top_k=300, engine="local")) == before[q]
         ), f"compact changed positional phrase results for {q!r}"
         assert contents(inc_svc2.phrase(q, top_k=300, engine="spark")) == before[q]
+
+    # vacuum: full physical rewrite must rebuild the positional table
+    # from live chunks and keep every phrase result identical
+    from rifflux_spark.plans.incremental import vacuum
+
+    vstats = vacuum(spark, store, CONFIG)
+    assert vstats["purged"] > 0
+    inc_svc3 = SearchService(spark, inc_dir, CONFIG)
+    assert store.has_positions()
+    for q in probes:
+        assert (
+            contents(inc_svc3.phrase(q, top_k=300, engine="local")) == before[q]
+        ), f"vacuum changed positional phrase results for {q!r}"
