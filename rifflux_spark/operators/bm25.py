@@ -196,6 +196,28 @@ def _keys_of(meta, idxs) -> list[str]:
     ]
 
 
+# past this many keys an In(...) literal list costs more to COMPILE than
+# the scan it guards (measured: 3.9k keys ≈ 2.7 s of Catalyst time);
+# switch to a broadcast semi-join on the key triple
+_ISIN_KEY_MAX = 256
+
+
+def _filter_blocks_by_keys(spark, blocks: DataFrame, meta, idxs) -> DataFrame:
+    idxs = list(int(i) for i in idxs)
+    if len(idxs) <= _ISIN_KEY_MAX:
+        return blocks.filter(_key_col().isin(_keys_of(meta, idxs)))
+    keydf = spark.createDataFrame(
+        [
+            (meta[i]["term"], int(meta[i]["salt"]), int(meta[i]["block_seq"]))
+            for i in idxs
+        ],
+        "term string, salt long, block_seq long",
+    )
+    return blocks.join(
+        F.broadcast(keydf), on=["term", "salt", "block_seq"], how="left_semi"
+    )
+
+
 def _prune_blocks(
     blocks: DataFrame,
     idf: dict[str, float],
@@ -226,14 +248,35 @@ def _prune_blocks(
     # metadata rows are ~60 B; the cap only bounds pathological
     # many-term queries. Budgeted mode needs the full picture.
     max_blocks_to_prune = 200_000
-    meta = (
-        blocks.select(
-            "term", "salt", "block_seq", "n_docs", "first_doc", "last_doc",
-            "block_max_tf", "block_min_dl",
+    meta = None
+    if store is not None:
+        # block METADATA via a driver-side row-group-pruned Arrow read
+        # (the coordinator path's machinery) — a Spark collect of the
+        # same rows costs ~1 s of job overhead per query
+        from rifflux_spark.functions.xxhash64 import term_bucket
+        from rifflux_spark.operators.local_exec import _bucket_files, _read_filtered
+
+        qterms = sorted(idf)
+        files = _bucket_files(
+            store, "postings", {term_bucket(t, store.n_term_buckets) for t in qterms}
         )
-        .limit(max_blocks_to_prune + 1)
-        .collect()
-    )
+        t = _read_filtered(
+            files,
+            ["term", "salt", "block_seq", "n_docs", "first_doc", "last_doc",
+             "block_max_tf", "block_min_dl"],
+            qterms,
+        )
+        meta = [] if t is None else t.slice(0, max_blocks_to_prune + 1).to_pylist()
+    if meta is None:
+        meta = [
+            r.asDict()
+            for r in blocks.select(
+                "term", "salt", "block_seq", "n_docs", "first_doc", "last_doc",
+                "block_max_tf", "block_min_dl",
+            )
+            .limit(max_blocks_to_prune + 1)
+            .collect()
+        ]
     n_blocks = len(meta)
     if n_blocks < min_blocks_to_prune or n_blocks > max_blocks_to_prune:
         return blocks, None
@@ -257,8 +300,12 @@ def _prune_blocks(
         mask, ranges = wand.budget_ranges(
             terms_arr, firsts, lasts, ns, bound, budget, order=order
         )
-        keep_keys = _keys_of(meta, np.flatnonzero(mask))
-        return blocks.filter(_key_col().isin(keep_keys)), ranges
+        return (
+            _filter_blocks_by_keys(
+                blocks.sparkSession, blocks, meta, np.flatnonzero(mask)
+            ),
+            ranges,
+        )
 
     if wand.is_uniform(bound):
         return blocks, None
@@ -285,11 +332,14 @@ def _prune_blocks(
 
     keep = np.flatnonzero(bound >= theta)
     keep_set = set(int(i) for i in keep) | set(int(i) for i in seed)
-    # a barely-selective keep set costs more (huge In-filter, second
-    # decode of nearly everything) than it saves — scan instead
+    # a barely-selective keep set costs more (key filter + second decode
+    # of nearly everything) than it saves — scan instead
     if len(keep_set) >= 0.7 * n_blocks:
         return blocks, None
-    return blocks.filter(_key_col().isin(_keys_of(meta, sorted(keep_set)))), None
+    return (
+        _filter_blocks_by_keys(blocks.sparkSession, blocks, meta, sorted(keep_set)),
+        None,
+    )
 
 
 def rehydrate(topk: DataFrame, store: IndexStore) -> DataFrame:
