@@ -136,3 +136,55 @@ def test_budget_ranges_caps_decoded_postings() -> None:
     docs = np.arange(0, n * 16, dtype=np.int64)
     inside = wand.mask_docs_to_ranges(docs, ranges)
     assert 0 < int(inside.sum()) < docs.size
+
+
+def test_keyfilter_lanes_agree(spark, store, monkeypatch) -> None:
+    """The distributed pruner filters kept blocks through one of two
+    lanes: an In(...) literal (small key sets) or a broadcast left-semi
+    join on (term, salt, block_seq) past _ISIN_KEY_MAX keys. Both lanes
+    must yield the identical ranking and bit-identical scores."""
+    from rifflux_spark.operators import bm25 as bm25mod
+
+    probes = (
+        (_rare_query(spark, store), CONFIG),
+        (_stopword_query(spark, store), BUDGET),
+    )
+
+    def run():
+        out = []
+        for q, cfg in probes:
+            rows = bm25mod.bm25_topk(
+                spark, store, q, 10, cfg, prune=True, min_blocks_to_prune=1
+            ).collect()
+            out.append([(r["doc_ord"], r["bm25_score"]) for r in rows])
+        return out
+
+    monkeypatch.setattr(bm25mod, "_ISIN_KEY_MAX", 10**9)
+    via_isin = run()
+    monkeypatch.setattr(bm25mod, "_ISIN_KEY_MAX", 0)
+    via_semijoin = run()
+    assert via_isin == via_semijoin
+    assert all(via_isin), "a probe returned nothing"
+
+
+def test_keyfilter_semijoin_lane_is_broadcast(spark, store, monkeypatch) -> None:
+    """Past the key cap the filter must plan as a BROADCAST left-semi
+    join (the key frame is tiny), never a shuffled join of the postings
+    table. The test corpus is too small to cross the cap naturally, so
+    force the lane; the plan shape is key-count-independent."""
+    from rifflux_spark.operators import bm25 as bm25mod
+    from tests.test_physical_plans import explain_str
+
+    q = _stopword_query(spark, store)
+    blocks = store.postings_for_terms(sorted(set(q.split())))
+    meta = [
+        r.asDict()
+        for r in blocks.select("term", "salt", "block_seq").limit(400).collect()
+    ]
+    assert len(meta) > 50, "probe found almost no blocks"
+    monkeypatch.setattr(bm25mod, "_ISIN_KEY_MAX", 0)
+    filtered = bm25mod._filter_blocks_by_keys(spark, blocks, meta, range(len(meta)))
+    plan = explain_str(filtered)
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert filtered.count() == len(meta)
