@@ -1181,6 +1181,47 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe as-of join (operators/events.asof_join_bucketed):
+    same query as q_asof_join, evaluated with the carry window
+    partitioned by (user, 10-minute bucket) plus a bucket-level
+    fallback carry — a pathological user parallelizes across buckets
+    instead of serializing on one task. bucket_sec=600 forces most
+    matches through the cross-bucket fallback at this data's event
+    spacing, so the oracle row checks both stages."""
+    from rifflux_spark.operators.events import asof_join_bucketed, micros
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 50)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", micros("ts").alias("ts_us")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", micros("ts").alias("ts_us"), "event_id", "value")
+        .groupBy("user_id", "ts_us")
+        .agg(
+            F.max_by("value", "event_id").alias("pvalue"),
+            F.max("event_id").alias("pevent"),
+        )
+    )
+    joined = asof_join_bucketed(
+        clicks,
+        purchases,
+        key="user_id",
+        ts_us="ts_us",
+        right_payload=["pevent", "pvalue"],
+        right_tiebreak="pevent",
+        bucket_sec=600,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("_asof.pevent").alias("purchase_event_id"),
+        F.col("_asof.pvalue").alias("purchase_value"),
+    ).orderBy("event_id")
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed range join (operators/events.range_join_buckets):
     clicks landing inside the 10-minute window after each error of the
@@ -1400,9 +1441,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- multimodal
         "multimodal_meta": q_multimodal_meta,
         "png_decode": q_png_decode,
-        "jpeg_decode": q_jpeg_decode,
+        # round-5 addition gates ahead of stable media decoders
+        "asof_join_bucketed": q_asof_join_bucketed,
         # ---------- gate-prefix boundary (~50): everything below is
         # stable, pytest-covered, and re-verified by test_oracle_tail.py
+        "jpeg_decode": q_jpeg_decode,
         "wav_decode": q_wav_decode,
         "gif_decode": q_gif_decode,
         # --- event-stream operators
@@ -2385,6 +2428,26 @@ SELECT user_id, session_seq::BIGINT AS session_seq,
        (max(ts_us) - min(ts_us))::BIGINT / 1e6 AS duration_sec,
        sum(vmic)::BIGINT / 1e6 AS sum_value
 FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq
+""",
+        # the bucketed variant must produce the IDENTICAL relation — the
+        # oracle twin is the same ASOF JOIN
+        "asof_join_bucketed": """
+WITH l AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'click' AND user_id < 50
+),
+r AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         max_by(value, event_id) AS pvalue,
+         max(event_id)::BIGINT AS pevent
+  FROM events WHERE event_type = 'purchase' AND user_id < 50
+  GROUP BY user_id, epoch_us(ts)
+)
+SELECT l.event_id, l.user_id, l.ts_us::BIGINT AS ts_us,
+       r.pevent AS purchase_event_id, r.pvalue AS purchase_value
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+ORDER BY l.event_id
 """,
         "asof_join": """
 WITH l AS (

@@ -154,14 +154,11 @@ def asof_join(
     sides, zero row amplification.
 
     Hot-key bound: like sessionize, a single key's full timeline
-    serializes on one task by construction. For a pathological key the
-    two-stage fix is time-bucketing — window within (key, time_bucket),
-    then carry each bucket's LAST right payload into the next bucket's
-    head as one extra boundary row per bucket (a broadcast-sized frame:
-    buckets, not rows). Not implemented here because the per-key window
-    is the semantics-preserving default and the event tables' key
-    cardinality (users) dwarfs any one key's history; the note is the
-    scale contract.
+    serializes on one task by construction — fine while key cardinality
+    (users) dwarfs any one key's history. When it doesn't, use
+    :func:`asof_join_bucketed`: the same semantics with the carry
+    window split by time bucket, bounding per-task work by the densest
+    bucket instead of the hottest key.
 
     Returns the left rows with a ``_asof`` struct column holding the
     matched right payload (null when no right row precedes).
@@ -192,6 +189,103 @@ def asof_join(
     matched = u.withColumn("_asof", F.last("_rp", ignorenulls=True).over(w))
     return matched.filter(F.col("_tag") == 1).select(
         *[F.col(f"_l_{c}").alias(c) for c in left_cols], "_asof"
+    )
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_us: str,
+    right_payload: list[str],
+    right_tiebreak: str,
+    bucket_sec: int = 3600,
+) -> DataFrame:
+    """Hot-key-safe variant of :func:`asof_join` — identical semantics,
+    but the running-carry window partitions by (key, time bucket), so a
+    pathological key parallelizes across its time buckets instead of
+    serializing its entire ordered history on one task.
+
+    Two stages:
+
+    1. **In-bucket**: the same union+window carry as ``asof_join``,
+       windowed within ``(key, bucket)`` — per-task work is bounded by
+       the densest single bucket, not the hottest key.
+    2. **Cross-bucket fallback**: each ``(key, bucket)``'s LAST right
+       payload (max ``(t, tiebreak)``) is a one-row-per-active-bucket
+       aggregate; a second union+window carry — over BUCKETS, ordered
+       so a left bucket sees only strictly-earlier right buckets —
+       hands every left bucket the payload it should inherit when no
+       in-bucket right row precedes. A key with B active buckets costs
+       O(B) serial work here, never O(events).
+
+    The final answer is ``coalesce(in_bucket, fallback)``. Exchanges:
+    one hash on (key, bucket), one hash on key over the bucket-level
+    frame (#distinct buckets rows — tiny), and the join back on
+    (key, bucket). Pick ``bucket_sec`` so a bucket's events fit a task;
+    semantics never depend on the choice (pinned by identity tests
+    against ``asof_join`` across bucket sizes).
+    """
+    bucket_us = int(bucket_sec) * 1_000_000
+    payload = F.struct(*[F.col(c) for c in right_payload]).alias("_rp")
+    r = right.select(
+        F.col(key).alias("k"),
+        F.col(ts_us).alias("t"),
+        F.lit(0).alias("_tag"),
+        F.col(right_tiebreak).cast("long").alias("_rtie"),
+        payload,
+    ).withColumn("_b", _idiv(F.col("t"), bucket_us))
+    rp_type = r.schema["_rp"].dataType
+    left_cols = [c for c in left.columns]
+    l = left.select(
+        F.col(key).alias("k"),
+        F.col(ts_us).alias("t"),
+        F.lit(1).alias("_tag"),
+        F.lit(0).cast("long").alias("_rtie"),
+        F.lit(None).cast(rp_type).alias("_rp"),
+        *[F.col(c).alias(f"_l_{c}") for c in left_cols],
+    ).withColumn("_b", _idiv(F.col("t"), bucket_us))
+
+    # stage 1: in-bucket carry — asof_join's window, partitioned finer
+    u = r.unionByName(l, allowMissingColumns=True)
+    w = (
+        Window.partitionBy("k", "_b")
+        .orderBy("t", "_tag", "_rtie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_bucket = u.withColumn(
+        "_in", F.last("_rp", ignorenulls=True).over(w)
+    ).filter(F.col("_tag") == 1)
+
+    # stage 2: bucket-level fallback carry. Left bucket markers sort
+    # BEFORE right last-payload rows within the same bucket (_ct 0 < 1),
+    # so the running last a left bucket sees is from strictly earlier
+    # buckets — same-bucket right rows are stage 1's job (and must not
+    # leak to left rows that precede them).
+    r_last = r.groupBy("k", "_b").agg(
+        F.max_by("_rp", F.struct(F.col("t"), F.col("_rtie"))).alias("_rpl")
+    )
+    lb = l.select("k", "_b").distinct()
+    cu = r_last.select("k", "_b", F.lit(1).alias("_ct"), "_rpl").unionByName(
+        lb.select(
+            "k", "_b", F.lit(0).alias("_ct"), F.lit(None).cast(rp_type).alias("_rpl")
+        )
+    )
+    cw = (
+        Window.partitionBy("k")
+        .orderBy("_b", "_ct")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fallback = (
+        cu.withColumn("_fb", F.last("_rpl", ignorenulls=True).over(cw))
+        .filter(F.col("_ct") == 0)
+        .select("k", "_b", "_fb")
+    )
+
+    out = in_bucket.join(fallback, on=["k", "_b"], how="left")
+    return out.select(
+        *[F.col(f"_l_{c}").alias(c) for c in left_cols],
+        F.coalesce("_in", "_fb").alias("_asof"),
     )
 
 

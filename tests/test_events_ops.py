@@ -167,6 +167,77 @@ def test_asof_join_matches_bruteforce_with_ties(spark) -> None:
     assert got[5] == 13  # same-instant right rows resolve to max tiebreak
 
 
+def test_asof_join_bucketed_identity(spark) -> None:
+    """asof_join_bucketed is semantics-identical to asof_join for EVERY
+    bucket size — including buckets smaller than event spacing (every
+    match crosses buckets, exercising the fallback carry), buckets that
+    split tied instants from their left rows, and one giant bucket
+    (pure stage-1)."""
+    import random
+
+    from rifflux_spark.operators.events import asof_join_bucketed
+
+    rng = random.Random(17)
+    # hot key 1 carries half the corpus; keys 2-5 share the rest.
+    left_rows = [
+        (i, 1 if i % 2 == 0 else 2 + (i % 4), rng.randrange(0, 5000), "click", 0.0)
+        for i in range(160)
+    ]
+    right_rows = [
+        (1000 + i, 1 if i % 2 == 0 else 2 + (i % 4), rng.randrange(0, 5000), "purchase", float(i))
+        for i in range(120)
+    ]
+    # adversarial: tied instants across the two sides and inside right
+    left_rows += [(500, 1, 1234, "click", 0.0), (501, 9, 50, "click", 0.0)]
+    right_rows += [(2000, 1, 1234, "purchase", 9.0), (2001, 1, 1234, "purchase", 8.0)]
+    left = _ev(spark, left_rows).select(
+        "event_id", "user_id", micros("ts").alias("ts_us")
+    )
+    right = _ev(spark, right_rows).select(
+        "user_id",
+        micros("ts").alias("ts_us"),
+        F.col("event_id").alias("pevent"),
+        F.col("value").alias("pvalue"),
+    )
+    args = (left, right, "user_id", "ts_us", ["pevent", "pvalue"], "pevent")
+    want = sorted(
+        (r.event_id, None if r._asof is None else (r._asof.pevent, r._asof.pvalue))
+        for r in asof_join(*args).collect()
+    )
+    for bucket_sec in (1, 7, 311, 10_000):
+        got = sorted(
+            (r.event_id, None if r._asof is None else (r._asof.pevent, r._asof.pvalue))
+            for r in asof_join_bucketed(*args, bucket_sec=bucket_sec).collect()
+        )
+        assert got == want, f"bucket_sec={bucket_sec}"
+
+
+def test_asof_join_bucketed_parallelizes_hot_key(spark) -> None:
+    """The scale contract: stage 1 windows over (key, bucket) — visible
+    in the plan as a window partition spec that includes the bucket
+    column — and nothing degrades to a nested-loop join."""
+    from rifflux_spark.operators.events import asof_join_bucketed
+
+    left = _ev(spark, [(i, 1, i * 3, "click", 0.0) for i in range(30)]).select(
+        "event_id", "user_id", micros("ts").alias("ts_us")
+    )
+    right = _ev(
+        spark, [(100 + i, 1, i * 5, "purchase", 1.0) for i in range(30)]
+    ).select(
+        "user_id",
+        micros("ts").alias("ts_us"),
+        F.col("event_id").alias("pevent"),
+        F.col("value").alias("pvalue"),
+    )
+    df = asof_join_bucketed(
+        left, right, "user_id", "ts_us", ["pevent", "pvalue"], "pevent", bucket_sec=10
+    )
+    plan = explain_str(df)
+    assert re.search(r"windowspecdefinition\(k\S*, _b", plan), plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_asof_join_single_exchange(spark) -> None:
     left = _ev(spark, [(i, i % 4, i * 3, "click", 0.0) for i in range(20)]).select(
         "event_id", "user_id", micros("ts").alias("ts_us")
