@@ -1131,6 +1131,22 @@ def q_fts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fts_logical(_docs(spark, sf_dir), _FTS_QUERY, top_k=15)
 
 
+def q_sessionize_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe sessionization (operators/events.sessionize_bucketed):
+    the same 30-min-gap sessions computed with the gap window split by
+    10-minute time buckets (smaller than the gap, so nearly every
+    session crosses buckets and the chain-merge stage does real work) —
+    a pathological user costs O(active buckets) serial work, never
+    O(events). Oracle: the plain sessionize SQL — the relation must be
+    identical."""
+    from rifflux_spark.operators.events import sessionize_bucketed
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 40)
+    return sessionize_bucketed(ev, gap_sec=1800, bucket_sec=600).orderBy(
+        "user_id", "session_seq"
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (operators/events.sessionize): 30-min
     inactivity gap per user, one row per session with exact integer
@@ -1440,11 +1456,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sample": q_mix_sample,
         # --- multimodal
         "multimodal_meta": q_multimodal_meta,
-        "png_decode": q_png_decode,
-        # round-5 addition gates ahead of stable media decoders
+        # round-5 additions gate ahead of stable media decoders
         "asof_join_bucketed": q_asof_join_bucketed,
+        "sessionize_bucketed": q_sessionize_bucketed,
         # ---------- gate-prefix boundary (~50): everything below is
         # stable, pytest-covered, and re-verified by test_oracle_tail.py
+        "png_decode": q_png_decode,
         "jpeg_decode": q_jpeg_decode,
         "wav_decode": q_wav_decode,
         "gif_decode": q_gif_decode,
@@ -1527,6 +1544,15 @@ FROM red ORDER BY doc_id
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_base()
+    # the bucketed variants must produce IDENTICAL relations — their
+    # oracle twins are the plain operators' SQL
+    d["sessionize_bucketed"] = d["sessionize"]
+    d["asof_join_bucketed"] = d["asof_join"]
+    return d
+
+
+def _oracle_sql_base() -> dict[str, str]:
     return {
         "bm25_rare": bm25_oracle_sql(BM25_QUERY_RARE, 10, round_to=9),
         "bm25_common": bm25_oracle_sql(BM25_QUERY_COMMON, 10, round_to=9),
@@ -2428,26 +2454,6 @@ SELECT user_id, session_seq::BIGINT AS session_seq,
        (max(ts_us) - min(ts_us))::BIGINT / 1e6 AS duration_sec,
        sum(vmic)::BIGINT / 1e6 AS sum_value
 FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq
-""",
-        # the bucketed variant must produce the IDENTICAL relation — the
-        # oracle twin is the same ASOF JOIN
-        "asof_join_bucketed": """
-WITH l AS (
-  SELECT event_id, user_id, epoch_us(ts) AS ts_us
-  FROM events WHERE event_type = 'click' AND user_id < 50
-),
-r AS (
-  SELECT user_id, epoch_us(ts) AS ts_us,
-         max_by(value, event_id) AS pvalue,
-         max(event_id)::BIGINT AS pevent
-  FROM events WHERE event_type = 'purchase' AND user_id < 50
-  GROUP BY user_id, epoch_us(ts)
-)
-SELECT l.event_id, l.user_id, l.ts_us::BIGINT AS ts_us,
-       r.pevent AS purchase_event_id, r.pvalue AS purchase_value
-FROM l ASOF LEFT JOIN r
-  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
-ORDER BY l.event_id
 """,
         "asof_join": """
 WITH l AS (

@@ -87,8 +87,10 @@ def sessionize(
     session numbering + the per-session aggregate all execute inside
     that partitioning (the groupBy on (key, session_seq) is a
     sub-grouping of the window partitioning, so AQE keeps it local).
-    A pathological single key serializes on one task — inherent to the
-    semantics (session continuity needs the key's full ordered history).
+    A pathological single key serializes on one task (session
+    continuity needs the key's full ordered history); when one key
+    dominates, :func:`sessionize_bucketed` computes the identical
+    result with per-task work bounded by the densest time bucket.
 
     Returns one row per session:
     ``(key, session_seq, n_events, start_us, end_us, duration_sec,
@@ -116,6 +118,121 @@ def sessionize(
             F.max("ts_us").alias("end_us"),
             F.sum("vmic").alias("sum_vmic"),
         )
+        .select(
+            F.col("k").alias(key),
+            "session_seq",
+            "n_events",
+            "start_us",
+            "end_us",
+            ((F.col("end_us") - F.col("start_us")) / F.lit(1e6)).alias(
+                "duration_sec"
+            ),
+            (F.col("sum_vmic") / F.lit(1e6)).alias("sum_value"),
+        )
+    )
+
+
+def sessionize_bucketed(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    order_tiebreak: str = "event_id",
+    value: str = "value",
+    gap_sec: int = 1800,
+    bucket_sec: int = 86400,
+) -> DataFrame:
+    """Hot-key-safe variant of :func:`sessionize` — identical output,
+    but gap detection windows over ``(key, time bucket)`` so one
+    pathological key's events parallelize across buckets instead of
+    serializing on a single task.
+
+    Why it's exact: a global session never splits INSIDE a bucket
+    (stage 1 applies the same gap rule there), and local sessions
+    within a bucket are separated by gaps > ``gap_sec`` by
+    construction, so the ONLY repairs needed are at bucket boundaries
+    — the tail session of one active bucket merges with the head
+    session of the next iff the boundary gap is <= ``gap_sec``.
+    Transitive chains (a session spanning many buckets) resolve by a
+    running segment sum over head/tail rows.
+
+    Stage frames shrink at each step:
+
+    1. per-event window over ``(key, bucket)`` → local sessions
+       (per-task work bounded by the densest bucket);
+    2. boundary repair over only each bucket's HEAD and TAIL session
+       rows (<=2 per active bucket — a key with B active buckets costs
+       O(B) serial work here, never O(events)); interior sessions pass
+       through untouched;
+    3. per-key session numbering over the final session aggregates
+       (one row per session — the output's own size).
+
+    All merged aggregates are associative integer math, so the result
+    is bit-identical to ``sessionize`` (pinned across bucket sizes).
+    """
+    gap_us = int(gap_sec) * 1_000_000
+    bucket_us = int(bucket_sec) * 1_000_000
+    e = events.select(
+        F.col(key).alias("k"),
+        F.col(order_tiebreak).alias("tie"),
+        micros(ts).alias("ts_us"),
+        vmicro(value).alias("vmic"),
+    ).withColumn("_b", _idiv(F.col("ts_us"), bucket_us))
+
+    # stage 1: local sessions within (key, bucket)
+    w = Window.partitionBy("k", "_b").orderBy("ts_us", "tie")
+    prev = F.lag("ts_us").over(w)
+    is_new = (prev.isNull() | ((F.col("ts_us") - prev) > F.lit(gap_us))).cast("long")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = (
+        e.withColumn("ls", F.sum(is_new).over(wsum))
+        .groupBy("k", "_b", "ls")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+            F.sum("vmic").alias("sum_vmic"),
+        )
+        .withColumn(
+            "_nloc", F.max("ls").over(Window.partitionBy("k", "_b"))
+        )
+    )
+    boundary = local.filter((F.col("ls") == 1) | (F.col("ls") == F.col("_nloc")))
+    interior = local.filter((F.col("ls") > 1) & (F.col("ls") < F.col("_nloc")))
+
+    # stage 2: merge across bucket boundaries. In (bucket, ls) order the
+    # boundary frame alternates ... T_{i-1}, H_i[, T_i], H_{i+1} ...;
+    # a row starts a new chain unless it is the HEAD of a NEW bucket
+    # within gap of the previous bucket's tail (same-bucket neighbors
+    # are head→tail pairs whose interior gap already exceeded gap_sec).
+    wb = Window.partitionBy("k").orderBy("_b", "ls")
+    prev_end = F.lag("end_us").over(wb)
+    prev_b = F.lag("_b").over(wb)
+    is_new_chain = (
+        prev_end.isNull()
+        | (prev_b == F.col("_b"))
+        | ((F.col("start_us") - prev_end) > F.lit(gap_us))
+    ).cast("long")
+    chained = boundary.withColumn(
+        "chain",
+        F.sum(is_new_chain).over(
+            wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    merged = chained.groupBy("k", "chain").agg(
+        F.sum("n_events").alias("n_events"),
+        F.min("start_us").alias("start_us"),
+        F.max("end_us").alias("end_us"),
+        F.sum("sum_vmic").alias("sum_vmic"),
+    )
+
+    # stage 3: number the global sessions per key by start time (starts
+    # are strictly increasing: sessions are disjoint with gaps between)
+    allsess = merged.select("k", "n_events", "start_us", "end_us", "sum_vmic").unionByName(
+        interior.select("k", "n_events", "start_us", "end_us", "sum_vmic")
+    )
+    wn = Window.partitionBy("k").orderBy("start_us")
+    return (
+        allsess.withColumn("session_seq", F.row_number().over(wn).cast("long"))
         .select(
             F.col("k").alias(key),
             "session_seq",

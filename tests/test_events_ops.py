@@ -167,6 +167,56 @@ def test_asof_join_matches_bruteforce_with_ties(spark) -> None:
     assert got[5] == 13  # same-instant right rows resolve to max tiebreak
 
 
+def test_sessionize_bucketed_identity(spark) -> None:
+    """sessionize_bucketed is bit-identical to sessionize for every
+    bucket size — including buckets that slice sessions mid-flight
+    (every session crosses boundaries, exercising the chain merge),
+    exact-gap events straddling a bucket edge, and one giant bucket."""
+    import random
+
+    from rifflux_spark.operators.events import sessionize_bucketed
+
+    rng = random.Random(23)
+    # hot key 1 with dense + sparse stretches; keys 2-4 sparse
+    rows = []
+    t, eid = 0, 0
+    for _ in range(300):
+        t += rng.choice([1, 5, 40, 99, 100, 101, 350])
+        rows.append((eid, 1, t, "click", rng.random()))
+        eid += 1
+    for u in (2, 3, 4):
+        t = rng.randrange(0, 500)
+        for _ in range(40):
+            t += rng.choice([2, 60, 100, 101, 250])
+            rows.append((eid, u, t, "click", rng.random()))
+            eid += 1
+    # exact-gap pair straddling the 7-second bucket edge: ts 6 and 106
+    # with gap_sec=100 must stay ONE session at every bucket size
+    rows += [(eid, 5, 6, "click", 1.0), (eid + 1, 5, 106, "click", 2.0)]
+    ev = _ev(spark, rows)
+    want = sorted(
+        tuple(r)
+        for r in sessionize(ev, gap_sec=100).collect()
+    )
+    for bucket_sec in (7, 100, 311, 100_000):
+        got = sorted(
+            tuple(r)
+            for r in sessionize_bucketed(
+                ev, gap_sec=100, bucket_sec=bucket_sec
+            ).collect()
+        )
+        assert got == want, f"bucket_sec={bucket_sec}"
+
+
+def test_sessionize_bucketed_windows_over_bucket(spark) -> None:
+    from rifflux_spark.operators.events import sessionize_bucketed
+
+    ev = _ev(spark, [(i, 1, i * 9, "click", 0.5) for i in range(40)])
+    plan = explain_str(sessionize_bucketed(ev, gap_sec=30, bucket_sec=60))
+    assert re.search(r"windowspecdefinition\(k\S*, _b", plan), plan
+    assert "CartesianProduct" not in plan
+
+
 def test_asof_join_bucketed_identity(spark) -> None:
     """asof_join_bucketed is semantics-identical to asof_join for EVERY
     bucket size — including buckets smaller than event spacing (every
