@@ -206,12 +206,22 @@ def _filter_blocks_by_keys(spark, blocks: DataFrame, meta, idxs) -> DataFrame:
     idxs = list(int(i) for i in idxs)
     if len(idxs) <= _ISIN_KEY_MAX:
         return blocks.filter(_key_col().isin(_keys_of(meta, idxs)))
+    # pandas → Arrow-batched transfer: a stopword-class budgeted query
+    # can keep ~100k block keys, where row-tuple serialization costs
+    # seconds and the Arrow path milliseconds
+    import pandas as pd
+
     keydf = spark.createDataFrame(
-        [
-            (meta[i]["term"], int(meta[i]["salt"]), int(meta[i]["block_seq"]))
-            for i in idxs
-        ],
-        "term string, salt long, block_seq long",
+        pd.DataFrame(
+            {
+                "term": [meta[i]["term"] for i in idxs],
+                "salt": pd.array([meta[i]["salt"] for i in idxs], dtype="int64"),
+                "block_seq": pd.array(
+                    [meta[i]["block_seq"] for i in idxs], dtype="int64"
+                ),
+            }
+        ),
+        schema="term string, salt long, block_seq long",
     )
     return blocks.join(
         F.broadcast(keydf), on=["term", "salt", "block_seq"], how="left_semi"

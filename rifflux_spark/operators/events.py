@@ -14,6 +14,11 @@ built-ins so the 100 TB plan is shuffle-minimal:
   exchange on the key, the "most recent right row" is a running
   ``last(ignorenulls)`` — no join explosion, no range condition that
   would force a BroadcastNestedLoopJoin.
+- ``sessionize_bucketed`` / ``asof_join_bucketed``: hot-key-safe
+  twins — the carry window splits by time bucket and a bucket-level
+  boundary stage (O(active buckets) rows) repairs the seams, so one
+  pathological key parallelizes instead of serializing; identity-
+  pinned against the plain operators across bucket sizes.
 - ``range_join_buckets``: interval join via time-bucket equi-join
   (intervals replicated to the <=2 buckets they overlap, exact
   predicate refines after the hash join) — the standard trick that
