@@ -443,9 +443,22 @@ def run_stress(spark, n_docs: int, page_scale: int, cpus: int) -> dict:
     service.lexical(" ".join(rare_terms), top_k=10, engine="local")
     service.lexical("and system query index", top_k=10, engine="spark")
 
-    t0 = time.perf_counter()
-    service.search(stopword_q, top_k=10, mode="lexical")
-    stopword_sec = time.perf_counter() - t0
+    def best_of(fn, reps: int = 2) -> float:
+        """min over reps — steady-state latency. The shared host's DRAM
+        throttle can burst mid-query and 3-4x a single-shot number
+        (observed: a 400k-doc stopword probe at 13.3 s in one window,
+        4.6-5.2 s in every neighbor run); min-of-2 keeps one burst from
+        becoming the number of record."""
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    stopword_sec = best_of(
+        lambda: service.search(stopword_q, top_k=10, mode="lexical")
+    )
     # BUDGETED stopword probe (config.lexical_budget_postings): the
     # impact-ordered range closure decodes ~budget postings regardless
     # of corpus size — the honest sublinear mode for stopword-class
@@ -457,24 +470,22 @@ def run_stress(spark, n_docs: int, page_scale: int, cpus: int) -> dict:
         spark, index_dir, _dc.replace(CONFIG, lexical_budget_postings=500_000)
     )
     bsvc.lexical("and system query index", top_k=10, engine="spark")  # warm
-    t0 = time.perf_counter()
-    bsvc.search(stopword_q, top_k=10, mode="lexical")
-    stopword_budgeted_sec = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    service.search(" ".join(rare_terms), top_k=10, mode="lexical")
-    selective_sec = time.perf_counter() - t0
+    stopword_budgeted_sec = best_of(
+        lambda: bsvc.search(stopword_q, top_k=10, mode="lexical")
+    )
+    selective_sec = best_of(
+        lambda: service.search(" ".join(rare_terms), top_k=10, mode="lexical")
+    )
     # the FTS language paths at stress scale: an exact phrase over the
     # two rarest terms (candidate-recheck stays df-proportional) and a
     # boolean+prefix MATCH — both df-routed like the selective probe
-    t0 = time.perf_counter()
-    service.phrase(" ".join(rare_terms[:2]), top_k=10)
-    phrase_sec = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    service.fts(
-        f"{rare_terms[0]} OR {rare_terms[1][:4]}* NOT {rare_terms[2]}",
-        top_k=10,
+    phrase_sec = best_of(lambda: service.phrase(" ".join(rare_terms[:2]), top_k=10))
+    fts_sec = best_of(
+        lambda: service.fts(
+            f"{rare_terms[0]} OR {rare_terms[1][:4]}* NOT {rare_terms[2]}",
+            top_k=10,
+        )
     )
-    fts_sec = time.perf_counter() - t0
 
     # positional postings at stress scale: resume the SAME build with
     # store_positions=True (build_id ignores the flag, so only the
@@ -493,9 +504,9 @@ def run_stress(spark, n_docs: int, page_scale: int, cpus: int) -> dict:
     )
     positions_build_sec = time.perf_counter() - t0
     service.phrase(" ".join(rare_terms[:2]), top_k=10)  # warm the path
-    t0 = time.perf_counter()
-    service.phrase(" ".join(rare_terms[:2]), top_k=10)
-    phrase_positional_sec = time.perf_counter() - t0
+    phrase_positional_sec = best_of(
+        lambda: service.phrase(" ".join(rare_terms[:2]), top_k=10)
+    )
     shutil.rmtree(index_dir, ignore_errors=True)
     shutil.rmtree(pages_dir, ignore_errors=True)
     return {
