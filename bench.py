@@ -137,12 +137,26 @@ def fresh_session(cpus: int, shuffle_partitions: int | None = None):
     return spark
 
 
+_WORK_DIR_SWEPT = False
+
+
 def work_dir() -> str:
     """Bench scratch root: tmpfs when available (the sandbox's single
-    shared disk serializes writes a real cluster spreads per-node)."""
+    shared disk serializes writes a real cluster spreads per-node).
+
+    First call per process sweeps leftovers: a predecessor killed
+    mid-run (OOM, timeout) leaves tens of GB of index/page scratch on
+    tmpfs, which silently shrinks the NEXT run's memory budget until
+    the kernel OOM-kills its JVM (observed at the 1M-page stress:
+    79 GB of stale scratch → java killed at 23.8 GB RSS). One bench
+    runs at a time by design, so a start-of-run sweep is safe."""
+    global _WORK_DIR_SWEPT
     shm = Path("/dev/shm")
     if shm.is_dir() and os.access(shm, os.W_OK):
         d = shm / "rifflux_bench"
+        if not _WORK_DIR_SWEPT:
+            _WORK_DIR_SWEPT = True
+            shutil.rmtree(d, ignore_errors=True)
         d.mkdir(exist_ok=True)
         return str(d)
     return tempfile.gettempdir()
