@@ -166,7 +166,8 @@ def bm25_topk(
     ranges = None
     if prune or int(getattr(config, "lexical_budget_postings", 0) or 0) > 0:
         blocks, ranges = _prune_blocks(
-            blocks, idf, top_k, avgdl, config, min_blocks_to_prune, store=store
+            blocks, idf, top_k, avgdl, config, min_blocks_to_prune,
+            store=store, prune=prune,
         )
 
     scored = _score_blocks(
@@ -187,11 +188,9 @@ def _key_col():
     )
 
 
-def _keys_of(meta, idxs) -> list[str]:
+def _keys_of(terms, salts, seqs, idxs) -> list[str]:
     return [
-        "\x00".join(
-            (meta[i]["term"], str(int(meta[i]["salt"])), str(int(meta[i]["block_seq"])))
-        )
+        "\x00".join((terms[i], str(int(salts[i])), str(int(seqs[i]))))
         for i in idxs
     ]
 
@@ -202,10 +201,12 @@ def _keys_of(meta, idxs) -> list[str]:
 _ISIN_KEY_MAX = 256
 
 
-def _filter_blocks_by_keys(spark, blocks: DataFrame, meta, idxs) -> DataFrame:
+def _filter_blocks_by_keys(
+    spark, blocks: DataFrame, terms, salts, seqs, idxs
+) -> DataFrame:
     idxs = list(int(i) for i in idxs)
     if len(idxs) <= _ISIN_KEY_MAX:
-        return blocks.filter(_key_col().isin(_keys_of(meta, idxs)))
+        return blocks.filter(_key_col().isin(_keys_of(terms, salts, seqs, idxs)))
     # pandas → Arrow-batched transfer: a stopword-class budgeted query
     # can keep ~100k block keys, where row-tuple serialization costs
     # seconds and the Arrow path milliseconds
@@ -214,10 +215,10 @@ def _filter_blocks_by_keys(spark, blocks: DataFrame, meta, idxs) -> DataFrame:
     keydf = spark.createDataFrame(
         pd.DataFrame(
             {
-                "term": [meta[i]["term"] for i in idxs],
-                "salt": pd.array([meta[i]["salt"] for i in idxs], dtype="int64"),
+                "term": [terms[i] for i in idxs],
+                "salt": pd.array([int(salts[i]) for i in idxs], dtype="int64"),
                 "block_seq": pd.array(
-                    [meta[i]["block_seq"] for i in idxs], dtype="int64"
+                    [int(seqs[i]) for i in idxs], dtype="int64"
                 ),
             }
         ),
@@ -236,6 +237,7 @@ def _prune_blocks(
     config: EngineConfig,
     min_blocks_to_prune: int = 64,
     store: IndexStore | None = None,
+    prune: bool = True,
 ) -> tuple[DataFrame, list[tuple[int, int]] | None]:
     """Drop blocks that provably cannot host any top-k doc; optionally
     apply the posting budget. Returns (blocks, ranges) — ranges non-None
@@ -253,12 +255,24 @@ def _prune_blocks(
     - otherwise: seed the highest-aligned-bound blocks, θ = k-th best
       live seed score, keep blocks whose bound ≥ θ (exactness proof in
       the module docstring).
+
+    ``prune=False`` with an over-budget query applies ONLY the budget
+    branch (the coordinator path's exact behavior); under budget it is
+    a no-op — no seed job, no metadata-derived pruning.
     """
     budget = int(getattr(config, "lexical_budget_postings", 0) or 0)
-    # metadata rows are ~60 B; the cap only bounds pathological
-    # many-term queries. Budgeted mode needs the full picture.
+    # EXACT-prune cap only: past this many blocks the seed machinery
+    # costs more than it saves. Budgeted mode takes the FULL metadata
+    # picture at any block count — the coordinator path (local_exec)
+    # holds strictly more per block and does the same, so both engines
+    # apply the budget identically however large the query.
     max_blocks_to_prune = 200_000
-    meta = None
+    cap = None if budget else max_blocks_to_prune
+    cols = [
+        "term", "salt", "block_seq", "n_docs", "first_doc", "last_doc",
+        "block_max_tf", "block_min_dl",
+    ]
+    t = None
     if store is not None:
         # block METADATA via a driver-side row-group-pruned Arrow read
         # (the coordinator path's machinery) — a Spark collect of the
@@ -270,52 +284,59 @@ def _prune_blocks(
         files = _bucket_files(
             store, "postings", {term_bucket(t, store.n_term_buckets) for t in qterms}
         )
-        t = _read_filtered(
-            files,
-            ["term", "salt", "block_seq", "n_docs", "first_doc", "last_doc",
-             "block_max_tf", "block_min_dl"],
-            qterms,
-        )
-        meta = [] if t is None else t.slice(0, max_blocks_to_prune + 1).to_pylist()
-    if meta is None:
-        meta = [
-            r.asDict()
-            for r in blocks.select(
-                "term", "salt", "block_seq", "n_docs", "first_doc", "last_doc",
-                "block_max_tf", "block_min_dl",
+        t = _read_filtered(files, cols, qterms)
+        if t is not None and cap is not None:
+            t = t.slice(0, cap + 1)
+        terms_arr = np.array([] if t is None else t.column("term").to_pylist())
+        def _col(name):
+            return (
+                np.array([], dtype=np.int64)
+                if t is None
+                else t.column(name).to_numpy().astype(np.int64)
             )
-            .limit(max_blocks_to_prune + 1)
-            .collect()
-        ]
-    n_blocks = len(meta)
-    if n_blocks < min_blocks_to_prune or n_blocks > max_blocks_to_prune:
+    else:
+        q = blocks.select(*cols)
+        if cap is not None:
+            q = q.limit(cap + 1)
+        rows = q.collect()
+        terms_arr = np.array([r["term"] for r in rows])
+        def _col(name):
+            return np.array([int(r[name]) for r in rows], dtype=np.int64)
+    n_blocks = len(terms_arr)
+    if n_blocks < min_blocks_to_prune or (cap is not None and n_blocks > cap):
         return blocks, None
-    terms_arr = np.array([r["term"] for r in meta])
-    ns = np.array([int(r["n_docs"]) for r in meta], dtype=np.int64)
-    firsts = np.array([int(r["first_doc"]) for r in meta], dtype=np.int64)
-    lasts = np.array([int(r["last_doc"]) for r in meta], dtype=np.int64)
+    salts = _col("salt")
+    seqs = _col("block_seq")
+    ns = _col("n_docs")
+    firsts = _col("first_doc")
+    lasts = _col("last_doc")
     ub = wand.block_upper_bounds(
         list(terms_arr),
-        [r["block_max_tf"] for r in meta],
-        [r["block_min_dl"] for r in meta],
+        _col("block_max_tf"),
+        _col("block_min_dl"),
         idf, avgdl, config.bm25_k1, config.bm25_b,
     )
     bound = wand.aligned_bounds(terms_arr, firsts, lasts, ub)
     total_postings = int(ns.sum())
 
     if budget and total_postings > budget:
-        salts = np.array([int(r["salt"]) for r in meta], dtype=np.int64)
-        seqs = np.array([int(r["block_seq"]) for r in meta], dtype=np.int64)
         order = wand.selection_order(terms_arr, salts, seqs, bound)
         mask, ranges = wand.budget_ranges(
             terms_arr, firsts, lasts, ns, bound, budget, order=order
         )
         return (
             _filter_blocks_by_keys(
-                blocks.sparkSession, blocks, meta, np.flatnonzero(mask)
+                blocks.sparkSession, blocks, terms_arr, salts, seqs,
+                np.flatnonzero(mask),
             ),
             ranges,
         )
+
+    if not prune:
+        # under-budget query with pruning disabled: the full scan IS the
+        # plan — mirror the coordinator path's `not prune and not
+        # over_budget` straight decode, no seed job
+        return blocks, None
 
     if wand.is_uniform(bound):
         return blocks, None
@@ -323,7 +344,9 @@ def _prune_blocks(
     seed = wand.seed_by_bound(bound, ns, top_k)
     if seed.size >= n_blocks:
         return blocks, None
-    seed_blocks = blocks.filter(_key_col().isin(_keys_of(meta, seed)))
+    seed_blocks = blocks.filter(
+        _key_col().isin(_keys_of(terms_arr, salts, seqs, seed))
+    )
     seed_agg = (
         _score_blocks(seed_blocks, idf, avgdl, config.bm25_k1, config.bm25_b)
         .groupBy("doc_ord")
@@ -347,7 +370,9 @@ def _prune_blocks(
     if len(keep_set) >= 0.7 * n_blocks:
         return blocks, None
     return (
-        _filter_blocks_by_keys(blocks.sparkSession, blocks, meta, sorted(keep_set)),
+        _filter_blocks_by_keys(
+            blocks.sparkSession, blocks, terms_arr, salts, seqs, sorted(keep_set)
+        ),
         None,
     )
 

@@ -246,8 +246,6 @@ class _PositionalCtx:
         self._slots: dict[int, list[list[str]]] = {}
         if not store.has_positions():
             return
-        from rifflux_spark.operators.prefix import is_marker
-
         needed: set[str] = set()
         for i, u in enumerate(units):
             in_near = groups[i] is not None
@@ -256,19 +254,9 @@ class _PositionalCtx:
             )
             if not (in_near or recheck_class):
                 continue
-            slots: list[list[str]] = [[t] for t in (u.tokens[:-1] if u.prefix else u.tokens)]
-            if u.prefix:
-                try:
-                    tail = [
-                        t
-                        for t in expand_prefix_local(store, u.tokens[-1])
-                        if not is_marker(t)
-                    ]
-                except FtsSyntaxError:
-                    continue  # unit stays on the text-recheck path
-                if not tail:
-                    tail = []
-                slots.append(tail)
+            slots = _unit_slot_terms(store, u)
+            if slots is None:
+                continue  # expansion overflow — unit stays on text recheck
             self._slots[i] = slots
             for s in slots:
                 needed.update(s)

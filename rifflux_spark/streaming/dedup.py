@@ -135,20 +135,57 @@ def run_changed_pages(
     return emitted
 
 
-def _committed_batches(store) -> set[int]:
-    """Batch ids already committed to the ``changed_pages`` table —
-    driver-side column-pruned read of a tiny int column. The manifest
-    commit is atomic (generation dir + pointer swap), so a batch id is
-    visible iff ALL of that batch's rows are."""
+# data files are immutable once a generation commits, so their batch-id
+# sets memoize per path — without this, every micro-batch re-reads every
+# committed row's batch_id and a long run degrades quadratically
+_FILE_BATCH_IDS: dict[str, frozenset[int]] = {}
+
+
+def _file_batch_ids(path: str) -> frozenset[int]:
+    got = _FILE_BATCH_IDS.get(path)
+    if got is not None:
+        return got
     import pyarrow.parquet as pq
 
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    ids: set[int] = set()
+    from_stats = True
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        st = None
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            if col.path_in_schema == "batch_id":
+                st = col.statistics
+                break
+        # a generation file holds one batch, so min==max in practice;
+        # any irregularity falls back to reading the column
+        if st is None or not st.has_min_max or st.min != st.max:
+            from_stats = False
+            break
+        ids.add(int(st.min))
+    if not from_stats:
+        ids = {
+            int(v)
+            for v in pf.read(columns=["batch_id"]).column("batch_id").to_pylist()
+        }
+    got = frozenset(ids)
+    _FILE_BATCH_IDS[path] = got
+    return got
+
+
+def _committed_batches(store) -> set[int]:
+    """Batch ids already committed to the ``changed_pages`` table —
+    row-group statistics (or a column-pruned read on fallback), memoized
+    per immutable data file so the per-batch cost is O(new files). The
+    manifest commit is atomic (generation dir + pointer swap), so a
+    batch id is visible iff ALL of that batch's rows are."""
     if not store.exists("changed_pages"):
         return set()
     out: set[int] = set()
     for f in store.data_files("changed_pages"):
-        out.update(
-            int(v) for v in pq.read_table(f, columns=["batch_id"]).column("batch_id").to_pylist()
-        )
+        out.update(_file_batch_ids(str(f)))
     return out
 
 

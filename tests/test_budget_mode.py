@@ -175,16 +175,68 @@ def test_keyfilter_semijoin_lane_is_broadcast(spark, store, monkeypatch) -> None
     from rifflux_spark.operators import bm25 as bm25mod
     from tests.test_physical_plans import explain_str
 
+    import numpy as np
+
     q = _stopword_query(spark, store)
     blocks = store.postings_for_terms(sorted(set(q.split())))
-    meta = [
-        r.asDict()
-        for r in blocks.select("term", "salt", "block_seq").limit(400).collect()
-    ]
-    assert len(meta) > 50, "probe found almost no blocks"
+    rows = blocks.select("term", "salt", "block_seq").limit(400).collect()
+    terms = np.array([r["term"] for r in rows])
+    salts = np.array([int(r["salt"]) for r in rows], dtype=np.int64)
+    seqs = np.array([int(r["block_seq"]) for r in rows], dtype=np.int64)
+    assert len(rows) > 50, "probe found almost no blocks"
     monkeypatch.setattr(bm25mod, "_ISIN_KEY_MAX", 0)
-    filtered = bm25mod._filter_blocks_by_keys(spark, blocks, meta, range(len(meta)))
+    filtered = bm25mod._filter_blocks_by_keys(
+        spark, blocks, terms, salts, seqs, range(len(rows))
+    )
     plan = explain_str(filtered)
     assert "LeftSemi" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
-    assert filtered.count() == len(meta)
+    assert filtered.count() == len(rows)
+
+
+def test_prune_false_with_budget_matches_local_contract(spark, store) -> None:
+    """prune=False + budget: an over-budget query still applies the
+    budget (both engines agree on the doc set); an under-budget query
+    is a straight full scan — _prune_blocks must be a no-op, mirroring
+    the coordinator path's `not prune and not over_budget` branch."""
+    from rifflux_spark.operators import bm25 as bm25mod
+    from rifflux_spark.operators.local_exec import bm25_topk_local, local_df
+
+    over_q = _stopword_query(spark, store)
+    under_q = _rare_query(spark, store)
+    assert sum(local_df(store, sorted(set(over_q.split()))).values()) > BUDGET.lexical_budget_postings
+    assert sum(local_df(store, sorted(set(under_q.split()))).values()) <= BUDGET.lexical_budget_postings
+
+    for q in (over_q, under_q):
+        got_local = bm25_topk_local(
+            store, q, top_k=10, config=BUDGET, prune=False, min_blocks_to_prune=1
+        )
+        got_spark = [
+            (r["doc_ord"], r["bm25_score"])
+            for r in bm25mod.bm25_topk(
+                spark, store, q, 10, BUDGET, prune=False, min_blocks_to_prune=1
+            ).collect()
+        ]
+        assert [d for d, _ in got_spark] == [d for d, _ in got_local], q
+        assert all(
+            abs(a[1] - b[1]) < 1e-9 for a, b in zip(got_spark, got_local)
+        ), q
+
+    # under budget + prune=False: no block filter may be applied — the
+    # plan must be the plain posting scan (no semi-join, no In on the
+    # synthetic key column)
+    blocks, ranges = bm25mod._prune_blocks(
+        store.postings_for_terms(sorted(set(under_q.split()))),
+        {t: 1.0 for t in set(under_q.split())},
+        10,
+        100.0,
+        BUDGET,
+        min_blocks_to_prune=1,
+        store=store,
+        prune=False,
+    )
+    assert ranges is None
+    from tests.test_physical_plans import explain_str
+
+    plan = explain_str(blocks)
+    assert "LeftSemi" not in plan and "concat_ws" not in plan
