@@ -1,0 +1,474 @@
+"""Iceberg v2 writer (sources/iceberg.py) + Avro OCF codec.
+
+Evidence layers, strongest first:
+1. JVM read-back — every Avro file the writer emits is read through
+   the REAL Java Avro library Spark bundles (avro-1.12.1.jar, driven
+   over py4j). Schema parse, codec, sync markers, and every field
+   value are validated by code we did not write, so the OCF bytes are
+   proven to be genuine Avro, not a private dialect that only our own
+   reader accepts.
+2. Iceberg snapshot semantics — the engine's on-disk manifest history
+   replays through mirror_store_history and each Iceberg snapshot's
+   live file set must equal the stand-in manifest's referenced files
+   at that version, including time travel to non-current snapshots.
+3. O(delta) commit cost — an append to a table carries every previous
+   manifest by path (no rewrite) and adds exactly one new manifest:
+   the property that keeps a 10-file commit cheap on a 10M-file table.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rifflux_spark.sources.avro_ocf import read_ocf, write_ocf
+from rifflux_spark.sources.iceberg import (
+    ADDED,
+    DELETED,
+    EXISTING,
+    IcebergTableWriter,
+    iceberg_schema_from_parquet,
+    mirror_store_history,
+)
+from rifflux_spark.sources.tables import IndexStore, TOMBSTONES_SCHEMA
+
+
+# --------------------------------------------------------------- helpers
+
+
+def _jvm_read(spark, path: str):
+    """Read an Avro OCF through the bundled Java Avro library. Returns
+    (records, metadata) with records as plain Python dicts."""
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    schema = reader.getSchema()
+
+    def conv(value, field_schema):
+        if value is None:
+            return None
+        t = field_schema.getType().getName()
+        if t == "union":
+            for branch in field_schema.getTypes():
+                if branch.getType().getName() != "null":
+                    return conv(value, branch)
+            return None
+        if t == "record":
+            return {
+                f.name(): conv(value.get(f.name()), f.schema())
+                for f in field_schema.getFields()
+            }
+        if t == "string":
+            return value.toString()
+        if t == "bytes":
+            bb = value  # java.nio.ByteBuffer
+            out = bytearray()
+            while bb.hasRemaining():
+                out.append(bb.get() & 0xFF)
+            return bytes(out)
+        if t == "array":
+            return [conv(v, field_schema.getElementType()) for v in value]
+        if t == "map":
+            return {
+                k.toString(): conv(value.get(k), field_schema.getValueType())
+                for k in value.keySet()
+            }
+        return value  # int/long/float/double/boolean arrive converted
+
+    records = []
+    while reader.hasNext():
+        rec = reader.next()
+        records.append(
+            {f.name(): conv(rec.get(f.name()), f.schema()) for f in schema.getFields()}
+        )
+    meta = {}
+    for key in ("avro.codec", "format-version", "content", "snapshot-id"):
+        v = reader.getMetaString(key)
+        if v is not None:
+            meta[key] = v
+    reader.close()
+    return records, meta
+
+
+def _tiny_parquet(path: Path, n: int, start: int = 0) -> str:
+    pq.write_table(
+        pa.table({"doc_ord": pa.array(range(start, start + n), pa.int64())}), path
+    )
+    return str(path)
+
+
+TYPED_SCHEMA = {
+    "type": "record",
+    "name": "zoo",
+    "fields": [
+        {"name": "a_long", "type": "long"},
+        {"name": "an_int", "type": "int"},
+        {"name": "a_string", "type": "string"},
+        {"name": "a_bool", "type": "boolean"},
+        {"name": "a_double", "type": "double"},
+        {"name": "opt_set", "type": ["null", "long"], "default": None},
+        {"name": "opt_null", "type": ["null", "string"], "default": None},
+        {
+            "name": "nested",
+            "type": {
+                "type": "record",
+                "name": "inner",
+                "fields": [
+                    {"name": "path", "type": "string"},
+                    {"name": "size", "type": "long"},
+                ],
+            },
+        },
+        {"name": "arr", "type": {"type": "array", "items": "int"}},
+        {"name": "a_map", "type": {"type": "map", "values": "string"}},
+    ],
+}
+
+TYPED_ROWS = [
+    {
+        "a_long": -(2**40) - 7,
+        "an_int": -1,
+        "a_string": "héllo wörld ☃",
+        "a_bool": True,
+        "a_double": 3.140625,
+        "opt_set": 99,
+        "opt_null": None,
+        "nested": {"path": "s3://bucket/part-0.parquet", "size": 12345},
+        "arr": [0, 1, -2, 300000],
+        "a_map": {"k1": "v1", "k2": "v2"},
+    },
+    {
+        "a_long": 0,
+        "an_int": 2**31 - 1,
+        "a_string": "",
+        "a_bool": False,
+        "a_double": -0.5,
+        "opt_set": None,
+        "opt_null": "present",
+        "nested": {"path": "x", "size": 0},
+        "arr": [],
+        "a_map": {},
+    },
+]
+
+
+# ----------------------------------------------------------- OCF codec
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_avro_ocf_jvm_roundtrip(spark, tmp_path, codec):
+    """The strongest claim: Java Avro reads our bytes and sees our
+    values, for both supported codecs, across every type the Iceberg
+    schemas use (incl. negative varints, unicode, unions, nesting)."""
+    path = str(tmp_path / f"zoo-{codec}.avro")
+    write_ocf(path, TYPED_SCHEMA, TYPED_ROWS, codec=codec, metadata={"who": "test"})
+    records, meta = _jvm_read(spark, path)
+    assert meta["avro.codec"] == codec
+    assert len(records) == 2
+    for got, want in zip(records, TYPED_ROWS):
+        for k, v in want.items():
+            if isinstance(v, float):
+                assert abs(got[k] - v) < 1e-12, k
+            else:
+                assert got[k] == v, k
+
+
+def test_avro_ocf_python_roundtrip(tmp_path):
+    path = str(tmp_path / "zoo.avro")
+    write_ocf(path, TYPED_SCHEMA, TYPED_ROWS)
+    schema, meta, records = read_ocf(path)
+    assert schema == TYPED_SCHEMA
+    assert records == TYPED_ROWS
+    assert meta["avro.codec"] == b"deflate"
+
+
+def test_avro_ocf_empty_file(tmp_path):
+    path = str(tmp_path / "empty.avro")
+    write_ocf(path, TYPED_SCHEMA, [])
+    _, _, records = read_ocf(path)
+    assert records == []
+
+
+# ------------------------------------------------------ Iceberg writer
+
+
+def _writer(tmp_path: Path) -> IcebergTableWriter:
+    ticker = iter(range(1_000_000, 2_000_000))
+    return IcebergTableWriter(
+        str(tmp_path / "table"),
+        schema_fields=[{"id": 1, "name": "doc_ord", "required": False, "type": "long"}],
+        clock=lambda: 1_755_000_000.0,
+        snapshot_ids=lambda: next(ticker),
+    )
+
+
+def _df(path: str, n: int) -> dict:
+    import os
+
+    return {
+        "content": 0,
+        "file_path": path,
+        "file_format": "PARQUET",
+        "partition": {},
+        "record_count": n,
+        "file_size_in_bytes": os.path.getsize(path),
+    }
+
+
+def test_iceberg_append_delete_overwrite_and_time_travel(tmp_path):
+    w = _writer(tmp_path)
+    f1 = _tiny_parquet(tmp_path / "f1.parquet", 10)
+    f2 = _tiny_parquet(tmp_path / "f2.parquet", 20, start=10)
+    f3 = _tiny_parquet(tmp_path / "f3.parquet", 5, start=30)
+
+    s1 = w.commit(added=[_df(f1, 10)])
+    s2 = w.commit(added=[_df(f2, 20)])
+    s3 = w.commit(added=[_df(f3, 5)], deleted_paths={f1}, operation="overwrite")
+
+    # live file set now and at every past snapshot (time travel)
+    assert set(w.live_files()) == {f2, f3}
+    assert set(w.live_files(s1["snapshot-id"])) == {f1}
+    assert set(w.live_files(s2["snapshot-id"])) == {f1, f2}
+    assert set(w.live_files(s3["snapshot-id"])) == {f2, f3}
+
+    # record counts survive through metadata (no parquet read needed)
+    assert sum(df["record_count"] for df in w.live_files().values()) == 25
+
+    # metadata.json: required v2 keys, contiguous versions, atomic hint
+    root = Path(w.location)
+    assert (root / "version-hint.text").read_text() == "3"
+    meta = json.loads((root / "metadata" / "v3.metadata.json").read_text())
+    for key in (
+        "format-version", "table-uuid", "location", "last-sequence-number",
+        "last-updated-ms", "last-column-id", "schemas", "current-schema-id",
+        "partition-specs", "default-spec-id", "sort-orders", "snapshots",
+        "current-snapshot-id", "snapshot-log", "metadata-log", "refs",
+    ):
+        assert key in meta, key
+    assert meta["format-version"] == 2
+    assert meta["last-sequence-number"] == 3
+    assert [s["snapshot-id"] for s in meta["snapshot-log"]] == [
+        s["snapshot-id"] for s in (s1, s2, s3)
+    ]
+    assert meta["refs"]["main"]["snapshot-id"] == s3["snapshot-id"]
+    assert meta["snapshots"][2]["summary"]["operation"] == "overwrite"
+    assert meta["snapshots"][2]["summary"]["deleted-data-files"] == "1"
+    # prior metadata files are linked (metadata-log) and still present
+    assert len(meta["metadata-log"]) == 2
+    assert (root / "metadata" / "v1.metadata.json").exists()
+
+
+def test_iceberg_append_is_o_delta(tmp_path):
+    """An append must NOT rewrite prior manifests: snapshot N+1's
+    manifest list references snapshot N's manifests by identical path
+    and adds exactly one new manifest."""
+    w = _writer(tmp_path)
+    f1 = _tiny_parquet(tmp_path / "f1.parquet", 10)
+    f2 = _tiny_parquet(tmp_path / "f2.parquet", 20, start=10)
+    s1 = w.commit(added=[_df(f1, 10)])
+    s2 = w.commit(added=[_df(f2, 20)])
+    _, _, l1 = read_ocf(s1["manifest-list"])
+    _, _, l2 = read_ocf(s2["manifest-list"])
+    assert len(l1) == 1 and len(l2) == 2
+    assert l2[0]["manifest_path"] == l1[0]["manifest_path"], "append rewrote a manifest"
+    assert l2[1]["added_files_count"] == 1 and l2[1]["existing_files_count"] == 0
+
+
+def test_iceberg_delete_rewrites_only_touched_manifest(tmp_path):
+    w = _writer(tmp_path)
+    f1 = _tiny_parquet(tmp_path / "f1.parquet", 10)
+    f2 = _tiny_parquet(tmp_path / "f2.parquet", 20, start=10)
+    f3 = _tiny_parquet(tmp_path / "f3.parquet", 5, start=30)
+    w.commit(added=[_df(f1, 10)])
+    s2 = w.commit(added=[_df(f2, 20), _df(f3, 5)])
+    s3 = w.commit(added=[], deleted_paths={f2}, operation="delete")
+    _, _, l2 = read_ocf(s2["manifest-list"])
+    _, _, l3 = read_ocf(s3["manifest-list"])
+    paths2 = {m["manifest_path"] for m in l2}
+    # f1's manifest carried untouched; f2/f3's manifest rewritten
+    assert l3[0]["manifest_path"] in paths2
+    rewritten = [m for m in l3 if m["manifest_path"] not in paths2]
+    assert len(rewritten) == 1
+    _, _, entries = read_ocf(rewritten[0]["manifest_path"])
+    statuses = {e["data_file"]["file_path"]: e["status"] for e in entries}
+    assert statuses[f2] == DELETED and statuses[f3] == EXISTING
+    # survivor keeps its ORIGINAL sequence number (required for correct
+    # v2 delete-file applicability at read time)
+    surv = next(e for e in entries if e["status"] == EXISTING)
+    assert surv["sequence_number"] == s2["sequence-number"]
+
+
+def test_iceberg_manifest_jvm_readback(spark, tmp_path):
+    """The actual emitted Iceberg metadata (manifest + manifest list)
+    parses and round-trips through Java Avro."""
+    w = _writer(tmp_path)
+    f1 = _tiny_parquet(tmp_path / "f1.parquet", 10)
+    f2 = _tiny_parquet(tmp_path / "f2.parquet", 20, start=10)
+    s = w.commit(added=[_df(f1, 10), _df(f2, 20)])
+
+    lists, lmeta = _jvm_read(spark, s["manifest-list"])
+    assert lmeta["format-version"] == "2"
+    assert lmeta["snapshot-id"] == str(s["snapshot-id"])
+    assert len(lists) == 1
+    mf = lists[0]
+    assert mf["added_files_count"] == 2 and mf["added_rows_count"] == 30
+    assert mf["content"] == 0 and mf["partition_spec_id"] == 0
+    assert Path(mf["manifest_path"]).stat().st_size == mf["manifest_length"]
+
+    entries, emeta = _jvm_read(spark, mf["manifest_path"])
+    assert emeta["format-version"] == "2" and emeta["content"] == "data"
+    assert {e["data_file"]["file_path"] for e in entries} == {f1, f2}
+    assert all(e["status"] == ADDED for e in entries)
+    assert sum(e["data_file"]["record_count"] for e in entries) == 30
+    # the embedded Iceberg schema + spec metadata parse as JSON
+    jvm_reader = spark._jvm.org.apache.avro.file.DataFileReader(
+        spark._jvm.java.io.File(mf["manifest_path"]),
+        spark._jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    assert json.loads(jvm_reader.getMetaString("schema"))["type"] == "struct"
+    assert json.loads(jvm_reader.getMetaString("partition-spec")) == []
+    jvm_reader.close()
+
+
+# --------------------------------------------- store-history mirroring
+
+
+def test_mirror_store_history_matches_stand_in(spark, tmp_path_factory):
+    """Replay the engine's real commit protocol into Iceberg and check
+    every snapshot's live file set equals what the stand-in manifest
+    referenced at that version — the drop-in claim, now exercised
+    against the REAL format rather than asserted."""
+    from pyspark.sql import functions as F
+
+    from rifflux_spark.functions.xxhash64 import term_bucket
+    from rifflux_spark.sources.tables import POSTINGS_SCHEMA
+
+    index_dir = str(tmp_path_factory.mktemp("iceidx"))
+    store = IndexStore(spark, index_dir, n_term_buckets=2)
+
+    def tomb(*ords):
+        return spark.createDataFrame(
+            pd.DataFrame({"doc_ord": list(ords)}), TOMBSTONES_SCHEMA
+        )
+
+    def postings(terms):
+        rows = [
+            (t, 0, 0, 1, i, i, b"\x01", b"\x01", b"\x10", 1, 16, 1)
+            for i, t in enumerate(terms)
+        ]
+        return spark.createDataFrame(rows, POSTINGS_SCHEMA)
+
+    store.write_small(tomb(1, 2), "tombstones", mode="overwrite")  # v1
+    store.write_small(tomb(3), "tombstones", mode="append")        # v2
+    store.write_small(tomb(9), "tombstones", mode="overwrite")     # v3
+    store.write_postings(postings(["alpha", "zulu"]))              # v4
+    b0 = [t for t in ["alpha", "zulu"] if term_bucket(t, 2) == 0]
+    store.overwrite_posting_buckets(
+        postings(b0).withColumn(
+            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(2)).cast("int")
+        ),
+        affected=[0],
+    )                                                              # v5
+
+    warehouse = str(tmp_path_factory.mktemp("icewh"))
+    writers = mirror_store_history(index_dir, warehouse, clock=lambda: 1_755_000_000.0)
+    assert set(writers) == {"tombstones", "postings"}
+
+    # per-version parity: stand-in's referenced parquet files == the
+    # Iceberg snapshot's live files, for EVERY table-change version
+    from rifflux_spark.sources.iceberg import _entry_files
+
+    hist_dir = Path(index_dir) / "_manifests"
+    expected: dict[str, list[set[str]]] = {"tombstones": [], "postings": []}
+    for hpath in sorted(hist_dir.glob("v*.json")):
+        snap = json.loads(hpath.read_text())
+        for name in expected:
+            entry = snap["tables"].get(name)
+            if entry is None:
+                continue
+            files = set(_entry_files(Path(index_dir), entry))
+            if not expected[name] or files != expected[name][-1]:
+                expected[name].append(files)
+
+    for name, w in writers.items():
+        snaps = w.metadata["snapshots"]
+        assert len(snaps) == len(expected[name]), name
+        for snap, want in zip(snaps, expected[name]):
+            assert set(w.live_files(snap["snapshot-id"])) == want, (
+                name,
+                snap["snapshot-id"],
+            )
+
+    # the postings table mirrors the store's bucket partitioning as a
+    # real identity partition spec with per-file partition values
+    pw = writers["postings"]
+    spec = pw.metadata["partition-specs"][0]["fields"]
+    assert [f["name"] for f in spec] == ["term_bucket"]
+    parts = {
+        df["partition"]["term_bucket"] for df in pw.live_files().values()
+    }
+    assert parts <= {0, 1} and parts
+
+    # record counts in metadata equal the parquet files' actual rows
+    for w in writers.values():
+        for path, df in w.live_files().items():
+            assert df["record_count"] == pq.ParquetFile(path).metadata.num_rows
+
+    # derived Iceberg schema matches the parquet schema it mirrors
+    sample = next(iter(writers["tombstones"].live_files()))
+    fields = iceberg_schema_from_parquet(sample)
+    assert {f["name"] for f in fields} >= {"doc_ord"}
+
+    # JVM-validate one mirrored manifest list end-to-end
+    cur = writers["postings"].current_snapshot()
+    lists, lmeta = _jvm_read(spark, cur["manifest-list"])
+    assert lmeta["format-version"] == "2"
+    assert sum(m["added_files_count"] + m["existing_files_count"] for m in lists) == len(
+        writers["postings"].live_files()
+    )
+
+
+def test_mirror_is_idempotent_catchup(spark, tmp_path_factory):
+    """Running the mirror again over an unchanged history must add no
+    snapshots (catch-up-job semantics), and a NEW store commit then
+    mirrors as exactly one more snapshot."""
+    index_dir = str(tmp_path_factory.mktemp("iceidx2"))
+    store = IndexStore(spark, index_dir, n_term_buckets=2)
+
+    def tomb(*ords):
+        return spark.createDataFrame(
+            pd.DataFrame({"doc_ord": list(ords)}), TOMBSTONES_SCHEMA
+        )
+
+    store.write_small(tomb(1), "tombstones", mode="overwrite")
+    warehouse = str(tmp_path_factory.mktemp("icewh2"))
+    w1 = mirror_store_history(index_dir, warehouse)["tombstones"]
+    n1 = len(w1.metadata["snapshots"])
+    assert w1.metadata["properties"]["rifflux.store-version"] == str(
+        json.loads((Path(index_dir) / "_manifest.json").read_text())["version"]
+    )
+
+    # unchanged history re-mirrors as a no-op: the version cursor in
+    # table properties skips everything already mirrored
+    w2 = mirror_store_history(index_dir, warehouse)["tombstones"]
+    assert len(w2.metadata["snapshots"]) == n1
+
+    # one new store commit mirrors as exactly one more snapshot whose
+    # live files equal the stand-in's current referenced files
+    store.write_small(tomb(7), "tombstones", mode="append")
+    w3 = mirror_store_history(index_dir, warehouse, tables=["tombstones"])["tombstones"]
+    assert len(w3.metadata["snapshots"]) == n1 + 1
+    assert w3.metadata["snapshots"][-1]["summary"]["operation"] == "append"
+    current = json.loads((Path(index_dir) / "_manifest.json").read_text())
+    want = {
+        str(p)
+        for d in current["tables"]["tombstones"]["dirs"]
+        for p in (Path(index_dir) / d).glob("**/*.parquet")
+    }
+    assert set(w3.live_files()) == want
