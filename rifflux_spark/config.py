@@ -79,6 +79,19 @@ class EngineConfig:
     # ~100ms. Above the threshold (real cluster scale) the distributed
     # plan runs unchanged. 0 disables the driver path entirely.
     driver_agg_max_bytes: int = 256 << 20
+    # opt-in: every build/incremental commit also advances a REAL
+    # Iceberg v2 mirror (sources/iceberg.py) of the store's tables —
+    # same parquet files, Iceberg metadata + manifests + atomic
+    # version-hint commit. The mirror is cursor-idempotent, so a crash
+    # between the store commit and the mirror heals on the next sync
+    # (IndexStore.sync_iceberg). Warehouse defaults to
+    # <index_dir>/_iceberg (underscore-prefixed: invisible to gc and
+    # table resolution). Note gc() doubles as the mirror's
+    # expire-snapshots: a gc'd generation dir disappears from older
+    # Iceberg snapshots' time-travel reads, exactly like Iceberg's own
+    # snapshot expiry.
+    iceberg_mirror: bool = False
+    iceberg_warehouse: str | None = None
 
     @classmethod
     def from_env(cls) -> "EngineConfig":
@@ -103,6 +116,8 @@ class EngineConfig:
             n_build_shards=int(_env("N_BUILD_SHARDS", "4")),
             n_bucket_splits=int(_env("N_BUCKET_SPLITS", "4")),
             driver_agg_max_bytes=int(_env("DRIVER_AGG_MAX_BYTES", str(256 << 20))),
+            iceberg_mirror=_env("ICEBERG_MIRROR", "0") in ("1", "true", "True"),
+            iceberg_warehouse=_env("ICEBERG_WAREHOUSE", "") or None,
         )
 
 

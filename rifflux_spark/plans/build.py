@@ -522,4 +522,8 @@ def build_index(
 
     metrics["n_docs"] = int(store.corpus_stats()["n_docs"])
     metrics["avgdl"] = avgdl
+    if config.iceberg_mirror:
+        # cursor-idempotent: a rerun/resume never double-commits, and a
+        # crash after the store commit but before this line heals here
+        metrics["iceberg"] = store.sync_iceberg(config.iceberg_warehouse)
     return metrics

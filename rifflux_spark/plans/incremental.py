@@ -393,11 +393,14 @@ def apply_incremental(
         ]
     )
 
-    return {
+    out = {
         "counts": counts,
         "tombstoned": n_tombstoned,
         "appended_chunks": n_appended,
     }
+    if config.iceberg_mirror:
+        out["iceberg"] = store.sync_iceberg(config.iceberg_warehouse)
+    return out
 
 
 def _merge_term_stats(spark: SparkSession, store: IndexStore, delta: DataFrame) -> None:

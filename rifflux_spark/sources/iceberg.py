@@ -598,9 +598,18 @@ def mirror_store_history(
                 part_col = entry.get("partition_col")
                 partition_fields = []
                 if part_col:
+                    # partitioned generation dirs strip the partition
+                    # column from the data files; the Iceberg schema must
+                    # still carry it (spec: a partition field's source
+                    # column is a schema column), so add it if absent
                     src = next(
-                        (f["id"] for f in schema_fields if f["name"] == part_col), 1
+                        (f["id"] for f in schema_fields if f["name"] == part_col), None
                     )
+                    if src is None:
+                        src = max(f["id"] for f in schema_fields) + 1
+                        schema_fields = schema_fields + [
+                            {"id": src, "name": part_col, "required": False, "type": "int"}
+                        ]
                     partition_fields = [
                         {
                             "name": part_col,

@@ -528,6 +528,26 @@ class IndexStore:
         :meth:`gc` (never an inline rmtree)."""
         self._stage(name, {"dirs": []})
 
+    def sync_iceberg(self, warehouse: str | None = None) -> dict:
+        """Advance the REAL Iceberg v2 mirror (sources/iceberg.py) to
+        the store's current snapshot. Idempotent via a per-table store-
+        version cursor in Iceberg table properties, so this doubles as
+        crash catch-up: a commit that landed in the store but missed
+        its mirror heals on the next call. Returns a summary
+        {table: {snapshots, live_files, version}}."""
+        from .iceberg import mirror_store_history
+
+        wh = warehouse or str(Path(self.root) / "_iceberg")
+        writers = mirror_store_history(self.root, wh)
+        return {
+            name: {
+                "version": w.version,
+                "snapshots": len(w.metadata["snapshots"]),
+                "live_files": len(w.live_files()),
+            }
+            for name, w in writers.items()
+        }
+
     def gc(self, min_age_sec: float = 0.0) -> dict:
         """Reclaim generation dirs (and stale legacy gen leaves) that the
         CURRENT manifest no longer references, plus old history files.

@@ -434,6 +434,65 @@ def test_mirror_store_history_matches_stand_in(spark, tmp_path_factory):
     )
 
 
+def test_inline_mirror_through_build_and_incremental(spark, tmp_path_factory):
+    """EngineConfig(iceberg_mirror=True): a real index build commits an
+    Iceberg mirror of every store table inline; an incremental apply
+    advances it; a store commit that 'missed' its mirror (crash window)
+    heals on the next sync_iceberg. Live files always equal the
+    stand-in manifest's referenced files."""
+    from rifflux_spark.config import EngineConfig
+    from rifflux_spark.plans.build import build_index
+    from rifflux_spark.plans.incremental import apply_incremental
+    from rifflux_spark.sources.pages import synthetic_pages
+
+    cfg = EngineConfig(
+        block_size=32,
+        salt_range=256,
+        n_term_buckets=2,
+        n_build_shards=1,
+        embedding_dim=16,
+        iceberg_mirror=True,
+    )
+    index_dir = str(tmp_path_factory.mktemp("inlineidx"))
+    pages = synthetic_pages(spark, 40, seed=7)
+    metrics = build_index(spark, pages, index_dir, cfg)
+    assert "iceberg" in metrics and "postings" in metrics["iceberg"]
+
+    store = IndexStore(spark, index_dir, n_term_buckets=2)
+
+    def live_parity():
+        manifest = json.loads((Path(index_dir) / "_manifest.json").read_text())
+        from rifflux_spark.sources.iceberg import _entry_files, _resume_writer
+
+        for name, entry in manifest["tables"].items():
+            want = set(_entry_files(Path(index_dir), entry))
+            loc = Path(index_dir) / "_iceberg" / name
+            if not want and not loc.exists():
+                continue  # never-mirrored empty table
+            w = _resume_writer(loc, clock=__import__("time").time)
+            assert set(w.live_files()) == want, name
+
+    live_parity()
+
+    # incremental apply advances the mirror inline
+    changed = pages.limit(35)  # 5 urls pruned, others unchanged/updated
+    out = apply_incremental(spark, store, changed, cfg)
+    assert "iceberg" in out
+    live_parity()
+
+    # crash window: a direct store commit with NO inline mirror…
+    store.write_small(
+        spark.createDataFrame(pd.DataFrame({"doc_ord": [12345]}), TOMBSTONES_SCHEMA),
+        "tombstones",
+        mode="append",
+    )
+    # …heals on the next sync (cursor catch-up), nothing double-commits
+    s1 = store.sync_iceberg()
+    s2 = store.sync_iceberg()
+    assert s1 == s2
+    live_parity()
+
+
 def test_mirror_is_idempotent_catchup(spark, tmp_path_factory):
     """Running the mirror again over an unchanged history must add no
     snapshots (catch-up-job semantics), and a NEW store commit then
