@@ -90,6 +90,23 @@ def _iceberg_to_avro(t: str) -> str:
     }[t]
 
 
+def _kv_array(name: str, key_id: int, value_type: str, value_id: int) -> dict:
+    """Iceberg encodes maps with non-string keys (field-id → stat) as
+    Avro arrays of key/value records (spec Appendix B)."""
+    return {
+        "type": "array",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [
+                _req("key", key_id, "int"),
+                _req("value", value_id, value_type),
+            ],
+        },
+        "logicalType": "map",
+    }
+
+
 def data_file_schema(partition_fields: list[dict]) -> dict:
     return {
         "type": "record",
@@ -101,6 +118,12 @@ def data_file_schema(partition_fields: list[dict]) -> dict:
             _req("partition", 102, partition_record_schema(partition_fields)),
             _req("record_count", 103, "long"),
             _req("file_size_in_bytes", 104, "long"),
+            # per-column stats (field-id keyed): what lets a scan plan
+            # prune files from metadata alone, no footer reads
+            _opt("value_counts", 109, _kv_array("k119_v120", 119, "long", 120)),
+            _opt("null_value_counts", 110, _kv_array("k121_v122", 121, "long", 122)),
+            _opt("lower_bounds", 125, _kv_array("k126_v127", 126, "bytes", 127)),
+            _opt("upper_bounds", 128, _kv_array("k129_v130", 129, "bytes", 130)),
         ],
     }
 
@@ -269,6 +292,48 @@ class IcebergTableWriter:
             for e in entries:
                 if e["status"] != DELETED:
                     out[e["data_file"]["file_path"]] = e["data_file"]
+        return out
+
+    def plan_files(
+        self,
+        column: str,
+        lo: Any = None,
+        hi: Any = None,
+        snapshot_id: int | None = None,
+    ) -> list[str]:
+        """Metadata-only scan planning: the files a query over
+        ``column`` in [lo, hi] must read, pruned by partition values and
+        the per-file lower/upper bounds — zero parquet footers opened.
+        A file without stats for the column is kept (pruning must never
+        be wrong, only incomplete). This is the Iceberg-side twin of the
+        engine's own block-range pruning: on a 1000-executor scan the
+        driver plans from manifest metadata alone."""
+        field = next(f for f in self.schema_fields if f["name"] == column)
+        fid, typ = int(field["id"]), field["type"]
+        part_col = next(
+            (f["name"] for f in self.partition_fields if f["name"] == column), None
+        )
+        out = []
+        for path, df in self.live_files(snapshot_id).items():
+            if part_col is not None:
+                pv = (df.get("partition") or {}).get(column)
+                if pv is not None:
+                    if (lo is not None and pv < lo) or (hi is not None and pv > hi):
+                        continue
+                    out.append(path)
+                    continue
+            fmin = fmax = None
+            for e in df.get("lower_bounds") or []:
+                if e["key"] == fid:
+                    fmin = deser_bound(typ, e["value"])
+            for e in df.get("upper_bounds") or []:
+                if e["key"] == fid:
+                    fmax = deser_bound(typ, e["value"])
+            if lo is not None and fmax is not None and fmax < lo:
+                continue
+            if hi is not None and fmin is not None and fmin > hi:
+                continue
+            out.append(path)
         return out
 
     # -- commits --------------------------------------------------------
@@ -504,7 +569,99 @@ def iceberg_schema_from_parquet(path: str) -> list[dict]:
     return fields
 
 
-def _data_file(path: str, partition: dict | None = None) -> dict:
+import struct as _struct
+
+
+def ser_bound(iceberg_type: str, value: Any) -> bytes | None:
+    """Iceberg binary single-value serialization (spec Appendix D)."""
+    if value is None:
+        return None
+    if iceberg_type == "int":
+        return _struct.pack("<i", int(value))
+    if iceberg_type == "long":
+        return _struct.pack("<q", int(value))
+    if iceberg_type == "float":
+        return _struct.pack("<f", float(value))
+    if iceberg_type == "double":
+        return _struct.pack("<d", float(value))
+    if iceberg_type == "boolean":
+        return b"\x01" if value else b"\x00"
+    if iceberg_type == "string":
+        return value.encode("utf-8") if isinstance(value, str) else bytes(value)
+    return None  # binary/nested: no bounds emitted
+
+
+def deser_bound(iceberg_type: str, data: bytes) -> Any:
+    if iceberg_type == "int":
+        return _struct.unpack("<i", data)[0]
+    if iceberg_type == "long":
+        return _struct.unpack("<q", data)[0]
+    if iceberg_type == "float":
+        return _struct.unpack("<f", data)[0]
+    if iceberg_type == "double":
+        return _struct.unpack("<d", data)[0]
+    if iceberg_type == "boolean":
+        return data == b"\x01"
+    if iceberg_type == "string":
+        return data.decode("utf-8")
+    raise ValueError(f"no bound deserialization for {iceberg_type}")
+
+
+def _file_stats(path: str, schema_fields: list[dict]) -> dict:
+    """Per-column stats from the parquet footer (no data read): value &
+    null counts and min/max bounds, keyed by Iceberg field id. Columns
+    without footer statistics simply emit no bound (a reader must then
+    keep the file — never an incorrect prune)."""
+    import pyarrow.parquet as pq
+
+    fid = {f["name"]: (int(f["id"]), f["type"]) for f in schema_fields}
+    meta = pq.ParquetFile(path).metadata
+    counts: dict[int, int] = {}
+    nulls: dict[int, int] = {}
+    lo: dict[int, Any] = {}
+    hi: dict[int, Any] = {}
+    types: dict[int, str] = {}
+    for rg in range(meta.num_row_groups):
+        row_group = meta.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema.split(".")[0]
+            if name not in fid or "." in col.path_in_schema:
+                continue  # nested leaves carry no top-level bounds
+            i, t = fid[name]
+            types[i] = t
+            counts[i] = counts.get(i, 0) + col.num_values
+            st = col.statistics
+            if st is None:
+                continue
+            if st.null_count is not None:
+                nulls[i] = nulls.get(i, 0) + st.null_count
+            if st.has_min_max:
+                lo[i] = st.min if i not in lo else min(lo[i], st.min)
+                hi[i] = st.max if i not in hi else max(hi[i], st.max)
+
+    def kv(d: dict[int, int]) -> list[dict] | None:
+        return [{"key": k, "value": int(v)} for k, v in sorted(d.items())] or None
+
+    def bounds(d: dict[int, Any]) -> list[dict] | None:
+        out = []
+        for k, v in sorted(d.items()):
+            b = ser_bound(types[k], v)
+            if b is not None:
+                out.append({"key": k, "value": b})
+        return out or None
+
+    return {
+        "value_counts": kv(counts),
+        "null_value_counts": kv(nulls),
+        "lower_bounds": bounds(lo),
+        "upper_bounds": bounds(hi),
+    }
+
+
+def _data_file(
+    path: str, partition: dict | None = None, schema_fields: list[dict] | None = None
+) -> dict:
     import pyarrow.parquet as pq
 
     return {
@@ -514,6 +671,7 @@ def _data_file(path: str, partition: dict | None = None) -> dict:
         "partition": partition or {},
         "record_count": pq.ParquetFile(path).metadata.num_rows,
         "file_size_in_bytes": os.path.getsize(path),
+        **(_file_stats(path, schema_fields) if schema_fields else {}),
     }
 
 
@@ -631,7 +789,7 @@ def mirror_store_history(
             removed = set(before) - set(files)
             op = "append" if not removed else ("delete" if not added else "overwrite")
             w.commit(
-                added=[_data_file(p, files[p]) for p in added],
+                added=[_data_file(p, files[p], w.schema_fields) for p in added],
                 deleted_paths=removed,
                 operation=op,
                 properties={"rifflux.store-version": str(version)},

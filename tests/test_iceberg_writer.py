@@ -434,6 +434,45 @@ def test_mirror_store_history_matches_stand_in(spark, tmp_path_factory):
     )
 
 
+def test_column_stats_and_metadata_only_pruning(spark, tmp_path):
+    """Per-file column stats come from parquet footers at commit time;
+    plan_files then prunes a range scan from manifest metadata alone —
+    and the stats-bearing manifest still round-trips through Java Avro."""
+    from rifflux_spark.sources.iceberg import _data_file, deser_bound
+
+    w = _writer(tmp_path)
+    f1 = _tiny_parquet(tmp_path / "f1.parquet", 10, start=0)     # 0..9
+    f2 = _tiny_parquet(tmp_path / "f2.parquet", 10, start=100)   # 100..109
+    f3 = _tiny_parquet(tmp_path / "f3.parquet", 10, start=1000)  # 1000..1009
+    s = w.commit(
+        added=[_data_file(f, schema_fields=w.schema_fields) for f in (f1, f2, f3)]
+    )
+
+    df = w.live_files()[f2]
+    assert {e["key"]: e["value"] for e in df["value_counts"]}[1] == 10
+    lo = {e["key"]: e["value"] for e in df["lower_bounds"]}
+    hi = {e["key"]: e["value"] for e in df["upper_bounds"]}
+    assert deser_bound("long", lo[1]) == 100
+    assert deser_bound("long", hi[1]) == 109
+
+    assert w.plan_files("doc_ord", lo=100, hi=109) == [f2]
+    assert set(w.plan_files("doc_ord", lo=5, hi=105)) == {f1, f2}
+    assert w.plan_files("doc_ord", lo=5000) == []
+    assert set(w.plan_files("doc_ord")) == {f1, f2, f3}
+
+    # a file with NO stats must never be pruned
+    f4 = _tiny_parquet(tmp_path / "f4.parquet", 3, start=50)
+    w.commit(added=[_df(f4, 3)])  # stats omitted
+    assert f4 in w.plan_files("doc_ord", lo=10**9)
+
+    # Java Avro reads the stats maps (arrays of key/value records)
+    _, _, manifests = read_ocf(s["manifest-list"])
+    entries, _ = _jvm_read(spark, manifests[0]["manifest_path"])
+    got = next(e for e in entries if e["data_file"]["file_path"] == f2)
+    jlo = {e["key"]: e["value"] for e in got["data_file"]["lower_bounds"]}
+    assert deser_bound("long", jlo[1]) == 100
+
+
 def test_inline_mirror_through_build_and_incremental(spark, tmp_path_factory):
     """EngineConfig(iceberg_mirror=True): a real index build commits an
     Iceberg mirror of every store table inline; an incremental apply
