@@ -370,6 +370,13 @@ class IcebergTableWriter:
         summary_deleted_rows = 0
         if prev is not None:
             _, _, prev_manifests = read_ocf(prev["manifest-list"])
+            if not deleted_paths:
+                # pure append: carry every manifest by reference WITHOUT
+                # opening it — commit cost must be O(delta) in metadata
+                # reads too, or a 10-file append to a 10M-file table
+                # would re-read the whole entry set
+                carried = list(prev_manifests)
+                prev_manifests = []
             for mf in prev_manifests:
                 _, _, entries = read_ocf(mf["manifest_path"])
                 live = [e for e in entries if e["status"] != DELETED]

@@ -264,15 +264,26 @@ def test_iceberg_append_delete_overwrite_and_time_travel(tmp_path):
     assert (root / "metadata" / "v1.metadata.json").exists()
 
 
-def test_iceberg_append_is_o_delta(tmp_path):
+def test_iceberg_append_is_o_delta(tmp_path, monkeypatch):
     """An append must NOT rewrite prior manifests: snapshot N+1's
     manifest list references snapshot N's manifests by identical path
-    and adds exactly one new manifest."""
+    and adds exactly one new manifest. It must also not READ them —
+    metadata reads during an append are O(delta), never O(table)."""
+    import rifflux_spark.sources.iceberg as ice
+
     w = _writer(tmp_path)
     f1 = _tiny_parquet(tmp_path / "f1.parquet", 10)
     f2 = _tiny_parquet(tmp_path / "f2.parquet", 20, start=10)
     s1 = w.commit(added=[_df(f1, 10)])
+
+    reads: list[str] = []
+    orig = ice.read_ocf
+    monkeypatch.setattr(ice, "read_ocf", lambda p: (reads.append(p) or orig(p)))
     s2 = w.commit(added=[_df(f2, 20)])
+    monkeypatch.undo()
+    assert reads == [s1["manifest-list"]], (
+        "append must read ONLY the previous manifest list, no manifest entries"
+    )
     _, _, l1 = read_ocf(s1["manifest-list"])
     _, _, l2 = read_ocf(s2["manifest-list"])
     assert len(l1) == 1 and len(l2) == 2
