@@ -220,6 +220,53 @@ def test_dup_ngram_fraction_matches_python(spark) -> None:
         assert abs(got[i][1] - py_dup(t, 3)) < 1e-9, (i, got[i][1], py_dup(t, 3))
 
 
+def test_ngram_strings_zipwith_matches_python(spark) -> None:
+    """ngrams_from_tokens builds grams via a zip_with chain (the 15×
+    faster formulation) — the output must stay byte-identical to the
+    definition (all in-order space-joined n-grams of the ascii tokens)
+    across NULL/empty/short/repeat/unicode texts and every n used
+    anywhere in the engine, shingles' distinct included. Guards the
+    slice(start, Int.MaxValue) overflow that silently nulls the chain."""
+    import re
+
+    from rifflux_spark.functions import text_analysis as TA
+
+    texts = [
+        None, "", "  ", "a", "a b", "a b c", "the the the",
+        "A, b! c? d; e", "x" * 5, "dup dup dup dup", "héllo wörld a b c",
+        "a  b\t\nc", "7 8 9 10", "a-b_c d.e",
+        "one two three four five six seven eight nine ten",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+
+    def py_ngrams(t: str | None, n: int) -> list[str]:
+        toks = [x for x in re.split(r"[^0-9a-z]+", (t or "").lower()) if x]
+        if len(toks) < n:
+            return []
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    for n in (1, 2, 3, 5):
+        got = {
+            r["i"]: r["g"]
+            for r in df.select(
+                "i", TA.ngram_strings(F.col("text"), n).alias("g")
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == py_ngrams(t, n), (n, t, got[i])
+
+    for n in (3, 5):
+        got = {
+            r["i"]: r["g"]
+            for r in df.select("i", TA.shingles(F.col("text"), n).alias("g")).collect()
+        }
+        for i, t in enumerate(texts):
+            want = list(dict.fromkeys(py_ngrams(t, n)))
+            assert got[i] == want, (n, t, got[i])
+
+
 def test_boilerplate_segment_stats(spark) -> None:
     """Segments are 10-token non-overlapping windows; a segment in >=3
     distinct docs is boilerplate; short docs yield zero segments."""
