@@ -726,6 +726,39 @@ def mirror_store_history(
     if not hist:
         raise FileNotFoundError(f"no manifest history under {store_root}")
 
+    # serialize concurrent syncs (two drivers, or a maintenance script
+    # racing an inline mirror): the version-hint swap is atomic but the
+    # read-cursor→commit cycle is not. Same flock discipline as the
+    # store's own Manifest.commit; on an object store this becomes the
+    # catalog's CAS, which subsumes it.
+    import contextlib
+
+    try:
+        import fcntl
+    except ImportError:  # pragma: no cover
+        fcntl = None
+
+    @contextlib.contextmanager
+    def _mirror_lock():
+        Path(warehouse).mkdir(parents=True, exist_ok=True)
+        if fcntl is None:  # pragma: no cover
+            yield
+            return
+        fd = os.open(Path(warehouse) / "_mirror.lock", os.O_RDWR | os.O_CREAT, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
+    with _mirror_lock():
+        return _mirror_store_history_locked(root, hist, warehouse, tables, clock)
+
+
+def _mirror_store_history_locked(
+    root: Path, hist: list[Path], warehouse: str, tables: list[str] | None, clock
+) -> dict[str, IcebergTableWriter]:
     writers: dict[str, IcebergTableWriter] = {}
     prev_files: dict[str, dict[str, dict]] = {}
     cursors: dict[str, int] = {}

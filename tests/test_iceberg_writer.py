@@ -195,6 +195,65 @@ def test_avro_ocf_empty_file(tmp_path):
     assert records == []
 
 
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+
+if _HAVE_HYPOTHESIS:
+
+    _FUZZ_ROW = st.fixed_dictionaries(
+        {
+            "a_long": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            "an_int": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+            "a_string": st.text(max_size=80),
+            "a_bool": st.booleans(),
+            "a_double": st.floats(allow_nan=False, width=64),
+            "opt_set": st.one_of(st.none(), st.integers(min_value=-(2**62), max_value=2**62)),
+            "opt_null": st.one_of(st.none(), st.text(max_size=20)),
+            "nested": st.fixed_dictionaries(
+                {"path": st.text(max_size=40), "size": st.integers(0, 2**50)}
+            ),
+            "arr": st.lists(st.integers(-(2**31), 2**31 - 1), max_size=10),
+            "a_map": st.dictionaries(st.text(min_size=1, max_size=10), st.text(max_size=10), max_size=5),
+        }
+    )
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows=st.lists(_FUZZ_ROW, max_size=6), deflate=st.booleans())
+    def test_avro_ocf_jvm_property_fuzz(spark, rows, deflate):
+        """Property fuzz: arbitrary values over every type Iceberg
+        metadata uses must survive write_ocf → Java Avro read, both
+        codecs — varint boundaries (Long.MIN/MAX), unicode, empty
+        collections, null unions. Java Avro is the arbiter."""
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            path = f"{d}/fuzz.avro"
+            write_ocf(
+                path, TYPED_SCHEMA, rows, codec="deflate" if deflate else "null"
+            )
+            records, _ = _jvm_read(spark, path)
+            assert len(records) == len(rows)
+            for got, want in zip(records, rows):
+                for k, v in want.items():
+                    if isinstance(v, float):
+                        assert got[k] == v or abs(got[k] - v) < 1e-12, k
+                    else:
+                        assert got[k] == v, (k, got[k], v)
+            # and the pure-Python reader agrees with what was written
+            _, _, py_records = read_ocf(path)
+            assert py_records == rows
+
+
 # ------------------------------------------------------ Iceberg writer
 
 
