@@ -602,6 +602,112 @@ def test_inline_mirror_through_build_and_incremental(spark, tmp_path_factory):
     live_parity()
 
 
+def test_read_iceberg_snapshot_pruning_and_partition_restore(spark, tmp_path):
+    """read_iceberg plans the scan from Iceberg metadata: current and
+    time-travel snapshots read their exact live rows, bounds pruning
+    hands Spark only surviving files, and stripped partition columns
+    are restored from manifest partition values."""
+    from rifflux_spark.sources.iceberg import _data_file, read_iceberg
+
+    w = _writer(tmp_path)
+    f1 = _tiny_parquet(tmp_path / "f1.parquet", 10, start=0)
+    f2 = _tiny_parquet(tmp_path / "f2.parquet", 10, start=100)
+    s1 = w.commit(added=[_data_file(f1, schema_fields=w.schema_fields)])
+    w.commit(
+        added=[_data_file(f2, schema_fields=w.schema_fields)],
+        deleted_paths={f1},
+        operation="overwrite",
+    )
+
+    cur = read_iceberg(spark, w.location)
+    assert sorted(r["doc_ord"] for r in cur.collect()) == list(range(100, 110))
+    old = read_iceberg(spark, w.location, snapshot_id=s1["snapshot-id"])
+    assert sorted(r["doc_ord"] for r in old.collect()) == list(range(10))
+
+    # bounds pruning: ask for a range only f2 covers — f1 never read
+    w2dir = tmp_path / "t2"
+    w2 = IcebergTableWriter(
+        str(w2dir),
+        schema_fields=[{"id": 1, "name": "doc_ord", "required": False, "type": "long"}],
+        clock=lambda: 1_755_000_000.0,
+    )
+    g1 = _tiny_parquet(tmp_path / "g1.parquet", 10, start=0)
+    g2 = _tiny_parquet(tmp_path / "g2.parquet", 10, start=100)
+    w2.commit(added=[_data_file(g, schema_fields=w2.schema_fields) for g in (g1, g2)])
+    pruned = read_iceberg(
+        spark, str(w2dir), prune_column="doc_ord", prune_lo=100, prune_hi=105
+    )
+    assert pruned.inputFiles() == [f"file://{g2}"] or pruned.inputFiles() == [g2]
+    assert pruned.count() == 10  # file granularity; row filters are Spark's job
+
+    # empty table reads as an empty frame with the Iceberg schema
+    w3 = IcebergTableWriter(
+        str(tmp_path / "t3"),
+        schema_fields=[{"id": 1, "name": "doc_ord", "required": False, "type": "long"}],
+        clock=lambda: 1_755_000_000.0,
+    )
+    w3.commit(added=[])
+    empty = read_iceberg(spark, str(tmp_path / "t3"))
+    assert empty.count() == 0 and empty.columns == ["doc_ord"]
+
+
+def test_build_index_from_iceberg_input(spark, tmp_path_factory):
+    """The north-rule input shape end-to-end: a (url, warc_ts, text)
+    pages corpus committed as an Iceberg table, the index built FROM a
+    read_iceberg snapshot, searched, and the mirrored postings table
+    read back via read_iceberg with its term_bucket partition restored."""
+    from rifflux_spark.config import EngineConfig
+    from rifflux_spark.plans.build import build_index
+    from rifflux_spark.service import SearchService
+    from rifflux_spark.sources.iceberg import (
+        IcebergTableWriter,
+        _data_file,
+        iceberg_schema_from_parquet,
+        read_iceberg,
+    )
+    from rifflux_spark.sources.pages import synthetic_pages
+
+    base = tmp_path_factory.mktemp("icein")
+    pages = synthetic_pages(spark, 120, seed=5)
+    pages_dir = str(base / "pages_data")
+    pages.repartition(3).write.parquet(pages_dir)
+    pfiles = sorted(str(p) for p in Path(pages_dir).glob("*.parquet"))
+
+    table = IcebergTableWriter(
+        str(base / "pages_iceberg"),
+        schema_fields=iceberg_schema_from_parquet(pfiles[0]),
+        clock=lambda: 1_755_000_000.0,
+    )
+    table.commit(added=[_data_file(p, schema_fields=table.schema_fields) for p in pfiles])
+
+    src = read_iceberg(spark, table.location)
+    assert src.count() == 120
+
+    cfg = EngineConfig(
+        block_size=32, salt_range=256, n_term_buckets=2, n_build_shards=1,
+        embedding_dim=16, iceberg_mirror=True,
+    )
+    index_dir = str(tmp_path_factory.mktemp("iceinidx"))
+    build_index(spark, src, index_dir, cfg)
+    svc = SearchService(spark, index_dir, cfg)
+    hits = svc.search("cache ttl", top_k=3, mode="lexical")
+    assert hits and all(h["path"].startswith("https://") for h in hits)
+
+    # read the MIRRORED postings table back through Iceberg metadata,
+    # bucket-pruned, partition column restored
+    post = read_iceberg(
+        spark,
+        str(Path(index_dir) / "_iceberg" / "postings"),
+        prune_column="term_bucket",
+        prune_lo=0,
+        prune_hi=0,
+    )
+    assert "term_bucket" in post.columns
+    vals = {r["term_bucket"] for r in post.select("term_bucket").distinct().collect()}
+    assert vals == {0}
+    assert post.count() > 0
+
+
 def test_mirror_is_idempotent_catchup(spark, tmp_path_factory):
     """Running the mirror again over an unchanged history must add no
     snapshots (catch-up-job semantics), and a NEW store commit then
