@@ -306,6 +306,75 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("url", "n_seen")
 
 
+def q_iceberg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule input shape under the driver gate: the documents
+    corpus is committed as a REAL Iceberg v2 table — partitioned by
+    bucket = doc_id % 4 with the partition column STRIPPED from the
+    data files (spec-conformant: the column lives in the Iceberg
+    schema and the manifests' partition records, not the parquet),
+    snapshot 1 holding buckets {0,1}, snapshot 2 appending {2,3} —
+    then aggregated from two reads planned purely from the table's own
+    metadata: a time-travel read of snapshot 1 and a partition-pruned
+    read of buckets {2,3} at the current snapshot (read_iceberg hands
+    Spark only the surviving files and restores the stripped partition
+    column from manifest values). At 100 TB both plans stay
+    driver-side metadata walks; executors only ever see live files."""
+    import tempfile
+    from pathlib import Path
+
+    from rifflux_spark.sources.iceberg import (
+        IcebergTableWriter,
+        _data_file,
+        iceberg_schema_from_parquet,
+        read_iceberg,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    base = Path(tempfile.mkdtemp(prefix="rifflux_q_iceberg_"))
+    paths = {}
+    for b in range(4):
+        outd = base / f"b{b}"
+        docs.filter((F.col("doc_id") % 4) == b).coalesce(1).write.parquet(str(outd))
+        paths[b] = str(next(outd.glob("part-*.parquet")))
+
+    schema_fields = iceberg_schema_from_parquet(paths[0])
+    src_id = max(f["id"] for f in schema_fields) + 1
+    schema_fields = schema_fields + [
+        {"id": src_id, "name": "bucket", "required": False, "type": "int"}
+    ]
+    w = IcebergTableWriter(
+        str(base / "table"),
+        schema_fields=schema_fields,
+        partition_fields=[
+            {
+                "name": "bucket",
+                "transform": "identity",
+                "transform-type": "int",
+                "source-id": src_id,
+                "field-id": 1000,
+            }
+        ],
+        clock=lambda: 1_755_000_000.0,
+    )
+    s1 = w.commit(
+        added=[_data_file(paths[b], {"bucket": b}, w.schema_fields) for b in (0, 1)]
+    )
+    w.commit(
+        added=[_data_file(paths[b], {"bucket": b}, w.schema_fields) for b in (2, 3)]
+    )
+
+    v1 = read_iceberg(spark, w.location, snapshot_id=s1["snapshot-id"])
+    cur = read_iceberg(spark, w.location, prune_column="bucket", prune_lo=2, prune_hi=3)
+    out = v1.withColumn("snap", F.lit("v1")).unionByName(
+        cur.withColumn("snap", F.lit("current"))
+    )
+    return (
+        out.groupBy("snap", "bucket")
+        .agg(F.count("*").alias("n_docs"), F.sum("doc_id").alias("sum_doc_id"))
+        .orderBy("snap", "bucket")
+    )
+
+
 # ------------------------------------------------------------------ hybrid RRF
 
 
@@ -1420,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prune_missing": q_prune_missing,
         "index_status": q_index_status,
         "streaming_dedup": q_streaming_dedup,
+        "iceberg_scan": q_iceberg_scan,
         # --- dedup / curation family
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
@@ -1822,6 +1892,18 @@ SELECT url, content_sha, n_seen FROM act1
 UNION ALL
 SELECT url, content_sha, n_seen FROM act2
 ORDER BY url, n_seen
+""",
+        "iceberg_scan": """
+WITH b AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS bucket FROM documents)
+SELECT * FROM (
+  SELECT 'v1' AS snap, bucket, COUNT(*)::BIGINT AS n_docs,
+         CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+  FROM b WHERE bucket IN (0, 1) GROUP BY bucket
+  UNION ALL
+  SELECT 'current' AS snap, bucket, COUNT(*)::BIGINT AS n_docs,
+         CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+  FROM b WHERE bucket IN (2, 3) GROUP BY bucket
+) ORDER BY snap, bucket
 """,
         "url_canon": """
 WITH urls AS (

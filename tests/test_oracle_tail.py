@@ -51,7 +51,7 @@ def test_registry_prefix_holds_the_gate_critical_entries():
         "bm25_rare", "bm25_common", "fts_query", "phrase_search",
         "term_stats", "corpus_stats", "posting_list", "semantic_topk",
         "rrf_hybrid", "source_filter", "metadata_kv", "incremental_diff",
-        "prune_missing", "index_status", "streaming_dedup",
+        "prune_missing", "index_status", "streaming_dedup", "iceberg_scan",
     }
     prefix = set(_names[:50])
     missing = core - prefix
