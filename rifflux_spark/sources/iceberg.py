@@ -728,7 +728,13 @@ def read_iceberg(
         files = {p: df for p, df in w.live_files(snapshot_id).items() if p in kept}
     else:
         files = w.live_files(snapshot_id)
+    return _frame_from_files(spark, w, files)
 
+
+def _frame_from_files(spark, w: IcebergTableWriter, files: dict[str, dict]):
+    """Turn a metadata-planned {file_path → data_file} set into a
+    DataFrame: files grouped by partition tuple read together, stripped
+    partition columns restored as literals from manifest values."""
     schema = next(
         s
         for s in w.metadata["schemas"]
@@ -744,8 +750,6 @@ def read_iceberg(
 
     from pyspark.sql import functions as F
 
-    # group files by their partition tuple; each group reads together
-    # and gets its stripped partition columns restored as literals
     groups: dict[tuple, list[str]] = {}
     for p, df in files.items():
         key = tuple((c, (df.get("partition") or {}).get(c)) for c in part_names)
@@ -761,6 +765,87 @@ def read_iceberg(
     for g in parts[1:]:
         out = out.unionByName(g, allowMissingColumns=True)
     return out
+
+
+def current_snapshot_id(location: str) -> int | None:
+    """The table's current snapshot id (None for an empty table) — the
+    cursor a CDC consumer records after processing a snapshot."""
+    snap = _resume_writer(Path(location), time.time).current_snapshot()
+    return None if snap is None else int(snap["snapshot-id"])
+
+
+def iceberg_appends(
+    location: str,
+    from_snapshot_id: int | None = None,
+    to_snapshot_id: int | None = None,
+) -> dict[str, dict]:
+    """Data files APPENDED strictly after ``from_snapshot_id`` up to
+    ``to_snapshot_id`` (inclusive; default current), resolved purely
+    from Iceberg metadata — the incremental append scan Iceberg's own
+    readers expose. O(delta) in metadata reads: the snapshot-ancestry
+    walk opens, per snapshot, only the manifests whose manifest-list
+    entry says that snapshot added files (``added_snapshot_id`` +
+    ``added_files_count``); carried manifests are never opened.
+
+    Like Iceberg, the scan is only defined over append snapshots: an
+    overwrite/delete in the range raises ValueError (row-level deltas
+    of a rewrite are not derivable without delete files)."""
+    w = _resume_writer(Path(location), time.time)
+    snap = (
+        w.current_snapshot()
+        if to_snapshot_id is None
+        else w.snapshot_by_id(to_snapshot_id)
+    )
+    chain: list[dict] = []
+    while snap is not None:
+        if from_snapshot_id is not None and snap["snapshot-id"] == from_snapshot_id:
+            break
+        chain.append(snap)
+        parent = snap.get("parent-snapshot-id")
+        if parent is None:
+            if from_snapshot_id is not None:
+                raise KeyError(
+                    f"snapshot {from_snapshot_id} is not an ancestor of the "
+                    "requested end snapshot"
+                )
+            break
+        snap = w.snapshot_by_id(parent)
+
+    out: dict[str, dict] = {}
+    for s in chain:
+        op = (s.get("summary") or {}).get("operation", "append")
+        if op != "append":
+            raise ValueError(
+                f"snapshot {s['snapshot-id']} is a {op!r}: the incremental "
+                "append scan is only defined over append snapshots"
+            )
+        sid = s["snapshot-id"]
+        _, _, manifests = read_ocf(s["manifest-list"])
+        for mf in manifests:
+            if mf.get("added_snapshot_id") != sid or not mf.get("added_files_count"):
+                continue
+            _, _, entries = read_ocf(mf["manifest_path"])
+            for e in entries:
+                if e["status"] == ADDED:
+                    out[e["data_file"]["file_path"]] = e["data_file"]
+    return out
+
+
+def read_iceberg_appends(
+    spark,
+    location: str,
+    from_snapshot_id: int | None = None,
+    to_snapshot_id: int | None = None,
+):
+    """DataFrame of the rows appended between two snapshots (see
+    :func:`iceberg_appends`) — the input side of the CDC freshness
+    loop: ``apply_from_iceberg`` feeds exactly this frame to the
+    O(delta) incremental index update, so keeping a 10^12-doc index
+    fresh against a growing pages table reads only the new files."""
+    w = _resume_writer(Path(location), time.time)
+    return _frame_from_files(
+        spark, w, iceberg_appends(location, from_snapshot_id, to_snapshot_id)
+    )
 
 
 # ------------------------------------------- store-history mirroring

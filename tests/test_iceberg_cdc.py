@@ -1,0 +1,225 @@
+"""Iceberg incremental append scan + CDC index-freshness loop.
+
+The reference keeps the index fresh with a filesystem watcher feeding
+its O(changed-files) reindex loop (reference indexing/watcher.py:35-243
+→ indexer.py:59-131). The rebuild's north-rule analog watches the INPUT
+TABLE instead: `iceberg_appends` derives the appended-files delta
+between two snapshots purely from Iceberg metadata (the incremental
+append scan Iceberg's own readers expose), and `apply_from_iceberg`
+feeds exactly those rows to the O(delta) incremental index update,
+advancing a snapshot cursor in the store's KV metadata.
+
+Scale property under test: the delta derivation opens only the
+manifests whose manifest-list entry says the in-range snapshot added
+files — a 10-file append to a 10M-file table reads one manifest, so the
+freshness loop stays O(delta) end to end.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from rifflux_spark.config import EngineConfig
+from rifflux_spark.plans.incremental import apply_from_iceberg, record_iceberg_cursor
+from rifflux_spark.sources.iceberg import (
+    IcebergTableWriter,
+    _data_file,
+    iceberg_appends,
+    iceberg_schema_from_parquet,
+    read_iceberg,
+    read_iceberg_appends,
+)
+
+from tests.test_iceberg_writer import _tiny_parquet, _writer
+
+
+# ------------------------------------------------- metadata-only delta
+
+
+def test_appends_between_snapshots(tmp_path):
+    w = _writer(tmp_path)
+    f1 = _tiny_parquet(tmp_path / "f1.parquet", 10, start=0)
+    f2 = _tiny_parquet(tmp_path / "f2.parquet", 10, start=100)
+    f3 = _tiny_parquet(tmp_path / "f3.parquet", 10, start=200)
+    s1 = w.commit(added=[_data_file(f1, schema_fields=w.schema_fields)])
+    s2 = w.commit(added=[_data_file(f2, schema_fields=w.schema_fields)])
+    s3 = w.commit(added=[_data_file(f3, schema_fields=w.schema_fields)])
+
+    # strictly-after semantics: (s1, s3] = f2 + f3; (s2, s3] = f3 only
+    assert set(iceberg_appends(w.location, s1["snapshot-id"])) == {f2, f3}
+    assert set(iceberg_appends(w.location, s2["snapshot-id"])) == {f3}
+    assert set(iceberg_appends(w.location, s3["snapshot-id"])) == set()
+    # from=None walks to the root: the full appended history
+    assert set(iceberg_appends(w.location)) == {f1, f2, f3}
+    # bounded end snapshot
+    assert set(
+        iceberg_appends(w.location, s1["snapshot-id"], s2["snapshot-id"])
+    ) == {f2}
+
+
+def test_appends_rejects_non_append_in_range(tmp_path):
+    w = _writer(tmp_path)
+    f1 = _tiny_parquet(tmp_path / "f1.parquet", 10, start=0)
+    f2 = _tiny_parquet(tmp_path / "f2.parquet", 10, start=100)
+    s1 = w.commit(added=[_data_file(f1, schema_fields=w.schema_fields)])
+    w.commit(
+        added=[_data_file(f2, schema_fields=w.schema_fields)],
+        deleted_paths={f1},
+        operation="overwrite",
+    )
+    with pytest.raises(ValueError, match="overwrite"):
+        iceberg_appends(w.location, s1["snapshot-id"])
+    # a range that stops BEFORE the overwrite stays readable
+    assert set(iceberg_appends(w.location, None, s1["snapshot-id"])) == {f1}
+
+
+def test_appends_unrelated_from_snapshot_raises(tmp_path):
+    w = _writer(tmp_path)
+    f1 = _tiny_parquet(tmp_path / "f1.parquet", 10, start=0)
+    w.commit(added=[_data_file(f1, schema_fields=w.schema_fields)])
+    with pytest.raises(KeyError):
+        iceberg_appends(w.location, from_snapshot_id=999999999)
+
+
+def test_appends_opens_only_delta_manifests(tmp_path, monkeypatch):
+    """O(delta) evidence: deriving the (s2, s3] delta on a 3-snapshot
+    table must open s3's manifest list + exactly ONE manifest (the one
+    s3 added) — never the carried manifests of earlier snapshots."""
+    import rifflux_spark.sources.iceberg as ice
+
+    w = _writer(tmp_path)
+    paths = [
+        _tiny_parquet(tmp_path / f"f{i}.parquet", 5, start=i * 100) for i in range(3)
+    ]
+    snaps = [w.commit(added=[_data_file(p, schema_fields=w.schema_fields)]) for p in paths]
+
+    opened: list[str] = []
+    real = ice.read_ocf
+
+    def counting(path, *a, **kw):
+        opened.append(str(path))
+        return real(path, *a, **kw)
+
+    monkeypatch.setattr(ice, "read_ocf", counting)
+    got = iceberg_appends(w.location, snaps[1]["snapshot-id"])
+    assert set(got) == {paths[2]}
+    manifest_lists = [p for p in opened if "snap-" in Path(p).name or "ml-" in Path(p).name]
+    manifests = [p for p in opened if p not in manifest_lists]
+    assert len(manifests) == 1, f"expected 1 manifest opened, got {opened}"
+
+
+def test_read_appends_restores_partition_columns(spark, tmp_path):
+    fields = [{"id": 1, "name": "doc_ord", "required": False, "type": "long"}]
+    w = IcebergTableWriter(
+        str(tmp_path / "t"),
+        schema_fields=fields + [{"id": 2, "name": "bucket", "required": False, "type": "int"}],
+        partition_fields=[
+            {"name": "bucket", "transform": "identity", "transform-type": "int",
+             "source-id": 2, "field-id": 1000}
+        ],
+        clock=lambda: 1_755_000_000.0,
+    )
+    f1 = _tiny_parquet(tmp_path / "f1.parquet", 4, start=0)
+    f2 = _tiny_parquet(tmp_path / "f2.parquet", 4, start=100)
+    s1 = w.commit(added=[_data_file(f1, {"bucket": 1}, fields)])
+    w.commit(added=[_data_file(f2, {"bucket": 2}, fields)])
+    delta = read_iceberg_appends(spark, w.location, s1["snapshot-id"])
+    rows = {(r["doc_ord"], r["bucket"]) for r in delta.collect()}
+    assert rows == {(i, 2) for i in range(100, 104)}
+
+
+# --------------------------------------------------- CDC freshness loop
+
+
+def _pages_table(spark, base: Path, n: int, seed: int = 7) -> tuple:
+    from rifflux_spark.sources.pages import synthetic_pages
+
+    data_dir = base / "pages_data"
+    synthetic_pages(spark, n, seed=seed).coalesce(1).write.parquet(str(data_dir))
+    pfiles = sorted(str(p) for p in data_dir.glob("*.parquet"))
+    w = IcebergTableWriter(
+        str(base / "pages_iceberg"),
+        schema_fields=iceberg_schema_from_parquet(pfiles[0]),
+        clock=lambda: 1_755_000_000.0,
+    )
+    w.commit(added=[_data_file(p, schema_fields=w.schema_fields) for p in pfiles])
+    return w, data_dir
+
+
+def test_apply_from_iceberg_keeps_index_fresh(spark, tmp_path_factory):
+    """Build from snapshot 1, append new pages as snapshot 2, sync:
+    only the delta is applied, new docs become searchable, and the
+    cursor makes the next sync a no-op."""
+    from rifflux_spark.plans.build import build_index
+    from rifflux_spark.service import SearchService
+    from rifflux_spark.sources.pages import synthetic_pages
+    from rifflux_spark.sources.tables import IndexStore
+
+    base = tmp_path_factory.mktemp("cdc")
+    w, data_dir = _pages_table(spark, base, 60)
+    cfg = EngineConfig(
+        block_size=32, salt_range=256, n_term_buckets=2, n_build_shards=1,
+        embedding_dim=16,
+    )
+    idx = str(tmp_path_factory.mktemp("cdcidx"))
+    build_index(spark, read_iceberg(spark, w.location), idx, cfg)
+    store = IndexStore(spark, idx)
+    cursor = record_iceberg_cursor(store, w.location)
+    assert cursor == w.current_snapshot()["snapshot-id"]
+
+    # cursor at current → no-op, no Spark job
+    out = apply_from_iceberg(spark, store, w.location, cfg)
+    assert out == {"applied": False, "reason": "cursor at current snapshot"}
+
+    # append 20 NEW pages: synthetic_pages derives every page from its
+    # index, so pages 60..79 of an 80-page corpus are genuinely new urls
+    new_dir = base / "delta_data"
+    synthetic_pages(spark, 80, seed=7).filter(
+        "CAST(substring(url, -8, 8) AS INT) >= 60"
+    ).coalesce(1).write.parquet(str(new_dir))
+    dfiles = sorted(str(p) for p in new_dir.glob("*.parquet"))
+    w.commit(added=[_data_file(p, schema_fields=w.schema_fields) for p in dfiles])
+
+    out = apply_from_iceberg(spark, store, w.location, cfg)
+    assert out["applied"] is True
+    assert out["counts"].get("new") == 20
+    assert not out["counts"].get("changed") and not out["counts"].get("deleted")
+
+    store2 = IndexStore(spark, idx)
+    svc = SearchService(spark, idx, cfg)
+    assert svc.index_status()["files"] == 80
+
+    # the synced index answers queries over the union corpus
+    hits = svc.search("cache ttl", top_k=5, mode="lexical")
+    assert hits
+
+    # idempotent: cursor advanced, second sync applies nothing
+    out2 = apply_from_iceberg(spark, store2, w.location, cfg)
+    assert out2 == {"applied": False, "reason": "cursor at current snapshot"}
+
+
+def test_apply_from_iceberg_catchup_without_cursor(spark, tmp_path_factory):
+    """An index built before CDC was enabled (no cursor) catches up from
+    the table root: already-indexed pages classify unchanged via the
+    content-hash fast path, so the apply is a correct no-op upsert."""
+    from rifflux_spark.plans.build import build_index
+    from rifflux_spark.sources.tables import IndexStore
+
+    base = tmp_path_factory.mktemp("cdc2")
+    w, _ = _pages_table(spark, base, 40, seed=11)
+    cfg = EngineConfig(
+        block_size=32, salt_range=256, n_term_buckets=2, n_build_shards=1,
+        embedding_dim=16,
+    )
+    idx = str(tmp_path_factory.mktemp("cdc2idx"))
+    build_index(spark, read_iceberg(spark, w.location), idx, cfg)
+    store = IndexStore(spark, idx)
+
+    out = apply_from_iceberg(spark, store, w.location, cfg)
+    assert out["applied"] is True
+    assert out["counts"].get("unchanged") == 40
+    assert not out["counts"].get("new") and not out["counts"].get("changed")
+    # cursor is now pinned; the next run is metadata-only
+    assert apply_from_iceberg(spark, store, w.location, cfg)["applied"] is False
