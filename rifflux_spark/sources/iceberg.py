@@ -733,38 +733,64 @@ def read_iceberg(
 
 def _frame_from_files(spark, w: IcebergTableWriter, files: dict[str, dict]):
     """Turn a metadata-planned {file_path → data_file} set into a
-    DataFrame: files grouped by partition tuple read together, stripped
-    partition columns restored as literals from manifest values."""
+    DataFrame as ONE parquet scan relation over all surviving files.
+    Partition columns the partitioned writes stripped from the data
+    files are restored by a broadcast join of input_file_name() against
+    the manifest's per-file partition values — the plan stays a single
+    scan + BroadcastHashJoin no matter how many partitions the table
+    has (a per-partition union chain would put thousands of scan
+    relations in the plan at warehouse partition counts)."""
     schema = next(
         s
         for s in w.metadata["schemas"]
         if s["schema-id"] == w.metadata["current-schema-id"]
     )
+    types = {f["name"]: _ICEBERG_TO_SPARK.get(f["type"], "binary") for f in schema["fields"]}
     part_names = [f["name"] for f in w.partition_fields]
-    ddl = ", ".join(
-        f"`{f['name']}` {_ICEBERG_TO_SPARK.get(f['type'], 'binary')}"
-        for f in schema["fields"]
-    )
+    ddl = ", ".join(f"`{f['name']}` {types[f['name']]}" for f in schema["fields"])
     if not files:
         return spark.createDataFrame([], ddl)
 
     from pyspark.sql import functions as F
 
-    groups: dict[tuple, list[str]] = {}
-    for p, df in files.items():
-        key = tuple((c, (df.get("partition") or {}).get(c)) for c in part_names)
-        groups.setdefault(key, []).append(p)
-    parts = []
-    for key, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
-        g = spark.read.parquet(*sorted(paths))
-        for col, val in key:
-            if col not in g.columns:
-                g = g.withColumn(col, F.lit(val).cast("int"))
-        parts.append(g)
-    out = parts[0]
-    for g in parts[1:]:
-        out = out.unionByName(g, allowMissingColumns=True)
-    return out
+    out = spark.read.parquet(*sorted(files))
+    missing = [c for c in part_names if c not in out.columns]
+    if not missing:
+        return out
+
+    part_vals = {
+        p: tuple((df.get("partition") or {}).get(c) for c in missing)
+        for p, df in files.items()
+    }
+    if len(set(part_vals.values())) == 1:
+        # one partition tuple (e.g. a pruned single-partition read):
+        # literals, no join at all
+        for c, v in zip(missing, next(iter(part_vals.values()))):
+            out = out.withColumn(c, F.lit(v).cast(types.get(c, "int")))
+        return out
+
+    # input_file_name() yields a URI; map every spelling a local or
+    # hdfs/s3 path can take so the join key always matches
+    rows = []
+    for p, vals in part_vals.items():
+        spellings = {p, f"file:{p}", f"file://{p}"}
+        try:
+            spellings.add(Path(p).as_uri())
+        except ValueError:
+            pass  # relative path: the bare spelling still matches
+        for uri in sorted(spellings):
+            rows.append((uri, *vals))
+    map_ddl = "`__file_uri` string, " + ", ".join(
+        f"`{c}` {types.get(c, 'int')}" for c in missing
+    )
+    fmap = F.broadcast(
+        spark.createDataFrame(rows, map_ddl).dropDuplicates(["__file_uri"])
+    )
+    return (
+        out.withColumn("__file_uri", F.input_file_name())
+        .join(fmap, "__file_uri", "left")
+        .drop("__file_uri")
+    )
 
 
 def current_snapshot_id(location: str) -> int | None:

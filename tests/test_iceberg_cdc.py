@@ -130,6 +130,40 @@ def test_read_appends_restores_partition_columns(spark, tmp_path):
     assert rows == {(i, 2) for i in range(100, 104)}
 
 
+def test_partition_restore_is_one_scan_plus_broadcast(spark, tmp_path):
+    """Scale shape of the metadata-planned read: restoring stripped
+    partition columns must NOT union one scan relation per partition —
+    the plan is ONE parquet scan over all surviving files plus a
+    broadcast input_file_name() join against the manifest's partition
+    values, so a 10k-partition table plans the same as a 4-partition
+    one."""
+    fields = [{"id": 1, "name": "doc_ord", "required": False, "type": "long"}]
+    w = IcebergTableWriter(
+        str(tmp_path / "t"),
+        schema_fields=fields + [{"id": 2, "name": "bucket", "required": False, "type": "int"}],
+        partition_fields=[
+            {"name": "bucket", "transform": "identity", "transform-type": "int",
+             "source-id": 2, "field-id": 1000}
+        ],
+        clock=lambda: 1_755_000_000.0,
+    )
+    for b in range(4):
+        f = _tiny_parquet(tmp_path / f"f{b}.parquet", 3, start=b * 10)
+        w.commit(added=[_data_file(f, {"bucket": b}, fields)])
+
+    df = read_iceberg(spark, w.location)
+    rows = {(r["doc_ord"], r["bucket"]) for r in df.collect()}
+    assert rows == {(b * 10 + i, b) for b in range(4) for i in range(3)}
+
+    from tests.test_physical_plans import explain_str
+
+    # AQE echoes the initial plan after the final one — pin the final
+    plan = explain_str(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Union" not in plan, plan
+
+
 # --------------------------------------------------- CDC freshness loop
 
 
