@@ -666,10 +666,22 @@ class SearchService:
             SearchService._last_auto_reindex[key] = now
 
         def run() -> dict:
-            from rifflux_spark.plans.incremental import apply_incremental
+            from pathlib import Path
 
-            pages = self.spark.read.parquet(self.pages_path)
-            metrics = apply_incremental(self.spark, self.store, pages, self.config)
+            if Path(self.pages_path, "version-hint.text").exists():
+                # pages_path is an Iceberg table: the reindex reads only
+                # the files appended since the last applied snapshot
+                # (metadata-planned CDC) instead of re-diffing the corpus
+                from rifflux_spark.plans.incremental import apply_from_iceberg
+
+                metrics = apply_from_iceberg(
+                    self.spark, self.store, self.pages_path, self.config
+                )
+            else:
+                from rifflux_spark.plans.incremental import apply_incremental
+
+                pages = self.spark.read.parquet(self.pages_path)
+                metrics = apply_incremental(self.spark, self.store, pages, self.config)
             self._cstats = None  # corpus stats may have changed
             return metrics
 

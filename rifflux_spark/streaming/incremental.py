@@ -141,3 +141,82 @@ def run_continuous(
         query.stop()
         query.awaitTermination(30)
     return results
+
+
+def watch_iceberg(
+    spark: SparkSession,
+    table_location: str,
+    index_dir: str,
+    config: EngineConfig | None = None,
+    with_embeddings: bool = True,
+    poll_interval_s: float = 1.0,
+    stop_after_applies: int | None = None,
+    timeout_s: float = 120.0,
+    stop_event=None,
+):
+    """The reference's file watcher pointed at the north rule's INPUT
+    TABLE: poll the Iceberg table's current snapshot id — a
+    version-hint file read, no Spark job — and when it moves, run
+    :func:`rifflux_spark.plans.incremental.apply_from_iceberg`, which
+    reads only the appended files (metadata-planned incremental append
+    scan) and applies them through the O(delta) index update. The
+    debounce role of the reference watcher falls out of the snapshot
+    granularity: however many files land, one commit is one apply.
+
+    ``stop_after_applies=N`` runs inline until N applies (or
+    ``timeout_s``) and returns their metrics — the test/maintenance
+    shape. With ``None`` a daemon thread is started and
+    ``(thread, stop_event)`` is returned; the caller owns the
+    lifecycle (set the event to stop; ``session.graceful_shutdown``
+    stops Structured Streaming queries, not this poller)."""
+    import logging
+    import threading
+    import time
+
+    from rifflux_spark.plans.incremental import apply_from_iceberg
+    from rifflux_spark.sources.iceberg import current_snapshot_id
+
+    config = config or EngineConfig()
+    store = IndexStore(spark, index_dir, config.n_term_buckets)
+    results: list[dict] = []
+    stop_event = stop_event or threading.Event()
+    last_seen: int | None = None
+
+    def tick() -> bool:
+        nonlocal last_seen
+        cur = current_snapshot_id(table_location)
+        if cur is None or cur == last_seen:
+            return False
+        out = apply_from_iceberg(
+            spark, store, table_location, config, with_embeddings=with_embeddings
+        )
+        last_seen = cur
+        if out.get("applied"):
+            results.append(out)
+            return True
+        return False
+
+    if stop_after_applies is not None:
+        t0 = time.monotonic()
+        while (
+            len(results) < stop_after_applies
+            and time.monotonic() - t0 < timeout_s
+            and not stop_event.is_set()
+        ):
+            tick()
+            if len(results) >= stop_after_applies:
+                break
+            stop_event.wait(poll_interval_s)
+        return results
+
+    def loop() -> None:
+        while not stop_event.is_set():
+            try:
+                tick()
+            except Exception:
+                logging.getLogger(__name__).exception("iceberg watcher tick failed")
+            stop_event.wait(poll_interval_s)
+
+    thread = threading.Thread(target=loop, name="rifflux-iceberg-watch", daemon=True)
+    thread.start()
+    return thread, stop_event

@@ -234,6 +234,96 @@ def test_apply_from_iceberg_keeps_index_fresh(spark, tmp_path_factory):
     assert out2 == {"applied": False, "reason": "cursor at current snapshot"}
 
 
+def test_watch_iceberg_applies_on_snapshot_move(spark, tmp_path_factory):
+    """The watcher analog over the input table: an unbounded poller
+    thread picks up an Iceberg append within its poll interval and the
+    index answers queries over the grown corpus; a bounded run with no
+    table movement returns empty."""
+    import threading
+    import time
+
+    from rifflux_spark.plans.build import build_index
+    from rifflux_spark.service import SearchService
+    from rifflux_spark.sources.pages import synthetic_pages
+    from rifflux_spark.sources.tables import IndexStore
+    from rifflux_spark.streaming.incremental import watch_iceberg
+
+    base = tmp_path_factory.mktemp("watch")
+    w, _ = _pages_table(spark, base, 30, seed=3)
+    cfg = EngineConfig(
+        block_size=32, salt_range=256, n_term_buckets=2, n_build_shards=1,
+        embedding_dim=16,
+    )
+    idx = str(tmp_path_factory.mktemp("watchidx"))
+    build_index(spark, read_iceberg(spark, w.location), idx, cfg)
+    record_iceberg_cursor(IndexStore(spark, idx), w.location)
+
+    # bounded run, nothing new: returns [] after the timeout
+    assert (
+        watch_iceberg(
+            spark, w.location, idx, cfg,
+            poll_interval_s=0.05, stop_after_applies=1, timeout_s=0.5,
+        )
+        == []
+    )
+
+    thread, stop = watch_iceberg(spark, w.location, idx, cfg, poll_interval_s=0.2)
+    try:
+        new_dir = base / "delta"
+        synthetic_pages(spark, 40, seed=3).filter(
+            "CAST(substring(url, -8, 8) AS INT) >= 30"
+        ).coalesce(1).write.parquet(str(new_dir))
+        dfiles = sorted(str(p) for p in new_dir.glob("*.parquet"))
+        w.commit(added=[_data_file(p, schema_fields=w.schema_fields) for p in dfiles])
+
+        svc = SearchService(spark, idx, cfg)
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            if svc.index_status()["files"] == 40:
+                break
+            time.sleep(0.25)
+        assert svc.index_status()["files"] == 40
+    finally:
+        stop.set()
+        thread.join(timeout=10)
+    assert not thread.is_alive()
+
+
+def test_auto_reindex_uses_cdc_for_iceberg_pages_path(spark, tmp_path_factory):
+    """SearchService(pages_path=<iceberg table>) auto-reindex runs the
+    CDC apply: after an append, an inline maybe_auto_reindex reports the
+    applied snapshot range and the new pages become searchable."""
+    from rifflux_spark.plans.build import build_index
+    from rifflux_spark.service import SearchService
+    from rifflux_spark.sources.pages import synthetic_pages
+    from rifflux_spark.sources.tables import IndexStore
+
+    base = tmp_path_factory.mktemp("autocdc")
+    w, _ = _pages_table(spark, base, 25, seed=9)
+    cfg = EngineConfig(
+        block_size=32, salt_range=256, n_term_buckets=2, n_build_shards=1,
+        embedding_dim=16, auto_reindex_min_interval_seconds=0.0,
+    )
+    idx = str(tmp_path_factory.mktemp("autocdcidx"))
+    build_index(spark, read_iceberg(spark, w.location), idx, cfg)
+    record_iceberg_cursor(IndexStore(spark, idx), w.location)
+
+    new_dir = base / "delta"
+    synthetic_pages(spark, 35, seed=9).filter(
+        "CAST(substring(url, -8, 8) AS INT) >= 25"
+    ).coalesce(1).write.parquet(str(new_dir))
+    dfiles = sorted(str(p) for p in new_dir.glob("*.parquet"))
+    snap = w.commit(added=[_data_file(p, schema_fields=w.schema_fields) for p in dfiles])
+
+    svc = SearchService(spark, idx, cfg, pages_path=w.location)
+    out = svc.maybe_auto_reindex(background=False)
+    assert out["executed"] is True
+    assert out["metrics"]["applied"] is True
+    assert out["metrics"]["to_snapshot"] == snap["snapshot-id"]
+    assert out["metrics"]["counts"].get("new") == 10
+    assert svc.index_status()["files"] == 35
+
+
 def test_apply_from_iceberg_catchup_without_cursor(spark, tmp_path_factory):
     """An index built before CDC was enabled (no cursor) catches up from
     the table root: already-indexed pages classify unchanged via the
