@@ -20,6 +20,15 @@ def package_zip() -> str:
     ``spark-submit --py-files`` artifact (north_rule). Built lazily into
     the session temp dir; cheap (~100KB)."""
     pkg_root = Path(__file__).resolve().parent
+    if not pkg_root.is_dir():
+        # already imported FROM a --py-files zip (spark-submit): the
+        # archive itself is the artifact; rebuilding from a nonexistent
+        # directory would clobber it with an empty zip
+        import rifflux_spark
+
+        archive = getattr(getattr(rifflux_spark, "__loader__", None), "archive", None)
+        if archive:
+            return str(archive)
     out = Path(tempfile.gettempdir()) / "rifflux_spark_pyfiles.zip"
     with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
         for py in sorted(pkg_root.rglob("*.py")):
