@@ -404,6 +404,7 @@ def apply_incremental(
 
 
 _ICEBERG_CURSOR_KEY = "iceberg.last_applied_snapshot"
+_ICEBERG_TABLE_KEY = "iceberg.table_location"
 
 
 def apply_from_iceberg(
@@ -435,6 +436,15 @@ def apply_from_iceberg(
     cur = current_snapshot_id(location)
     if cur is None:
         return {"applied": False, "reason": "empty table"}
+    # the cursor is only meaningful against the table it was taken
+    # from: a snapshot id from table A must never bound a scan of
+    # table B (ids are unrelated sequences)
+    bound = store.meta_get(_ICEBERG_TABLE_KEY)
+    if bound is not None and bound != str(location):
+        raise ValueError(
+            f"index CDC cursor is bound to table {bound!r}, not {location!r}; "
+            "use a fresh index or re-pin with record_iceberg_cursor"
+        )
     last = store.meta_get(_ICEBERG_CURSOR_KEY)
     if last is not None and int(last) == cur:
         return {"applied": False, "reason": "cursor at current snapshot"}
@@ -447,6 +457,8 @@ def apply_from_iceberg(
         with_embeddings=with_embeddings, full_snapshot=False,
     )
     store.meta_set(_ICEBERG_CURSOR_KEY, str(cur))
+    if bound is None:
+        store.meta_set(_ICEBERG_TABLE_KEY, str(location))
     out["applied"] = True
     out["from_snapshot"] = int(last) if last is not None else None
     out["to_snapshot"] = cur
@@ -462,6 +474,7 @@ def record_iceberg_cursor(store: IndexStore, location: str) -> int | None:
     cur = current_snapshot_id(location)
     if cur is not None:
         store.meta_set(_ICEBERG_CURSOR_KEY, str(cur))
+        store.meta_set(_ICEBERG_TABLE_KEY, str(location))
     return cur
 
 

@@ -347,3 +347,9 @@ def test_apply_from_iceberg_catchup_without_cursor(spark, tmp_path_factory):
     assert not out["counts"].get("new") and not out["counts"].get("changed")
     # cursor is now pinned; the next run is metadata-only
     assert apply_from_iceberg(spark, store, w.location, cfg)["applied"] is False
+
+    # the cursor is bound to ITS table: syncing the same index from a
+    # different table location must refuse, not misread the cursor
+    other, _ = _pages_table(spark, tmp_path_factory.mktemp("cdc3"), 5, seed=12)
+    with pytest.raises(ValueError, match="bound to table"):
+        apply_from_iceberg(spark, store, other.location, cfg)
