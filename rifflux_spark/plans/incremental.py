@@ -430,9 +430,22 @@ def apply_from_iceberg(
     starts from the table's first snapshot; the diff's content-hash
     fast path then skips already-indexed pages, so the catch-up run is
     correct, just not O(delta). Builders that want O(delta) from day
-    one record the build snapshot via ``record_iceberg_cursor``."""
-    from rifflux_spark.sources.iceberg import current_snapshot_id, read_iceberg_appends
+    one record the build snapshot via ``record_iceberg_cursor``.
 
+    A NON-APPEND snapshot in the range (compaction, overwrite, delete —
+    routine table maintenance) has no derivable row-level delta, so the
+    loop falls back ONCE to a full re-diff of the current snapshot
+    (``full_snapshot=True``: pruned urls become deletions) and re-pins
+    the cursor past the rewrite — freshness degrades to O(table) for
+    that one sync instead of bricking every CDC consumer forever."""
+    from rifflux_spark.sources.iceberg import (
+        current_snapshot_id,
+        normalized_location,
+        read_iceberg,
+        read_iceberg_appends,
+    )
+
+    loc = normalized_location(location)
     cur = current_snapshot_id(location)
     if cur is None:
         return {"applied": False, "reason": "empty table"}
@@ -440,41 +453,55 @@ def apply_from_iceberg(
     # from: a snapshot id from table A must never bound a scan of
     # table B (ids are unrelated sequences)
     bound = store.meta_get(_ICEBERG_TABLE_KEY)
-    if bound is not None and bound != str(location):
+    if bound is not None and bound != loc:
         raise ValueError(
-            f"index CDC cursor is bound to table {bound!r}, not {location!r}; "
+            f"index CDC cursor is bound to table {bound!r}, not {loc!r}; "
             "use a fresh index or re-pin with record_iceberg_cursor"
         )
     last = store.meta_get(_ICEBERG_CURSOR_KEY)
     if last is not None and int(last) == cur:
         return {"applied": False, "reason": "cursor at current snapshot"}
-    pages = read_iceberg_appends(
-        spark, location, from_snapshot_id=int(last) if last is not None else None,
-        to_snapshot_id=cur,
-    )
+    try:
+        pages = read_iceberg_appends(
+            spark, location, from_snapshot_id=int(last) if last is not None else None,
+            to_snapshot_id=cur,
+        )
+        full_snapshot = False
+        fallback = None
+    except ValueError as e:
+        pages = read_iceberg(spark, location, snapshot_id=cur)
+        full_snapshot = True
+        fallback = f"full-snapshot re-diff ({e})"
     out = apply_incremental(
         spark, store, pages, config,
-        with_embeddings=with_embeddings, full_snapshot=False,
+        with_embeddings=with_embeddings, full_snapshot=full_snapshot,
     )
     store.meta_set(_ICEBERG_CURSOR_KEY, str(cur))
     if bound is None:
-        store.meta_set(_ICEBERG_TABLE_KEY, str(location))
+        store.meta_set(_ICEBERG_TABLE_KEY, loc)
     out["applied"] = True
     out["from_snapshot"] = int(last) if last is not None else None
     out["to_snapshot"] = cur
+    if fallback:
+        out["fallback"] = fallback
     return out
 
 
-def record_iceberg_cursor(store: IndexStore, location: str) -> int | None:
-    """Pin the CDC cursor to the table's current snapshot — called right
-    after building an index FROM read_iceberg(location), so the first
-    apply_from_iceberg reads only post-build appends."""
-    from rifflux_spark.sources.iceberg import current_snapshot_id
+def record_iceberg_cursor(
+    store: IndexStore, location: str, snapshot_id: int | None = None
+) -> int | None:
+    """Pin the CDC cursor — called right after building an index FROM
+    ``read_iceberg(location)`` so the first apply_from_iceberg reads
+    only post-build appends. Pass the SNAPSHOT THE BUILD ACTUALLY READ
+    as ``snapshot_id``: defaulting to the table's current snapshot is
+    only correct with no concurrent writer (an append committed during
+    the build would land behind the cursor and never be applied)."""
+    from rifflux_spark.sources.iceberg import current_snapshot_id, normalized_location
 
-    cur = current_snapshot_id(location)
+    cur = snapshot_id if snapshot_id is not None else current_snapshot_id(location)
     if cur is not None:
         store.meta_set(_ICEBERG_CURSOR_KEY, str(cur))
-        store.meta_set(_ICEBERG_TABLE_KEY, str(location))
+        store.meta_set(_ICEBERG_TABLE_KEY, normalized_location(location))
     return cur
 
 

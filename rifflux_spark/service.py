@@ -666,9 +666,9 @@ class SearchService:
             SearchService._last_auto_reindex[key] = now
 
         def run() -> dict:
-            from pathlib import Path
+            from rifflux_spark.sources.iceberg import is_iceberg_table
 
-            if Path(self.pages_path, "version-hint.text").exists():
+            if is_iceberg_table(self.pages_path):
                 # pages_path is an Iceberg table: the reindex reads only
                 # the files appended since the last applied snapshot
                 # (metadata-planned CDC) instead of re-diffing the corpus

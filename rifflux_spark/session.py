@@ -27,8 +27,12 @@ def package_zip() -> str:
         import rifflux_spark
 
         archive = getattr(getattr(rifflux_spark, "__loader__", None), "archive", None)
-        if archive:
-            return str(archive)
+        if not archive:
+            raise RuntimeError(
+                "rifflux_spark is not a filesystem package and its loader "
+                "exposes no archive — refusing to write an empty zip"
+            )
+        return str(archive)
     out = Path(tempfile.gettempdir()) / "rifflux_spark_pyfiles.zip"
     with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
         for py in sorted(pkg_root.rglob("*.py")):

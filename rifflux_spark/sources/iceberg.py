@@ -300,6 +300,7 @@ class IcebergTableWriter:
         lo: Any = None,
         hi: Any = None,
         snapshot_id: int | None = None,
+        files: dict[str, dict] | None = None,
     ) -> list[str]:
         """Metadata-only scan planning: the files a query over
         ``column`` in [lo, hi] must read, pruned by partition values and
@@ -307,14 +308,19 @@ class IcebergTableWriter:
         A file without stats for the column is kept (pruning must never
         be wrong, only incomplete). This is the Iceberg-side twin of the
         engine's own block-range pruning: on a 1000-executor scan the
-        driver plans from manifest metadata alone."""
+        driver plans from manifest metadata alone.
+
+        ``files`` takes a pre-read :meth:`live_files` dict so callers
+        that already walked the manifests don't pay the walk twice."""
         field = next(f for f in self.schema_fields if f["name"] == column)
         fid, typ = int(field["id"]), field["type"]
         part_col = next(
             (f["name"] for f in self.partition_fields if f["name"] == column), None
         )
         out = []
-        for path, df in self.live_files(snapshot_id).items():
+        if files is None:
+            files = self.live_files(snapshot_id)
+        for path, df in files.items():
             if part_col is not None:
                 pv = (df.get("partition") or {}).get(column)
                 if pv is not None:
@@ -721,13 +727,10 @@ def read_iceberg(
     runtime jar is involved — the table format is just metadata over
     parquet, which is the point of implementing it."""
     w = _resume_writer(Path(location), time.time)
+    files = w.live_files(snapshot_id)  # ONE manifest walk, shared with pruning
     if prune_column is not None:
-        kept = set(
-            w.plan_files(prune_column, prune_lo, prune_hi, snapshot_id=snapshot_id)
-        )
-        files = {p: df for p, df in w.live_files(snapshot_id).items() if p in kept}
-    else:
-        files = w.live_files(snapshot_id)
+        kept = set(w.plan_files(prune_column, prune_lo, prune_hi, files=files))
+        files = {p: df for p, df in files.items() if p in kept}
     return _frame_from_files(spark, w, files)
 
 
@@ -773,11 +776,17 @@ def _frame_from_files(spark, w: IcebergTableWriter, files: dict[str, dict]):
     # hdfs/s3 path can take so the join key always matches
     rows = []
     for p, vals in part_vals.items():
+        # input_file_name() always yields a fully-qualified URI, so a
+        # relative file_path must be resolved (against the driver cwd,
+        # which is what spark.read.parquet qualified it against too)
+        # before spelling out URI forms — the bare string alone would
+        # never match and the left join would NULL the partition column
         spellings = {p, f"file:{p}", f"file://{p}"}
-        try:
-            spellings.add(Path(p).as_uri())
-        except ValueError:
-            pass  # relative path: the bare spelling still matches
+        for q in (Path(p), Path(p).resolve()):
+            try:
+                spellings.add(q.as_uri())
+            except (ValueError, OSError):
+                pass  # relative: only the resolved form has a URI
         for uri in sorted(spellings):
             rows.append((uri, *vals))
     map_ddl = "`__file_uri` string, " + ", ".join(
@@ -791,6 +800,28 @@ def _frame_from_files(spark, w: IcebergTableWriter, files: dict[str, dict]):
         .join(fmap, "__file_uri", "left")
         .drop("__file_uri")
     )
+
+
+def is_iceberg_table(location: str) -> bool:
+    """Whether ``location`` is an Iceberg table this module can read.
+    LOCAL filesystem only (the version-hint probe is a Path check): a
+    remote location (s3://, hdfs://, …) returns False — callers that
+    mean a remote Iceberg table need a real catalog/runtime, and
+    silently treating it as a parquet directory would be worse than
+    failing, so scripts should reject scheme'd paths explicitly."""
+    if "://" in str(location):
+        return False
+    return Path(location, "version-hint.text").exists()
+
+
+def normalized_location(location: str) -> str:
+    """Canonical spelling of a LOCAL table location for cursor binding:
+    trailing slashes and relative spellings of the same directory must
+    compare equal. Scheme'd locations pass through untouched."""
+    loc = str(location)
+    if "://" in loc:
+        return loc
+    return str(Path(loc).resolve())
 
 
 def current_snapshot_id(location: str) -> int | None:

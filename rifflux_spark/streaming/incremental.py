@@ -176,8 +176,13 @@ def watch_iceberg(
     from rifflux_spark.plans.incremental import apply_from_iceberg
     from rifflux_spark.sources.iceberg import current_snapshot_id
 
+    # config=None must auto-detect the index's persisted layout (pass
+    # None buckets), not impose EngineConfig's default bucket count on
+    # an index built with a different one
+    store = IndexStore(
+        spark, index_dir, config.n_term_buckets if config is not None else None
+    )
     config = config or EngineConfig()
-    store = IndexStore(spark, index_dir, config.n_term_buckets)
     results: list[dict] = []
     stop_event = stop_event or threading.Event()
     last_seen: int | None = None

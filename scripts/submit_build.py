@@ -79,14 +79,12 @@ def main() -> None:
     # location (detected by version-hint.text) — the north rule's input
     # shape. Iceberg builds read a metadata-planned snapshot; Iceberg
     # incremental runs take the CDC path (only the files appended since
-    # the last applied snapshot).
-    is_iceberg = Path(args.pages, "version-hint.text").exists()
-    if is_iceberg:
-        from rifflux_spark.sources.iceberg import read_iceberg
+    # the last applied snapshot). Detection is LOCAL-filesystem only: a
+    # scheme'd Iceberg location needs a real catalog and must not fall
+    # through to spark.read.parquet silently.
+    from rifflux_spark.sources.iceberg import is_iceberg_table
 
-        pages = read_iceberg(spark, args.pages)
-    else:
-        pages = spark.read.parquet(args.pages)
+    is_iceberg = is_iceberg_table(args.pages)
 
     if args.incremental:
         from rifflux_spark.sources.tables import IndexStore
@@ -105,11 +103,22 @@ def main() -> None:
             from rifflux_spark.plans.incremental import apply_incremental
 
             metrics = apply_incremental(
-                spark, store, pages, base, with_embeddings=not args.no_embeddings
+                spark, store, spark.read.parquet(args.pages), base,
+                with_embeddings=not args.no_embeddings,
             )
     else:
         from rifflux_spark.plans.build import build_index
 
+        if is_iceberg:
+            # resolve the snapshot FIRST and pin both the read and the
+            # CDC cursor to it: an append committed while the build runs
+            # must stay AHEAD of the cursor, not vanish behind it
+            from rifflux_spark.sources.iceberg import current_snapshot_id, read_iceberg
+
+            build_snapshot = current_snapshot_id(args.pages)
+            pages = read_iceberg(spark, args.pages, snapshot_id=build_snapshot)
+        else:
+            pages = spark.read.parquet(args.pages)
         metrics = build_index(
             spark,
             pages,
@@ -119,13 +128,12 @@ def main() -> None:
             force=args.force,
         )
         if is_iceberg:
-            # pin the CDC cursor to the snapshot just indexed so the
-            # first --incremental run reads only post-build appends
             from rifflux_spark.plans.incremental import record_iceberg_cursor
             from rifflux_spark.sources.tables import IndexStore
 
             metrics["iceberg_cursor"] = record_iceberg_cursor(
-                IndexStore(spark, args.index_dir), args.pages
+                IndexStore(spark, args.index_dir), args.pages,
+                snapshot_id=build_snapshot,
             )
     if args.gc:
         from rifflux_spark.sources.tables import IndexStore

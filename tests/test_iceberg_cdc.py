@@ -324,6 +324,74 @@ def test_auto_reindex_uses_cdc_for_iceberg_pages_path(spark, tmp_path_factory):
     assert svc.index_status()["files"] == 35
 
 
+def test_apply_from_iceberg_overwrite_falls_back_to_full_rediff(spark, tmp_path_factory):
+    """Routine table maintenance (an overwrite snapshot) has no
+    derivable append delta: the sync must fall back ONCE to a
+    full-snapshot re-diff — pruned urls become deletions — and re-pin
+    the cursor past the rewrite, instead of raising on every poll
+    forever."""
+    from rifflux_spark.plans.build import build_index
+    from rifflux_spark.service import SearchService
+    from rifflux_spark.sources.pages import synthetic_pages
+    from rifflux_spark.sources.tables import IndexStore
+
+    base = tmp_path_factory.mktemp("cdcow")
+    w, data_dir = _pages_table(spark, base, 30, seed=5)
+    cfg = EngineConfig(
+        block_size=32, salt_range=256, n_term_buckets=2, n_build_shards=1,
+        embedding_dim=16,
+    )
+    idx = str(tmp_path_factory.mktemp("cdcowidx"))
+    build_index(spark, read_iceberg(spark, w.location), idx, cfg)
+    store = IndexStore(spark, idx)
+    record_iceberg_cursor(store, w.location)
+
+    # overwrite: the corpus shrinks to pages 0..19 (10 urls pruned)
+    keep_dir = base / "keep"
+    synthetic_pages(spark, 30, seed=5).filter(
+        "CAST(substring(url, -8, 8) AS INT) < 20"
+    ).coalesce(1).write.parquet(str(keep_dir))
+    kfiles = sorted(str(p) for p in keep_dir.glob("*.parquet"))
+    old_files = set(w.live_files())
+    snap = w.commit(
+        added=[_data_file(p, schema_fields=w.schema_fields) for p in kfiles],
+        deleted_paths=old_files,
+        operation="overwrite",
+    )
+
+    out = apply_from_iceberg(spark, store, w.location, cfg)
+    assert out["applied"] is True
+    assert "full-snapshot" in out.get("fallback", "")
+    assert out["to_snapshot"] == snap["snapshot-id"]
+    assert out["counts"].get("deleted") == 10
+    assert out["counts"].get("unchanged") == 20
+    assert SearchService(spark, idx, cfg).index_status()["files"] == 20
+
+    # cursor re-pinned past the rewrite: next sync is a metadata no-op
+    assert apply_from_iceberg(spark, store, w.location, cfg)["applied"] is False
+
+
+def test_cursor_binding_normalizes_location_spelling(spark, tmp_path_factory):
+    """A trailing slash or relative spelling of the SAME table must not
+    trip the cursor-binding guard."""
+    from rifflux_spark.plans.build import build_index
+    from rifflux_spark.sources.tables import IndexStore
+
+    base = tmp_path_factory.mktemp("cdcnorm")
+    w, _ = _pages_table(spark, base, 10, seed=13)
+    cfg = EngineConfig(
+        block_size=32, salt_range=256, n_term_buckets=2, n_build_shards=1,
+        embedding_dim=16,
+    )
+    idx = str(tmp_path_factory.mktemp("cdcnormidx"))
+    build_index(spark, read_iceberg(spark, w.location), idx, cfg)
+    store = IndexStore(spark, idx)
+    record_iceberg_cursor(store, w.location)
+
+    out = apply_from_iceberg(spark, store, w.location + "/", cfg)
+    assert out == {"applied": False, "reason": "cursor at current snapshot"}
+
+
 def test_apply_from_iceberg_catchup_without_cursor(spark, tmp_path_factory):
     """An index built before CDC was enabled (no cursor) catches up from
     the table root: already-indexed pages classify unchanged via the
