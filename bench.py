@@ -865,6 +865,17 @@ def main() -> None:
         elif isinstance(out.get(blk), dict):
             out[blk].pop(key, None)
         line = json.dumps(out)
+    if len(line) > 1900:
+        # unknown payload growth (e.g. a legacy-shape scaling block
+        # merged from an old BENCH_DETAIL.json): drop every scaling
+        # sub-key except the north-rule essentials rather than aborting
+        # the run with no record at all
+        ess = ("efficiency", "window_ok", "cpus_lo", "cpus_hi",
+               "docs_per_sec_lo", "docs_per_sec_hi", "n_docs")
+        for blk in ("scaling", "stress"):
+            if isinstance(out.get(blk), dict):
+                out[blk] = {k: v for k, v in out[blk].items() if k in ess}
+        line = json.dumps(out)
     assert len(line) <= 1900, f"bench record line {len(line)}B > 1900B budget"
     json.loads(line)  # must round-trip before it becomes the artifact
     print(line)

@@ -38,7 +38,7 @@ from pyspark.sql import types as T
 from rifflux_spark.config import EngineConfig
 from rifflux_spark.functions.tokenizer import compile_query
 from rifflux_spark.operators import wand
-from rifflux_spark.operators.codec import bm25_wtf, decode_blocks_batch
+from rifflux_spark.operators.codec import bm25_wtf, decode_posting_arrow
 from rifflux_spark.sources.tables import IndexStore
 
 _SCORE_ROW = T.StructType(
@@ -90,19 +90,10 @@ def _score_blocks(
         # groupby hash
         import pyarrow as pa
 
-        from rifflux_spark.operators.local_exec import _cat_binary
-
         for rb in batches:
             if rb.num_rows == 0:
                 continue
-            ns = rb.column("n_docs").to_numpy().astype(np.int64)
-            docs, tf, dl = decode_blocks_batch(
-                [_cat_binary(rb.column("gaps"))],
-                [_cat_binary(rb.column("tfs"))],
-                [_cat_binary(rb.column("dls"))],
-                ns,
-                rb.column("first_doc").to_numpy().astype(np.int64),
-            )
+            docs, tf, dl, ns = decode_posting_arrow(rb)
             idf_per = np.repeat(
                 np.array([idf_b[t] for t in rb.column("term").to_pylist()]), ns
             )

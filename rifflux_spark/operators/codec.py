@@ -150,6 +150,45 @@ def encode_block(
     }
 
 
+def _cat_binary(col) -> bytes:
+    """Concatenate a pyarrow binary column's values WITHOUT materializing
+    per-row Python bytes objects: consecutive values share one contiguous
+    data buffer, so the join is a single buffer slice per chunk. (The old
+    ``b"".join(to_pylist())`` cost more than the varbyte decode itself on
+    a 30k-block stopword read.)"""
+    import pyarrow as pa
+
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    parts = []
+    for ch in chunks:
+        n = len(ch)
+        if n == 0:
+            continue
+        offs = np.frombuffer(ch.buffers()[1], dtype=np.int32)
+        o0, o1 = int(offs[ch.offset]), int(offs[ch.offset + n])
+        parts.append(memoryview(ch.buffers()[2])[o0:o1])
+    return b"".join(parts)
+
+
+def decode_posting_arrow(t) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_ords, tfs, dls, n_docs) decoded from an Arrow table or
+    RecordBatch of posting-block rows — THE shared prologue of every
+    Arrow-native posting reader (distributed BM25 scorer, coordinator
+    scorer, FTS unit decode, phrase candidate decode). Payload bytes
+    flow straight from the Arrow binary buffers into the varbyte
+    decoder via :func:`_cat_binary`; a codec or block-schema change
+    lands here once instead of in every scorer."""
+    ns = t.column("n_docs").to_numpy().astype(np.int64)
+    docs, tf, dl = decode_blocks_batch(
+        [_cat_binary(t.column("gaps"))],
+        [_cat_binary(t.column("tfs"))],
+        [_cat_binary(t.column("dls"))],
+        ns,
+        t.column("first_doc").to_numpy().astype(np.int64),
+    )
+    return docs, tf, dl, ns
+
+
 def decode_blocks_batch(
     gaps_list,
     tfs_list,

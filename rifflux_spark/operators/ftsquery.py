@@ -57,7 +57,7 @@ from rifflux_spark.functions.tokenizer import tokenize
 from rifflux_spark.operators.codec import (
     POS_COL_STRIDE,
     bm25_wtf,
-    decode_blocks_batch,
+    decode_posting_arrow,
 )
 from rifflux_spark.sources.tables import IndexStore
 
@@ -312,14 +312,7 @@ def _local_postings(store: IndexStore, terms: list[str]):
     )
     if t is None:
         return tf_by_term, dl_map
-    ns = np.asarray(t.column("n_docs").to_pylist(), dtype=np.int64)
-    docs, tfs, dls = decode_blocks_batch(
-        [bytes(x) for x in t.column("gaps").to_pylist()],
-        [bytes(x) for x in t.column("tfs").to_pylist()],
-        [bytes(x) for x in t.column("dls").to_pylist()],
-        ns,
-        np.asarray(t.column("first_doc").to_pylist(), dtype=np.int64),
-    )
+    docs, tfs, dls, ns = decode_posting_arrow(t)
     terms_rep = np.repeat(np.array(t.column("term").to_pylist()), ns)
     for term, doc, tf, dl in zip(terms_rep, docs, tfs, dls):
         d = int(doc)
@@ -756,19 +749,10 @@ def _decode_unit_postings(store: IndexStore, terms: list[str]) -> DataFrame:
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        from rifflux_spark.operators.local_exec import _cat_binary
-
         for rb in batches:
             if rb.num_rows == 0:
                 continue
-            ns = rb.column("n_docs").to_numpy().astype(np.int64)
-            docs, tf, dl = decode_blocks_batch(
-                [_cat_binary(rb.column("gaps"))],
-                [_cat_binary(rb.column("tfs"))],
-                [_cat_binary(rb.column("dls"))],
-                ns,
-                rb.column("first_doc").to_numpy().astype(np.int64),
-            )
+            docs, tf, dl, ns = decode_posting_arrow(rb)
             row_idx = np.repeat(np.arange(rb.num_rows, dtype=np.int64), ns)
             yield pa.RecordBatch.from_arrays(
                 [

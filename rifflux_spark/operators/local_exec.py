@@ -36,7 +36,11 @@ from rifflux_spark.config import EngineConfig
 from rifflux_spark.functions.tokenizer import compile_query
 from rifflux_spark.functions.xxhash64 import term_bucket
 from rifflux_spark.operators import wand
-from rifflux_spark.operators.codec import bm25_wtf, decode_blocks_batch
+from rifflux_spark.operators.codec import (  # noqa: F401 (_cat_binary re-exported)
+    _cat_binary,
+    bm25_wtf,
+    decode_posting_arrow,
+)
 from rifflux_spark.sources.tables import IndexStore
 
 
@@ -122,24 +126,6 @@ def local_dead_ords(store: IndexStore) -> np.ndarray:
     return np.unique(np.concatenate([_ord_set(store, "tombstones"), _ord_set(store, "purged")]))
 
 
-def _cat_binary(col) -> bytes:
-    """Concatenate a pyarrow binary column's values WITHOUT materializing
-    per-row Python bytes objects: consecutive values share one contiguous
-    data buffer, so the join is a single buffer slice per chunk. (The old
-    ``b"".join(to_pylist())`` cost more than the varbyte decode itself on
-    a 30k-block stopword read.)"""
-    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
-    parts = []
-    for ch in chunks:
-        n = len(ch)
-        if n == 0:
-            continue
-        offs = np.frombuffer(ch.buffers()[1], dtype=np.int32)
-        o0, o1 = int(offs[ch.offset]), int(offs[ch.offset + n])
-        parts.append(memoryview(ch.buffers()[2])[o0:o1])
-    return b"".join(parts)
-
-
 def _decode_score_arrow(t, idf: dict[str, float], avgdl: float, k1: float, b: float):
     """Decode + BM25-score an Arrow block table → (doc_ord, partial).
 
@@ -147,15 +133,7 @@ def _decode_score_arrow(t, idf: dict[str, float], avgdl: float, k1: float, b: fl
     the Arrow buffers into the varbyte decoder."""
     if t is None or t.num_rows == 0:
         return np.empty(0, dtype=np.int64), np.empty(0)
-    ns = t.column("n_docs").to_numpy().astype(np.int64)
-    firsts = t.column("first_doc").to_numpy().astype(np.int64)
-    docs, tf, dl = decode_blocks_batch(
-        [_cat_binary(t.column("gaps"))],
-        [_cat_binary(t.column("tfs"))],
-        [_cat_binary(t.column("dls"))],
-        ns,
-        firsts,
-    )
+    docs, tf, dl, ns = decode_posting_arrow(t)
     idf_per = np.repeat(
         np.array([idf[x] for x in t.column("term").to_pylist()]), ns
     )

@@ -53,7 +53,7 @@ from pyspark.sql import types as T
 
 from rifflux_spark.config import EngineConfig
 from rifflux_spark.functions.tokenizer import compile_query, tokenize
-from rifflux_spark.operators.codec import bm25_wtf, decode_blocks_batch
+from rifflux_spark.operators.codec import bm25_wtf, decode_posting_arrow
 from rifflux_spark.sources.tables import IndexStore
 
 # candidate frames at or under this row bound get an explicit broadcast
@@ -118,19 +118,11 @@ def _decode_candidates(blocks: DataFrame) -> DataFrame:
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        from rifflux_spark.operators.local_exec import _cat_binary
 
         for rb in batches:
             if rb.num_rows == 0:
                 continue
-            ns = rb.column("n_docs").to_numpy().astype(np.int64)
-            docs, _tf, dl = decode_blocks_batch(
-                [_cat_binary(rb.column("gaps"))],
-                [_cat_binary(rb.column("tfs"))],
-                [_cat_binary(rb.column("dls"))],
-                ns,
-                rb.column("first_doc").to_numpy().astype(np.int64),
-            )
+            docs, _tf, dl, ns = decode_posting_arrow(rb)
             row_idx = np.repeat(np.arange(rb.num_rows, dtype=np.int64), ns)
             yield pa.RecordBatch.from_arrays(
                 [
@@ -336,13 +328,7 @@ def phrase_topk_local(
     per_term: dict[str, set[int]] = {u: set() for u in uniq}
     dl_map: dict[int, int] = {}
     terms_col = t.column("term").to_pylist()
-    docs_all, _tf_all, dl_all = decode_blocks_batch(
-        [bytes(x) for x in t.column("gaps").to_pylist()],
-        [bytes(x) for x in t.column("tfs").to_pylist()],
-        [bytes(x) for x in t.column("dls").to_pylist()],
-        np.asarray(t.column("n_docs").to_pylist(), dtype=np.int64),
-        np.asarray(t.column("first_doc").to_pylist(), dtype=np.int64),
-    )
+    docs_all, _tf_all, dl_all, _ns = decode_posting_arrow(t)
     terms_rep = np.repeat(np.array(terms_col), t.column("n_docs").to_pylist())
     for term, doc, dl in zip(terms_rep, docs_all, dl_all):
         per_term[str(term)].add(int(doc))

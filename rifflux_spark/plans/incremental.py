@@ -701,7 +701,13 @@ def compact(spark: SparkSession, store: IndexStore, config: EngineConfig | None 
         store.write_small(purged, "purged", mode="append")
         store.drop_table("tombstones")
     b_ords.unpersist()
-    return {"affected_buckets": n_rewritten, "purged": int(ords.size)}
+    out = {"affected_buckets": n_rewritten, "purged": int(ords.size)}
+    if config.iceberg_mirror:
+        # maintenance rewrites generations and gc may reclaim the old
+        # ones: the mirror's current snapshot must move WITH the store
+        # commit or Iceberg readers resolve deleted files
+        out["iceberg"] = store.sync_iceberg(config.iceberg_warehouse)
+    return out
 
 
 def vacuum(spark: SparkSession, store: IndexStore, config: EngineConfig | None = None) -> dict:
@@ -760,4 +766,9 @@ def vacuum(spark: SparkSession, store: IndexStore, config: EngineConfig | None =
         store.drop_table("tombstones")
         store.drop_table("purged")
         _refresh_stats_and_term_stats(store)
-    return {"rewritten": 1, "purged": int(n_dead)}
+    out = {"rewritten": 1, "purged": int(n_dead)}
+    if config.iceberg_mirror:
+        # same contract as compact(): the mirror's current snapshot moves
+        # with every store commit that retires generations
+        out["iceberg"] = store.sync_iceberg(config.iceberg_warehouse)
+    return out

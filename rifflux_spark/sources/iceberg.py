@@ -294,6 +294,25 @@ class IcebergTableWriter:
                     out[e["data_file"]["file_path"]] = e["data_file"]
         return out
 
+    def live_file_count(self, snapshot_id: int | None = None) -> int:
+        """Live data-file count from snapshot SUMMARIES alone (added
+        minus deleted along the ancestry) — O(#snapshots) JSON walks,
+        zero manifest opens. The cheap twin of ``len(live_files())``
+        for reporting; per-sync summaries must not pay an O(table)
+        metadata walk."""
+        snap = (
+            self.current_snapshot()
+            if snapshot_id is None
+            else self.snapshot_by_id(snapshot_id)
+        )
+        n = 0
+        while snap is not None:
+            s = snap.get("summary") or {}
+            n += int(s.get("added-data-files", 0)) - int(s.get("deleted-data-files", 0))
+            parent = snap.get("parent-snapshot-id")
+            snap = self.snapshot_by_id(parent) if parent is not None else None
+        return n
+
     def plan_files(
         self,
         column: str,
@@ -985,28 +1004,63 @@ def _mirror_store_history_locked(
     writers: dict[str, IcebergTableWriter] = {}
     prev_files: dict[str, dict[str, dict]] = {}
     cursors: dict[str, int] = {}
+
+    # O(delta) in metadata reads, like the commits themselves: resume
+    # every existing mirror's cursor up front (version-hint + one JSON
+    # per table — no manifest opens), then skip whole history files at
+    # or below the floor every mirrored table has already passed. A
+    # table in the LATEST store manifest with no mirror yet keeps the
+    # floor at 0 so its full history replays. (A table that vanished
+    # from the latest manifest is dropped — its mirror stays frozen,
+    # which the per-name version guard below already guaranteed.)
+    for d in sorted(Path(warehouse).glob("*")):
+        name = d.name
+        if tables is not None and name not in tables:
+            continue
+        if not (d / "version-hint.text").exists():
+            continue
+        w = _resume_writer(d, clock)
+        writers[name] = w
+        cursors[name] = int(
+            w.metadata.get("properties", {}).get("rifflux.store-version", 0)
+        )
+    if hist:
+        latest = json.loads(hist[-1].read_text(encoding="utf-8"))
+        latest_tables = [
+            n for n in latest.get("tables", {})
+            if tables is None or n in tables
+        ]
+        floor = min((cursors.get(n, 0) for n in latest_tables), default=0)
+        hist = [h for h in hist if int(h.stem[1:]) > floor]
+
+    def _seed_prev(name: str, w: IcebergTableWriter) -> dict[str, dict]:
+        # the resumed mirror's live file set, read lazily: only a table
+        # with a version PAST its cursor pays the manifest walk
+        if name not in prev_files:
+            prev_files[name] = (
+                {p: dict(df["partition"]) for p, df in w.live_files().items()}
+                if w.version > 0
+                else {}
+            )
+        return prev_files[name]
+
     for hpath in hist:
         version = int(hpath.stem[1:])
         snap = json.loads(hpath.read_text(encoding="utf-8"))
         for name, entry in snap.get("tables", {}).items():
             if tables is not None and name not in tables:
                 continue
-            w = writers.get(name)
-            if w is None and (Path(warehouse) / name / "version-hint.text").exists():
-                # resume an existing mirror: seed cursor + file state
-                # from ITS metadata, not from the start of history
-                w = _resume_writer(Path(warehouse) / name, clock)
-                writers[name] = w
-                cursors[name] = int(
-                    w.metadata.get("properties", {}).get("rifflux.store-version", 0)
-                )
-                prev_files[name] = {
-                    p: dict(df["partition"]) for p, df in w.live_files().items()
-                }
             if version <= cursors.get(name, 0):
                 continue
+            w = writers.get(name)
             files = _entry_files(root, entry)
-            if files == prev_files.get(name, {}):
+            if w is None:
+                if not files:
+                    # never-mirrored empty table: don't create a
+                    # placeholder-schema mirror for it
+                    cursors[name] = version
+                    continue
+            elif files == _seed_prev(name, w):
                 cursors[name] = version
                 continue
             if w is None:

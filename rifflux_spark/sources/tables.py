@@ -543,7 +543,9 @@ class IndexStore:
             name: {
                 "version": w.version,
                 "snapshots": len(w.metadata["snapshots"]),
-                "live_files": len(w.live_files()),
+                # summary arithmetic, not a manifest walk: the per-sync
+                # report must stay O(delta) like the commits themselves
+                "live_files": w.live_file_count(),
             }
             for name, w in writers.items()
         }

@@ -601,6 +601,18 @@ def test_inline_mirror_through_build_and_incremental(spark, tmp_path_factory):
     assert s1 == s2
     live_parity()
 
+    # maintenance must advance the mirror too: compact() rewrites
+    # posting generations and gc() may reclaim the old dirs — a stale
+    # mirror would point Iceberg readers at deleted files
+    from rifflux_spark.plans.incremental import compact, vacuum
+
+    cmetrics = compact(spark, store, cfg)
+    assert "iceberg" in cmetrics
+    live_parity()
+    vmetrics = vacuum(spark, store, cfg)
+    assert "iceberg" in vmetrics
+    live_parity()
+
 
 def test_read_iceberg_snapshot_pruning_and_partition_restore(spark, tmp_path):
     """read_iceberg plans the scan from Iceberg metadata: current and
@@ -746,3 +758,39 @@ def test_mirror_is_idempotent_catchup(spark, tmp_path_factory):
         for p in (Path(index_dir) / d).glob("**/*.parquet")
     }
     assert set(w3.live_files()) == want
+
+    # the summary-arithmetic count agrees with the manifest walk
+    assert w3.live_file_count() == len(w3.live_files())
+
+
+def test_noop_sync_opens_no_manifests(spark, tmp_path_factory, monkeypatch):
+    """O(delta) for the SYNC WRAPPER, not just the commits: with every
+    mirror cursor at the latest store version, a re-sync must open ZERO
+    Avro files (no manifest lists, no manifests) — a 10M-file table's
+    catch-up poll is a version-hint read, nothing more."""
+    import rifflux_spark.sources.iceberg as ice
+
+    index_dir = str(tmp_path_factory.mktemp("icenoop"))
+    store = IndexStore(spark, index_dir, n_term_buckets=2)
+    store.write_small(
+        spark.createDataFrame(pd.DataFrame({"doc_ord": [1, 2]}), TOMBSTONES_SCHEMA),
+        "tombstones",
+        mode="overwrite",
+    )
+    warehouse = str(tmp_path_factory.mktemp("icenoopwh"))
+    mirror_store_history(index_dir, warehouse)
+
+    opened: list[str] = []
+    real = ice.read_ocf
+
+    def counting(path, *a, **kw):
+        opened.append(str(path))
+        return real(path, *a, **kw)
+
+    monkeypatch.setattr(ice, "read_ocf", counting)
+    again = mirror_store_history(index_dir, warehouse)
+    assert opened == [], f"no-op sync opened {opened}"
+    # and the summary count needs no manifest walk either
+    for w in again.values():
+        assert w.live_file_count() >= 0
+    assert opened == []
