@@ -392,6 +392,107 @@ def test_cursor_binding_normalizes_location_spelling(spark, tmp_path_factory):
     assert out == {"applied": False, "reason": "cursor at current snapshot"}
 
 
+def test_cdc_loop_matches_rebuild_fuzz(spark, tmp_path_factory):
+    """Randomized CDC maintenance vs ground truth: a table evolved
+    through appends AND an overwrite (which exercises the full-re-diff
+    fallback), synced step by step through apply_from_iceberg, must
+    serve lexical results IDENTICAL to a from-scratch build over the
+    final snapshot — the same equivalence invariant the plain
+    incremental path pins, here across the whole CDC loop."""
+    import random
+
+    from rifflux_spark.plans.build import build_index
+    from rifflux_spark.service import SearchService
+    from rifflux_spark.sources.pages import synthetic_pages
+    from rifflux_spark.sources.tables import IndexStore
+
+    rng = random.Random(99)
+    base = tmp_path_factory.mktemp("cdcfuzz")
+    cfg = EngineConfig(
+        block_size=16, salt_range=64, n_term_buckets=2, n_build_shards=1,
+        embedding_dim=16,
+    )
+
+    def slice_parquet(lo: int, hi: int, name: str, keep=None) -> list[str]:
+        d = base / name
+        df = synthetic_pages(spark, 140, seed=17).filter(
+            f"CAST(substring(url, -8, 8) AS INT) >= {lo} AND "
+            f"CAST(substring(url, -8, 8) AS INT) < {hi}"
+        )
+        if keep is not None:
+            df = df.filter(
+                F.col("url").substr(-8, 8).cast("int").isin(list(keep))
+            )
+        df.coalesce(1).write.parquet(str(d))
+        return sorted(str(p) for p in d.glob("*.parquet"))
+
+    from pyspark.sql import functions as F
+
+    w = IcebergTableWriter(
+        str(base / "table"),
+        schema_fields=iceberg_schema_from_parquet(
+            slice_parquet(0, 40, "seed_slice")[0]
+        ),
+        clock=lambda: 1_755_000_000.0,
+    )
+    w.commit(
+        added=[
+            _data_file(p, schema_fields=w.schema_fields)
+            for p in sorted(str(p) for p in (base / "seed_slice").glob("*.parquet"))
+        ]
+    )
+    live_ids = set(range(40))
+
+    idx = str(tmp_path_factory.mktemp("cdcfuzzidx"))
+    build_index(spark, read_iceberg(spark, w.location), idx, cfg)
+    store = IndexStore(spark, idx)
+    record_iceberg_cursor(store, w.location)
+
+    # evolve: append, append, overwrite-drop, append — syncing after each
+    for step, (lo, hi) in enumerate([(40, 70), (70, 100)]):
+        files = slice_parquet(lo, hi, f"app{step}")
+        w.commit(added=[_data_file(p, schema_fields=w.schema_fields) for p in files])
+        live_ids |= set(range(lo, hi))
+        out = apply_from_iceberg(spark, store, w.location, cfg)
+        assert out["applied"] and out["counts"].get("new") == hi - lo
+
+    dropped = set(rng.sample(sorted(live_ids), 15))
+    live_ids -= dropped
+    survivors = slice_parquet(0, 100, "overwrite", keep=live_ids)
+    w.commit(
+        added=[_data_file(p, schema_fields=w.schema_fields) for p in survivors],
+        deleted_paths=set(w.live_files()),
+        operation="overwrite",
+    )
+    out = apply_from_iceberg(spark, store, w.location, cfg)
+    assert out["applied"] and "full-snapshot" in out.get("fallback", "")
+    assert out["counts"].get("deleted") == 15
+
+    files = slice_parquet(100, 140, "app_final")
+    w.commit(added=[_data_file(p, schema_fields=w.schema_fields) for p in files])
+    live_ids |= set(range(100, 140))
+    out = apply_from_iceberg(spark, store, w.location, cfg)
+    assert out["applied"] and out["counts"].get("new") == 40
+
+    # ground truth: from-scratch build over the final snapshot
+    full_dir = str(tmp_path_factory.mktemp("cdcfuzzfull"))
+    build_index(spark, read_iceberg(spark, w.location), full_dir, cfg)
+
+    cdc_svc = SearchService(spark, idx, cfg)
+    full_svc = SearchService(spark, full_dir, cfg)
+    assert cdc_svc.index_status()["files"] == len(live_ids)
+    assert cdc_svc.index_status()["chunks"] == full_svc.index_status()["chunks"]
+
+    def results(svc, q):
+        return [
+            (r["chunk_id"], round(r["bm25_score"], 6))
+            for r in svc.lexical(q, top_k=10)
+        ]
+
+    for q in ["cache ttl", "custom instructions", "the data", "varbyte delta fusion"]:
+        assert results(cdc_svc, q) == results(full_svc, q), q
+
+
 def test_apply_from_iceberg_catchup_without_cursor(spark, tmp_path_factory):
     """An index built before CDC was enabled (no cursor) catches up from
     the table root: already-indexed pages classify unchanged via the
