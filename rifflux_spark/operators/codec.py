@@ -77,8 +77,14 @@ def decode_varbyte(data: bytes, n: int | None = None) -> np.ndarray:
     are pure slicing + one shift-or; mixed streams fall through to the
     general path. Identical outputs by construction (fuzz-pinned)."""
     if not data:
+        if n:  # empty payload must not silently satisfy an n>0 contract
+            raise ValueError(f"decoded 0 values, expected {n}")
         return np.empty(0, dtype=np.uint64)
     raw = np.frombuffer(data, dtype=np.uint8)
+    if raw[-1] >= 0x80:
+        # a terminated stream never ends on a continuation bit — the
+        # trailing value would otherwise be silently dropped
+        raise ValueError("truncated varbyte stream (trailing continuation bit)")
     is_cont = raw >= 0x80  # continuation bit set
     n_vals = int(raw.size - int(is_cont.sum()))
     if n is not None and n_vals != n:
@@ -164,7 +170,15 @@ def _cat_binary(col) -> bytes:
         n = len(ch)
         if n == 0:
             continue
-        offs = np.frombuffer(ch.buffers()[1], dtype=np.int32)
+        # offsets are int32 for binary, int64 for large_binary —
+        # misreading the width silently truncates the payload
+        if pa.types.is_large_binary(ch.type) or pa.types.is_large_string(ch.type):
+            off_dtype = np.int64
+        elif pa.types.is_binary(ch.type) or pa.types.is_string(ch.type):
+            off_dtype = np.int32
+        else:
+            raise TypeError(f"_cat_binary: unsupported Arrow type {ch.type}")
+        offs = np.frombuffer(ch.buffers()[1], dtype=off_dtype)
         o0, o1 = int(offs[ch.offset]), int(offs[ch.offset + n])
         parts.append(memoryview(ch.buffers()[2])[o0:o1])
     return b"".join(parts)

@@ -105,14 +105,33 @@ def local_idf(store: IndexStore, terms: list[str], n_docs: int) -> dict[str, flo
     return out
 
 
+# dead-ord sets re-read on EVERY query would pay parquet footer parses
+# on the ~ms local hot path; cache on the same (path, mtime_ns, size)
+# signature discipline as the embedding matrix below — a tombstone
+# commit changes the file set and misses the cache
+_ORD_SET_CACHE: dict[tuple[str, str], tuple[tuple, np.ndarray]] = {}
+
+
 def _ord_set(store: IndexStore, name: str) -> np.ndarray:
+    files = store.data_files(name)
+    sig = tuple((str(f), f.stat().st_mtime_ns, f.stat().st_size) for f in files)
+    key = (store.root, name)
+    hit = _ORD_SET_CACHE.get(key)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
     parts = [
         pq.read_table(f, columns=["doc_ord"]).column("doc_ord").to_numpy()
-        for f in store.data_files(name)
+        for f in files
     ]
-    if not parts:
-        return np.empty(0, dtype=np.int64)
-    return np.concatenate(parts).astype(np.int64)
+    out = (
+        np.concatenate(parts).astype(np.int64)
+        if parts
+        else np.empty(0, dtype=np.int64)
+    )
+    if len(_ORD_SET_CACHE) > 32:  # many short-lived stores (test runs)
+        _ORD_SET_CACHE.clear()
+    _ORD_SET_CACHE[key] = (sig, out)
+    return out
 
 
 def local_tombstones(store: IndexStore) -> np.ndarray:
@@ -345,19 +364,28 @@ def _emb_matrix(store: IndexStore) -> tuple[np.ndarray, np.ndarray, np.ndarray] 
     hit = _EMB_CACHE.get(key)
     if hit is not None and hit[0] == sig:
         return hit[1], hit[2], hit[3]
-    docs_all, packed_all, dim = [], [], None
+    docs_all, vec_parts, dim, n_rows = [], [], None, 0
     for f in files:
         t = pq.read_table(f, columns=["doc_ord", "dim", "vec"])
         if t.num_rows == 0:
             continue
         docs_all.append(t.column("doc_ord").to_numpy())
-        packed_all.extend(t.column("vec").to_pylist())
+        # buffer-sliced concat (codec._cat_binary), not per-row bytes —
+        # embeddings are the largest binary payload on the local path
+        vec_parts.append(_cat_binary(t.column("vec")))
+        n_rows += t.num_rows
         if dim is None:
             dim = int(t.column("dim")[0].as_py())
     if not docs_all:
         return None
     docs = np.concatenate(docs_all)
-    mat = np.frombuffer(b"".join(packed_all), dtype=np.float32).reshape(len(packed_all), -1)
+    flat = np.frombuffer(b"".join(vec_parts), dtype=np.float32)
+    if dim is None or flat.size != n_rows * dim:
+        raise ValueError(
+            f"embeddings payload is {flat.size} floats for {n_rows} rows of "
+            f"dim {dim} — mixed dims or corrupt vec column"
+        )
+    mat = flat.reshape(n_rows, dim)
     norms = np.linalg.norm(mat, axis=1)
     _EMB_CACHE.clear()  # one table at a time: the service owns one index
     _EMB_CACHE[key] = (sig, docs, mat, norms)
@@ -394,7 +422,10 @@ def semantic_topk_local(
         return []
     k = min(top_k, docs.size)
     # partial select then exact order — avoids a full sort of the corpus
-    cand = np.argpartition(-cos, k - 1)[: max(k * 4, k)]
+    # (slots past k in an argpartition are arbitrary, so taking exactly
+    # k is as good as any wider slice; the kth-tie re-check below covers
+    # the only boundary case)
+    cand = np.argpartition(-cos, k - 1)[:k]
     order = cand[np.lexsort((docs[cand], -cos[cand]))][:k]
     # ties at the k-th score across the partition boundary: argpartition
     # guarantees the top-k VALUES are inside the partition, but equal

@@ -158,8 +158,17 @@ def budget_ranges(
     in every other term's blocks overlapping its doc interval (the
     closure), so every doc inside a selected interval has ALL its
     postings decoded — returned scores are exact, the trade is coverage,
-    never correctness of the scores shown. Selection stops at ``budget``
-    decoded postings.
+    never correctness of the scores shown.
+
+    The budget is enforced BEFORE each pick commits: a closure is
+    all-or-nothing (a partial closure would break score exactness), so
+    its posting cost is computed from block metadata first and a pick
+    that would blow the remaining budget is skipped — a later, cheaper
+    pick may still fit. Only the FIRST pick is exempt (its closure is
+    the smallest possible exact answer; a budget below it would
+    otherwise return nothing), so overshoot is bounded by one closure
+    instead of unbounded (a rare term's interval once pulled in ~13×
+    the budget of a co-queried stopword's blocks).
 
     Returns (decode_mask over blocks, selected doc intervals)."""
     n = terms.size
@@ -186,10 +195,15 @@ def budget_ranges(
             j0 = int(np.searchsorted(l, lo, side="left"))
             j1 = int(np.searchsorted(f, hi, side="right"))
             group.extend(int(j) for j in idxs[j0:j1])
-        for j in group:  # j can repeat (seed block is in its own run)
-            if not included[j]:
-                included[j] = True
-                spent += int(n_docs[j])
+        # cost the closure from metadata BEFORE committing (j can
+        # repeat: the seed block is in its own run)
+        fresh = [j for j in dict.fromkeys(group) if not included[j]]
+        cost = sum(int(n_docs[j]) for j in fresh)
+        if ranges and spent + cost > budget:
+            continue  # over budget; a cheaper later pick may still fit
+        for j in fresh:
+            included[j] = True
+        spent += cost
         ranges.append((lo, hi))
     return included, ranges
 
