@@ -112,18 +112,44 @@ def make_build_id(pages: DataFrame, config: EngineConfig, source_fp: str | None 
     re-run of the same build resumes rather than restarts — and a
     different corpus of the same size does NOT (tested)."""
     fp = source_fp or source_fingerprint(pages)
+    # EVERY layout knob that shapes what a stage writes must be in the
+    # id: resuming 'postings_shard_1 of 4' under n_build_shards=2 would
+    # silently skip half the buckets; a new embedding_dim or prefix set
+    # would keep stale tables
     sig = (
         f"{fp}:{config.block_size}:{config.salt_range}:{config.n_term_buckets}:"
-        f"{config.max_chunk_chars}:{config.min_chunk_chars}"
+        f"{config.max_chunk_chars}:{config.min_chunk_chars}:"
+        f"{config.n_build_shards}:{config.embedding_dim}:"
+        f"{','.join(map(str, config.prefix_lengths or ()))}:"
+        f"{int(config.store_positions)}"
     )
     return hashlib.sha256(sig.encode()).hexdigest()[:16]
 
 
-def completed_stages(store: IndexStore, build_id: str) -> set[str]:
+def _read_prefix_meta(store: IndexStore) -> str | None:
+    """The prefix stage's publish-atomic stamp (driver-side read)."""
+    import pyarrow.parquet as pq
+
+    files = store.data_files("prefix_meta")
+    if not files:
+        return None
+    rows = pq.read_table(files[0]).to_pylist()
+    return rows[0]["stamp"] if rows else None
+
+
+def completed_stages(
+    store: IndexStore, build_id: str, source_fp: str | None = None
+) -> set[str]:
+    """Stages this build id already completed. When ``source_fp`` is
+    given, rows recorded under a DIFFERENT fingerprint never count — a
+    caller-supplied build_id reused across corpora must restart, not
+    resume (LINEAGE_SCHEMA documents source_fp as exactly this guard)."""
     return {
         r["stage"]
         for r in store.read_lineage_rows()
-        if r.get("build_id") == build_id and r.get("status") == "completed"
+        if r.get("build_id") == build_id
+        and r.get("status") == "completed"
+        and (source_fp is None or r.get("source_fp") in (None, source_fp))
     }
 
 
@@ -194,7 +220,7 @@ def build_index(
     store.persist_layout(config.n_term_buckets, config.salt_range)
     source_fp = source_fingerprint(pages)
     build_id = build_id or make_build_id(pages, config, source_fp)
-    done = completed_stages(store, build_id)
+    done = completed_stages(store, build_id, source_fp)
 
     def mark(stage: str, rows: int | None, table: str, detail: str | None = None) -> None:
         _mark(store, build_id, stage, rows, table, detail=detail, source_fp=source_fp)
@@ -339,7 +365,14 @@ def build_index(
         def _run_shard(s: int, stage: str) -> None:
             t0 = _time.perf_counter()
             blocks = encode_postings(tf_staged.filter(F.col("shard") == s), config)
-            store.write_postings(blocks, mode="overwrite")  # dynamic partition overwrite
+            # dynamic partition overwrite, AUTHORITATIVE for the shard's
+            # owned buckets: a non-force rebuild into an existing dir
+            # must also drop stale buckets the new corpus left empty
+            owned = [
+                b for b in range(config.n_term_buckets)
+                if b % config.n_build_shards == s
+            ]
+            store.write_postings(blocks, mode="overwrite", expected_parts=owned)
             with _mark_lock:
                 stage_sec[f"postings_{s}"] = round(_time.perf_counter() - t0, 2)
                 mark(
@@ -415,24 +448,41 @@ def build_index(
         )
         from rifflux_spark.plans.incremental import _merge_term_stats
 
-        thin = prefix_thin_postings(
-            store.chunks().select("doc_ord", "dl", "tokens"),
-            config.prefix_lengths,
+        want = ",".join(str(x) for x in sorted(set(config.prefix_lengths)))
+        # publish-atomic completion signal: the prefix_meta row commits
+        # in the SAME snapshot as the marker append, so a kill anywhere
+        # in the commit→lineage-mark window leaves a resume that can
+        # tell "published, only the mark was lost" (adopt) from "never
+        # published" (run) — a blind re-append would double marker tf
+        published = (
+            store.exists("prefix_meta")
+            and store.count_rows("prefix_meta") > 0
+            and _read_prefix_meta(store) == f"{build_id}:{want}"
         )
-        blocks = encode_postings(thin, config)
-        # ONE snapshot transaction: a build killed mid-stage must
-        # publish nothing (a resume re-runs the stage from scratch —
-        # partially-committed marker postings would double their tf)
-        with store.transaction():
-            store.write_postings(blocks, mode="append")
-            _merge_term_stats(spark, store, prefix_term_deltas(thin))
-        store.meta_set(
-            "layout.prefix_lengths",
-            ",".join(str(x) for x in sorted(set(config.prefix_lengths))),
-        )
+        if not published:
+            thin = prefix_thin_postings(
+                store.chunks().select("doc_ord", "dl", "tokens"),
+                config.prefix_lengths,
+            )
+            blocks = encode_postings(thin, config)
+            # ONE snapshot transaction: a build killed mid-stage must
+            # publish nothing (a resume re-runs the stage from scratch)
+            with store.transaction():
+                store.write_postings(blocks, mode="append")
+                _merge_term_stats(spark, store, prefix_term_deltas(thin))
+                store.write_small(
+                    spark.createDataFrame(
+                        [(f"{build_id}:{want}",)], "stamp string"
+                    ),
+                    "prefix_meta",
+                )
+        store.meta_set("layout.prefix_lengths", want)
         store.prefix_lengths = tuple(sorted(set(config.prefix_lengths)))
         _lap("prefix_postings")
-        mark("prefix_postings", None, "prefix_postings")
+        mark(
+            "prefix_postings", None, "prefix_postings",
+            detail="adopted" if published else None,
+        )
 
     # --- positional postings (opt-in; operators/positions.py) ---
     # FTS5-style poslists as a sibling table in the same physical
@@ -454,7 +504,9 @@ def build_index(
         # one snapshot transaction, same resume discipline as the
         # prefix stage: a killed build publishes nothing
         with store.transaction():
-            store.write_positions(pblocks)
+            # full-table commit: this stage derives ALL positions from
+            # live chunks, so stale buckets from a prior corpus vanish
+            store.write_positions(pblocks, mode="full")
         store.meta_set("layout.store_positions", "1")
         _lap("positions")
         mark("positions", None, "positions")

@@ -1025,6 +1025,19 @@ def _mirror_store_history_locked(
             w.metadata.get("properties", {}).get("rifflux.store-version", 0)
         )
     if hist:
+        latest_version = int(hist[-1].stem[1:])
+        ahead = {n: c for n, c in cursors.items() if c > latest_version}
+        if ahead:
+            # a cursor past the end of history means the store was
+            # force-rebuilt (versions restarted) under a SURVIVING
+            # warehouse — skipping everything forever would freeze the
+            # mirror silently; fail loud with the remedy instead
+            raise ValueError(
+                f"mirror cursors {ahead} are ahead of store history "
+                f"(latest v{latest_version}) — the store was rebuilt under a "
+                "surviving Iceberg warehouse; delete the warehouse (or pass "
+                "a fresh iceberg_warehouse) and re-sync"
+            )
         latest = json.loads(hist[-1].read_text(encoding="utf-8"))
         latest_tables = [
             n for n in latest.get("tables", {})

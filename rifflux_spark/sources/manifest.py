@@ -132,10 +132,15 @@ class Manifest:
             tmp.write_text(payload, encoding="utf-8")
             os.replace(tmp, self.file)
             # history copy: debuggability + the raw material for snapshot
-            # time-travel; gc() trims old versions
+            # time-travel; gc() trims old versions. Same tmp+replace
+            # discipline as the pointer: a crash mid-write must not leave
+            # a truncated version file that poisons every later
+            # load_version / mirror replay of this version
             hist = self.root / HISTORY_DIR
             hist.mkdir(exist_ok=True)
-            (hist / f"v{out['version']:08d}.json").write_text(payload, encoding="utf-8")
+            htmp = hist / f".v{out['version']:08d}.tmp-{uuid.uuid4().hex}"
+            htmp.write_text(payload, encoding="utf-8")
+            os.replace(htmp, hist / f"v{out['version']:08d}.json")
             return out
 
     @contextlib.contextmanager

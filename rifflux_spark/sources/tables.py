@@ -275,11 +275,23 @@ class IndexStore:
     def persist_layout(self, n_term_buckets: int, salt_range: int) -> None:
         """Record the physical-layout parameters the index was built with
         (idempotent). Incremental appliers auto-align to these; readers
-        validate against them at construction."""
+        validate against them at construction. A CONFLICTING value is an
+        error, never a silent override: encoding blocks with a salt_range
+        readers won't use would resolve every doc_ord past the range to
+        the wrong ordinal (the same class of mismatch n_term_buckets
+        hard-rejects in __init__)."""
         if self.meta_get("layout.n_term_buckets") is None:
             self.meta_set("layout.n_term_buckets", str(int(n_term_buckets)))
-        if self.meta_get("layout.salt_range") is None:
+        persisted = self.meta_get("layout.salt_range")
+        if persisted is None:
             self.meta_set("layout.salt_range", str(int(salt_range)))
+        elif int(persisted) != int(salt_range):
+            raise ValueError(
+                f"index at {self.root} was built with salt_range={persisted}; "
+                f"building into it with salt_range={salt_range} would encode "
+                "blocks existing readers decode wrongly — use force=True or "
+                "match the persisted layout"
+            )
         self.salt_range = int(salt_range)
 
     def path(self, name: str) -> str:
@@ -551,8 +563,15 @@ class IndexStore:
         }
 
     def gc(self, min_age_sec: float = 0.0) -> dict:
-        """Reclaim generation dirs (and stale legacy gen leaves) that the
-        CURRENT manifest no longer references, plus old history files.
+        """Reclaim ``g-*`` generation dirs (and stale partition leaves
+        inside them) that the CURRENT manifest no longer references, plus
+        old history files. Scope note: pre-manifest FLAT files under a
+        table root (an adopted legacy index later superseded by
+        generations) are intentionally NOT collected — several non-
+        manifest tables (metadata_kv, lineage, tf_stage scratch) are
+        read straight off the directory, so a flat-file sweep could eat
+        live data; reclaim adopted-legacy remnants manually if the
+        one-time migration residue matters.
         Run out-of-band, after in-flight readers of prior snapshots are
         done — the snapshot-retention knob of a real table format.
 
@@ -714,7 +733,9 @@ class IndexStore:
         self._commit_plain("chunks", gen, "append")
 
     @_releases_gens_on_error
-    def write_postings(self, df: DataFrame, mode: str = "overwrite") -> None:
+    def write_postings(
+        self, df: DataFrame, mode: str = "overwrite", expected_parts=None
+    ) -> None:
         """Persist encoded block rows partitioned by term bucket.
 
         ``encode_postings`` emits rows already clustered AND sorted by
@@ -737,10 +758,17 @@ class IndexStore:
         df.write.option("parquet.block.size", str(POSTINGS_ROW_GROUP_BYTES)).partitionBy(
             "term_bucket"
         ).parquet(str(gen))
-        self._commit_partitioned("postings", gen, "append" if mode == "append" else "dynamic")
+        self._commit_partitioned(
+            "postings",
+            gen,
+            mode if mode in ("append", "full") else "dynamic",
+            expected_parts=expected_parts,
+        )
 
     @_releases_gens_on_error
-    def write_positions(self, df: DataFrame, mode: str = "overwrite") -> None:
+    def write_positions(
+        self, df: DataFrame, mode: str = "overwrite", expected_parts=None
+    ) -> None:
         """Persist positional block rows partitioned by term bucket —
         the write twin of :meth:`write_postings` (encode_position_postings
         emits rows already clustered+sorted by ``term_bucket``)."""
@@ -753,16 +781,25 @@ class IndexStore:
                 .repartition(self.n_term_buckets, "term_bucket")
                 .sortWithinPartitions("term_bucket", "term", "salt", "block_seq")
             )
+        # no pre-manifest positions tables exist, but keep the twin
+        # uniform with write_postings: adopt-before-write is the rule
+        self._adopt_legacy("positions", partitioned=True)
         gen = self._new_gen_dir("positions")
         df.write.option("parquet.block.size", str(POSTINGS_ROW_GROUP_BYTES)).partitionBy(
             "term_bucket"
         ).parquet(str(gen))
-        self._commit_partitioned("positions", gen, "append" if mode == "append" else "dynamic")
+        self._commit_partitioned(
+            "positions",
+            gen,
+            mode if mode in ("append", "full") else "dynamic",
+            expected_parts=expected_parts,
+        )
 
     @_releases_gens_on_error
     def overwrite_position_buckets(self, df: DataFrame, affected: list[int]) -> None:
         """Compaction commit for the positional table — twin of
         :meth:`overwrite_posting_buckets`."""
+        self._adopt_legacy("positions", partitioned=True)
         gen = self._new_gen_dir("positions")
         df.write.option("parquet.block.size", str(POSTINGS_ROW_GROUP_BYTES)).partitionBy(
             "term_bucket"
@@ -1179,21 +1216,47 @@ class IndexStore:
         self._meta_append(key, None, deleted=True)
 
     def _meta_append(self, key: str, value: str | None, deleted: bool) -> None:
+        import contextlib
+        import os
+
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        try:
+            import fcntl
+        except ImportError:  # pragma: no cover
+            fcntl = None
+
         out = Path(self.path("metadata_kv"))
         out.mkdir(parents=True, exist_ok=True)
-        seq = self._meta_next_seq()
-        table = pa.table(
-            {
-                "key": pa.array([key], pa.string()),
-                "value": pa.array([value], pa.string()),
-                "seq": pa.array([seq], pa.int64()),
-                "deleted": pa.array([deleted], pa.bool_()),
-            }
-        )
-        pq.write_table(table, out / f"part-{seq}-{uuid.uuid4().hex}.parquet")
+
+        @contextlib.contextmanager
+        def _seq_lock():
+            # seq allocation is a read-max-then-write: without a lock two
+            # concurrent writers can claim the same seq and make
+            # last-write-wins resolution glob-order-nondeterministic
+            if fcntl is None:  # pragma: no cover
+                yield
+                return
+            fd = os.open(out / ".kv.lock", os.O_RDWR | os.O_CREAT, 0o644)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+                os.close(fd)
+
+        with _seq_lock():
+            seq = self._meta_next_seq()
+            table = pa.table(
+                {
+                    "key": pa.array([key], pa.string()),
+                    "value": pa.array([value], pa.string()),
+                    "seq": pa.array([seq], pa.int64()),
+                    "deleted": pa.array([deleted], pa.bool_()),
+                }
+            )
+            pq.write_table(table, out / f"part-{seq}-{uuid.uuid4().hex}.parquet")
 
     def meta_get(self, key: str) -> str | None:
         rows = [r for r in self._meta_rows() if r["key"] == key]
