@@ -181,13 +181,25 @@ def expand_prefix_local(store: IndexStore, prefix: str) -> list[str]:
     """Vocabulary terms starting with ``prefix`` — a coordinator-side
     filtered read of term_stats (vocabulary-sized, term_bucket hash
     partitioning cannot prune a prefix so every bucket file is
-    touched; columns are pruned to ``term``)."""
+    touched; columns are pruned to ``term``). Served from the cached
+    vocabulary table when it fits the budget — zero parquet IO warm."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    from rifflux_spark.operators.local_exec import pq_file, term_stats_cached
+
+    cached = term_stats_cached(store)
+    if cached is not None:
+        t = cached[1]
+        out = t.filter(pc.starts_with(t.column("term"), prefix)).column("term").to_pylist()
+        if len(out) > MAX_PREFIX_EXPANSION:
+            raise FtsSyntaxError(
+                f"prefix '{prefix}*' expands past {MAX_PREFIX_EXPANSION} terms"
+            )
+        return sorted(out)
     out: list[str] = []
     for f in store.data_files("term_stats"):
-        t = pq.read_table(f, columns=["term"])
+        t = pq_file(f).read(columns=["term"])
         mask = pc.starts_with(t.column("term"), prefix)
         out.extend(t.filter(mask).column("term").to_pylist())
         if len(out) > MAX_PREFIX_EXPANSION:
@@ -313,12 +325,29 @@ def _local_postings(store: IndexStore, terms: list[str]):
     if t is None:
         return tf_by_term, dl_map
     docs, tfs, dls, ns = decode_posting_arrow(t)
-    terms_rep = np.repeat(np.array(t.column("term").to_pylist()), ns)
-    for term, doc, tf, dl in zip(terms_rep, docs, tfs, dls):
-        d = int(doc)
-        m = tf_by_term[str(term)]
-        m[d] = m.get(d, 0) + int(tf)
-        dl_map[d] = int(dl)
+    # vectorized per-term grouping (no per-posting Python loop): posting
+    # rows for one term are contiguous runs in block order — group block
+    # rows by term, slice each term's posting span, and fold duplicate
+    # doc entries (merged marker terms) with a bincount
+    block_terms = t.column("term").to_pylist()
+    starts = np.concatenate(([0], np.cumsum(ns)))
+    by_term: dict[str, list[tuple[int, int]]] = {}
+    for i, term in enumerate(block_terms):
+        by_term.setdefault(term, []).append((int(starts[i]), int(starts[i + 1])))
+    dl_map.update(zip(docs.tolist(), dls.tolist()))
+    for term, spans in by_term.items():
+        if len(spans) == 1:
+            s, e = spans[0]
+            d_arr, t_arr = docs[s:e], tfs[s:e]
+        else:
+            d_arr = np.concatenate([docs[s:e] for s, e in spans])
+            t_arr = np.concatenate([tfs[s:e] for s, e in spans])
+        uniq, inv = np.unique(d_arr, return_inverse=True)
+        if uniq.size == d_arr.size:
+            tf_by_term[term] = dict(zip(d_arr.tolist(), t_arr.tolist()))
+        else:
+            sums = np.bincount(inv, weights=t_arr).astype(np.int64)
+            tf_by_term[term] = dict(zip(uniq.tolist(), sums.tolist()))
     return tf_by_term, dl_map
 
 

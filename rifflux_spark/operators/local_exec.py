@@ -25,6 +25,7 @@ routes on the embeddings table's byte size.
 from __future__ import annotations
 
 import math
+import os
 from pathlib import Path
 
 import numpy as np
@@ -50,13 +51,39 @@ def _bucket_files(store: IndexStore, table: str, buckets: set[int]) -> list[Path
     return store.partition_files(table, buckets)
 
 
+# Open-ParquetFile cache keyed by (path → mtime_ns, size): a thrift
+# footer parse costs ~0.25 ms, and a single hybrid query used to pay
+# ~40 of them (postings + term_stats + chunks + tombstone probes). The
+# handle pins the footer AND the open fd; incremental commits replace
+# files (new generation dirs), so a changed path/mtime/size misses and
+# re-opens. Bounded — many short-lived stores in test runs.
+_PQ_FILE_CACHE: dict[str, tuple[tuple[int, int], pq.ParquetFile]] = {}
+_PQ_FILE_CACHE_MAX = 512
+
+
+def pq_file(path) -> pq.ParquetFile:
+    """ParquetFile with a cached footer (the coordinator analog of
+    SQLite's always-open database handle)."""
+    p = str(path)
+    st = os.stat(p)
+    sig = (st.st_mtime_ns, st.st_size)
+    hit = _PQ_FILE_CACHE.get(p)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    f = pq.ParquetFile(p)
+    if len(_PQ_FILE_CACHE) >= _PQ_FILE_CACHE_MAX:
+        _PQ_FILE_CACHE.clear()
+    _PQ_FILE_CACHE[p] = (sig, f)
+    return f
+
+
 def _read_filtered(files: list[Path], columns: list[str], terms: list[str]):
     """Row-group-pruned read of term-matching rows (files are sorted by
     term, so parquet min/max stats skip non-matching row groups)."""
     tables = []
     tset = set(terms)
     for f in files:
-        pf = pq.ParquetFile(f)
+        pf = pq_file(f)
         md = pf.metadata
         col_idx = {md.row_group(0).column(i).path_in_schema: i for i in range(md.num_columns)} if md.num_row_groups else {}
         groups = []
@@ -79,11 +106,55 @@ def _read_filtered(files: list[Path], columns: list[str], terms: list[str]):
     return pa.concat_tables(tables)
 
 
+# Decoded term→df map + term table per store, keyed by the term_stats
+# files' signature (same invalidation discipline as the embedding-matrix
+# cache below). The vocabulary is metadata-sized next to the postings
+# (a few bytes per DISTINCT term); budget-gated so web-scale vocabularies
+# past the cap fall back to the filtered per-query read unchanged. Warm
+# queries resolve df lookups and prefix expansions with zero parquet IO.
+_TS_CACHE: dict[str, tuple[tuple, dict[str, int], pa.Table]] = {}
+TS_CACHE_MAX_BYTES = 64 << 20
+
+
+def term_stats_cached(store: IndexStore) -> tuple[dict[str, int], pa.Table] | None:
+    """(term→df_docs map, term/df table) for the whole vocabulary, or
+    None when the table exceeds the cache budget (callers fall back to
+    the filtered read)."""
+    files = store.data_files("term_stats")
+    if not files:
+        return {}, pa.table({"term": pa.array([], pa.string()), "df_docs": pa.array([], pa.int64())})
+    stats = [f.stat() for f in files]
+    if sum(s.st_size for s in stats) > TS_CACHE_MAX_BYTES:
+        return None
+    sig = tuple((str(f), s.st_mtime_ns, s.st_size) for f, s in zip(files, stats))
+    key = store.path("term_stats")
+    hit = _TS_CACHE.get(key)
+    if hit is not None and hit[0] == sig:
+        return hit[1], hit[2]
+    t = pa.concat_tables(
+        pq_file(f).read(columns=["term", "df_docs"]) for f in files
+    )
+    # same last-wins semantics as the filtered read (file order is the
+    # sorted data_files order there and here)
+    d = dict(
+        zip(t.column("term").to_pylist(), (int(x) for x in t.column("df_docs").to_pylist()))
+    )
+    if len(_TS_CACHE) > 32:
+        _TS_CACHE.clear()
+    _TS_CACHE[key] = (sig, d, t)
+    return d, t
+
+
 def local_df(store: IndexStore, terms: list[str]) -> dict[str, int]:
     """Document frequency per query term from term_stats, read
-    coordinator-side (row-group pruned — milliseconds at any scale)."""
+    coordinator-side (cached vocabulary map; row-group-pruned read past
+    the cache budget — milliseconds at any scale)."""
     if not terms:
         return {}
+    cached = term_stats_cached(store)
+    if cached is not None:
+        d = cached[0]
+        return {t: d[t] for t in terms if t in d}
     # term_stats is partitioned by the same bucket function as postings
     buckets = {term_bucket(t, store.n_term_buckets) for t in terms}
     files = _bucket_files(store, "term_stats", buckets)
@@ -120,7 +191,7 @@ def _ord_set(store: IndexStore, name: str) -> np.ndarray:
     if hit is not None and hit[0] == sig:
         return hit[1]
     parts = [
-        pq.read_table(f, columns=["doc_ord"]).column("doc_ord").to_numpy()
+        pq_file(f).read(columns=["doc_ord"]).column("doc_ord").to_numpy()
         for f in files
     ]
     out = (
@@ -366,7 +437,7 @@ def _emb_matrix(store: IndexStore) -> tuple[np.ndarray, np.ndarray, np.ndarray] 
         return hit[1], hit[2], hit[3]
     docs_all, vec_parts, dim, n_rows = [], [], None, 0
     for f in files:
-        t = pq.read_table(f, columns=["doc_ord", "dim", "vec"])
+        t = pq_file(f).read(columns=["doc_ord", "dim", "vec"])
         if t.num_rows == 0:
             continue
         docs_all.append(t.column("doc_ord").to_numpy())
@@ -453,7 +524,7 @@ def _chunk_rg_index(store: IndexStore) -> list[tuple[str, int, int, int]]:
         return hit[1]
     index: list[tuple[str, int, int, int]] = []
     for f in files:
-        md = pq.ParquetFile(f).metadata
+        md = pq_file(f).metadata
         if md.num_row_groups == 0:
             continue
         col_idx = {md.row_group(0).column(i).path_in_schema: i for i in range(md.num_columns)}
@@ -468,19 +539,22 @@ def _chunk_rg_index(store: IndexStore) -> list[tuple[str, int, int, int]]:
     return index
 
 
-def rehydrate_local(store: IndexStore, doc_ords: list[int]) -> dict[int, dict]:
+def rehydrate_local(
+    store: IndexStore, doc_ords: list[int], columns: list[str] | None = None
+) -> dict[int, dict]:
     """Row-group-pruned chunk lookup for ≤top_k doc ordinals (the chunks
     table is written sorted by doc_ord; the footer-stats index is cached
-    across queries)."""
+    across queries). ``columns`` narrows the read for verify-only
+    callers (phrase recheck needs content, not ids/urls)."""
     want = set(doc_ords)
     out: dict[int, dict] = {}
-    cols = ["doc_ord", "chunk_id", "url", "heading_path", "chunk_index", "content"]
+    cols = columns or ["doc_ord", "chunk_id", "url", "heading_path", "chunk_index", "content"]
     by_file: dict[str, list[int]] = {}
     for path, g, mn, mx in _chunk_rg_index(store):
         if any(mn <= d <= mx for d in want):
             by_file.setdefault(path, []).append(g)
     for path, groups in by_file.items():
-        t = pq.ParquetFile(path).read_row_groups(groups, columns=cols)
+        t = pq_file(path).read_row_groups(groups, columns=cols)
         mask = pc.is_in(t.column("doc_ord"), value_set=pa.array(sorted(want)))
         t = t.filter(mask)
         for row in t.to_pylist():

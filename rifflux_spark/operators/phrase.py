@@ -325,24 +325,38 @@ def phrase_topk_local(
     )
     if t is None:
         return []
-    per_term: dict[str, set[int]] = {u: set() for u in uniq}
-    dl_map: dict[int, int] = {}
+    # vectorized per-term doc sets + candidate intersection (no
+    # per-posting Python loop): slice each term's contiguous posting
+    # spans out of the batch decode, intersect as sorted numpy arrays
     terms_col = t.column("term").to_pylist()
-    docs_all, _tf_all, dl_all, _ns = decode_posting_arrow(t)
-    terms_rep = np.repeat(np.array(terms_col), t.column("n_docs").to_pylist())
-    for term, doc, dl in zip(terms_rep, docs_all, dl_all):
-        per_term[str(term)].add(int(doc))
-        dl_map[int(doc)] = int(dl)
-    if any(not s for s in per_term.values()):
+    docs_all, _tf_all, dl_all, ns = decode_posting_arrow(t)
+    starts = np.concatenate(([0], np.cumsum(ns)))
+    spans: dict[str, list[tuple[int, int]]] = {}
+    for i, term in enumerate(terms_col):
+        spans.setdefault(term, []).append((int(starts[i]), int(starts[i + 1])))
+    if any(u not in spans for u in uniq):
         return []
-    cand = set.intersection(*per_term.values())
+    per_term_docs: dict[str, np.ndarray] = {}
+    for u in uniq:
+        parts = [docs_all[s:e] for s, e in spans[u]]
+        arr = parts[0] if len(parts) == 1 else np.concatenate(parts)
+        per_term_docs[u] = np.unique(arr)
+    cand_arr = per_term_docs[uniq[0]]
+    for u in uniq[1:]:
+        cand_arr = np.intersect1d(cand_arr, per_term_docs[u], assume_unique=True)
+        if cand_arr.size == 0:
+            return []
     tombs = local_tombstones(store)
     if tombs.size:
-        cand -= set(int(x) for x in tombs)
-    if not cand:
+        cand_arr = cand_arr[~np.isin(cand_arr, tombs)]
+    if cand_arr.size == 0:
         return []
+    dl_map: dict[int, int] = dict(zip(docs_all.tolist(), dl_all.tolist()))
+    cand = cand_arr.tolist()
 
-    chunks = rehydrate_local(store, sorted(cand))
+    chunks = rehydrate_local(
+        store, sorted(cand), columns=["doc_ord", "content", "heading_path"]
+    )
     verified: list[tuple[int, int]] = []
     for doc_ord in sorted(cand):
         c = chunks.get(doc_ord)

@@ -58,6 +58,37 @@ CHUNKS_ROW_GROUP_BYTES = 4 << 20
 # (self._pending is thread-local, so it cannot see them). Cross-process
 # in-flight writers are covered by gc(min_age_sec=...).
 _INFLIGHT_GENS: set[str] = set()
+
+# Generation-dir glob cache: a dir whose path contains a ``g-*`` part is
+# an immutable generation (fully written BEFORE it is staged/committed,
+# never appended to, uuid-named so a path is never reused), so its file
+# list can be cached for the life of the process. Non-generation dirs
+# (adopted legacy roots) glob fresh every call. Saves the ~1 ms of
+# rglob+stat churn every coordinator query paid per table touch.
+_GEN_GLOB_CACHE: dict[str, list[Path]] = {}
+
+
+def _snapshot_dir_files(d: Path) -> list[Path]:
+    key = str(d)
+    hit = _GEN_GLOB_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = sorted(
+        f
+        for f in d.rglob("*.parquet")
+        # a referenced dir may be an ADOPTED legacy table root with
+        # in-flight generations nested under it — those belong to
+        # uncommitted snapshots, never to this one
+        if not any(
+            p.startswith("g-") or p == "_temporary"
+            for p in f.relative_to(d).parts[:-1]
+        )
+    )
+    if any(p.startswith("g-") for p in d.parts):
+        if len(_GEN_GLOB_CACHE) > 8192:
+            _GEN_GLOB_CACHE.clear()
+        _GEN_GLOB_CACHE[key] = out
+    return out
 _INFLIGHT_GUARD = threading.Lock()
 
 CHUNKS_SCHEMA = T.StructType(
@@ -397,14 +428,7 @@ class IndexStore:
         if e is not None:
             out: list[Path] = []
             for d in self.data_dirs(name):
-                for f in d.rglob("*.parquet"):
-                    rel = f.relative_to(d).parts
-                    # a referenced dir may be an ADOPTED legacy table root
-                    # with in-flight generations nested under it — those
-                    # belong to uncommitted snapshots, never to this one
-                    if any(p.startswith("g-") or p == "_temporary" for p in rel[:-1]):
-                        continue
-                    out.append(f)
+                out.extend(_snapshot_dir_files(d))
             return sorted(out)
         p = Path(self.path(name))
         if not p.exists():
@@ -446,7 +470,7 @@ class IndexStore:
         parts = e.get("partitions", {})
         for b in sorted(values):
             for d in parts.get(str(b), []):
-                out.extend(sorted((Path(self.root) / d).glob("*.parquet")))
+                out.extend(_snapshot_dir_files(Path(self.root) / d))
         return out
 
     def _new_gen_dir(self, name: str) -> Path:
