@@ -67,6 +67,35 @@ def encode_varbyte(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def varbyte_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (max(1, ceil(bitlen/7))) — exact
+    comparison ladder, no float log. Lets one global :func:`encode_varbyte`
+    call be sliced into per-segment byte strings."""
+    vals = np.asarray(values, dtype=np.uint64)
+    lens = np.ones(vals.shape, dtype=np.int64)
+    for k in range(7, 64, 7):
+        lens += (vals >= np.uint64(1) << np.uint64(k)).astype(np.int64)
+    return lens
+
+
+def encode_varbyte_segments(values: np.ndarray, seg_starts: np.ndarray) -> list[bytes]:
+    """Encode ``values`` ONCE and slice the byte stream at ``seg_starts``
+    (value indices, first must be 0) → one bytes object per segment.
+    Byte-identical to calling :func:`encode_varbyte` per segment (LEB128
+    is per-value independent), without the ~15 µs fixed numpy cost per
+    call — the difference between ~500k encoder invocations per build
+    and three."""
+    vals = np.asarray(values, dtype=np.uint64)
+    if vals.size == 0:
+        return [b"" for _ in range(len(seg_starts))]
+    enc = encode_varbyte(vals)
+    byte_offs = np.zeros(vals.size + 1, dtype=np.int64)
+    np.cumsum(varbyte_lengths(vals), out=byte_offs[1:])
+    starts = np.asarray(seg_starts, dtype=np.int64)
+    bounds = byte_offs[np.append(starts, vals.size)]
+    return [enc[bounds[i] : bounds[i + 1]] for i in range(len(starts))]
+
+
 def decode_varbyte(data: bytes, n: int | None = None) -> np.ndarray:
     """Decode LEB128 bytes back to uint64 (vectorized).
 

@@ -131,8 +131,11 @@ def term_stats_cached(store: IndexStore) -> tuple[dict[str, int], pa.Table] | No
     hit = _TS_CACHE.get(key)
     if hit is not None and hit[0] == sig:
         return hit[1], hit[2]
+    # generations can disagree on nullability (Spark writes non-null,
+    # the driver-side Arrow writer nullable) — cast to one schema
+    ts_schema = pa.schema([("term", pa.string()), ("df_docs", pa.int64())])
     t = pa.concat_tables(
-        pq_file(f).read(columns=["term", "df_docs"]) for f in files
+        pq_file(f).read(columns=["term", "df_docs"]).cast(ts_schema) for f in files
     )
     # same last-wins semantics as the filtered read (file order is the
     # sorted data_files order there and here)

@@ -206,60 +206,106 @@ def encode_position_postings(packed: DataFrame, config: EngineConfig) -> DataFra
     cols = ["term_bucket", "term", "salt", "first_doc", "doc_offs", "pos_counts", "dls", "positions"]
 
     def encode_body(pdf: pd.DataFrame) -> pd.DataFrame:
+        # ONE vectorized pass over every (term, salt) group (same
+        # restructure as postings.encode_postings: three global varbyte
+        # encodes sliced at block boundaries instead of ~15 µs of fixed
+        # numpy cost per call per block; the position payload encodes
+        # once with per-doc absolute restarts, and block slicing lands
+        # on doc boundaries so the streams are byte-identical).
+        from rifflux_spark.operators.codec import encode_varbyte_segments
+
         terms = pdf["term"].to_numpy()
         buckets = pdf["term_bucket"].to_numpy(dtype=np.int32)
         salts = pdf["salt"].to_numpy(dtype=np.int64)
         change = np.flatnonzero((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])) + 1
-        starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [len(pdf)]))
-        offs_col = pdf["doc_offs"].to_numpy()
-        cnts_col = pdf["pos_counts"].to_numpy()
-        dls_col = pdf["dls"].to_numpy()
-        pos_col = pdf["positions"].to_numpy()
-        out = {k: [] for k in (
-            "term", "salt", "block_seq", "n_docs", "first_doc", "last_doc",
-            "gaps", "pos_counts", "dls", "positions", "n_pos", "term_bucket",
-        )}
-        for s, e in zip(starts, ends):
-            offs = np.frombuffer(b"".join(offs_col[s:e]), dtype="<u4").astype(np.int64)
-            docs = salts[s] * salt_range + offs
-            cnts = np.frombuffer(b"".join(cnts_col[s:e]), dtype="<u2").astype(np.int64)
-            dls = np.frombuffer(b"".join(dls_col[s:e]), dtype="<u2").astype(np.int64)
-            pos = np.frombuffer(b"".join(pos_col[s:e]), dtype="<u4").astype(np.int64)
-            if docs.size > 1 and not np.all(docs[1:] > docs[:-1]):
-                order = np.argsort(docs, kind="stable")
-                # reorder the per-doc position segments with their docs
-                seg_ends = np.cumsum(cnts)
-                seg_starts = seg_ends - cnts
-                pos = np.concatenate(
-                    [pos[seg_starts[i]: seg_ends[i]] for i in order]
-                ) if pos.size else pos
-                docs, cnts, dls = docs[order], cnts[order], dls[order]
-            pos_ends = np.cumsum(cnts)
-            pos_starts = pos_ends - cnts
-            for seq, b0 in enumerate(range(0, len(docs), block_size)):
-                b1 = min(b0 + block_size, len(docs))
-                d = docs[b0:b1]
-                gaps = np.empty_like(d)
-                gaps[0] = 0
-                gaps[1:] = np.diff(d)
-                p0 = pos_starts[b0]
-                p1 = pos_ends[b1 - 1]
-                blk_pos = pos[p0:p1]
-                blk_cnts = cnts[b0:b1]
-                out["term"].append(terms[s])
-                out["salt"].append(int(salts[s]))
-                out["block_seq"].append(seq)
-                out["term_bucket"].append(int(buckets[s]))
-                out["n_docs"].append(int(d.size))
-                out["first_doc"].append(int(d[0]))
-                out["last_doc"].append(int(d[-1]))
-                out["gaps"].append(encode_varbyte(gaps))
-                out["pos_counts"].append(encode_varbyte(blk_cnts))
-                out["dls"].append(encode_varbyte(dls[b0:b1]))
-                out["positions"].append(encode_positions_flat(blk_pos, blk_cnts))
-                out["n_pos"].append(int(blk_cnts.sum()))
-        return pd.DataFrame(out)
+        g_pack_starts = np.concatenate(([0], change))
+        offs_col = pdf["doc_offs"].tolist()
+        n_per_pack = np.fromiter((len(x) for x in offs_col), dtype=np.int64, count=len(offs_col)) // 4
+        pack_offs = np.zeros(len(offs_col) + 1, dtype=np.int64)
+        np.cumsum(n_per_pack, out=pack_offs[1:])
+        total = int(pack_offs[-1])
+        pg_starts = pack_offs[g_pack_starts]
+        pg_ends = np.append(pg_starts[1:], total)
+        offs_all = np.frombuffer(b"".join(offs_col), dtype="<u4").astype(np.int64)
+        cnts_all = np.frombuffer(b"".join(pdf["pos_counts"].tolist()), dtype="<u2").astype(np.int64)
+        dls_all = np.frombuffer(b"".join(pdf["dls"].tolist()), dtype="<u2").astype(np.int64)
+        pos_all = np.frombuffer(b"".join(pdf["positions"].tolist()), dtype="<u4").astype(np.int64)
+        docs_all = np.repeat(salts, n_per_pack) * salt_range + offs_all
+        # per-doc position segment offsets (positions tile doc order)
+        pdoc_offs = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(cnts_all, out=pdoc_offs[1:])
+        # sortedness within groups; repair the rare arbitrary-input
+        # group (reordering its position segments with its docs)
+        interior = np.ones(total, dtype=bool)
+        interior[pg_starts] = False
+        diffs = np.empty_like(docs_all)
+        if total:
+            diffs[0] = 1
+            np.subtract(docs_all[1:], docs_all[:-1], out=diffs[1:])
+        if total and not np.all(diffs[interior] > 0):
+            bad_pos = np.flatnonzero(interior & (diffs <= 0))
+            bad_groups = np.unique(np.searchsorted(pg_starts, bad_pos, side="right") - 1)
+            for gi in bad_groups:
+                s, e = pg_starts[gi], pg_ends[gi]
+                order = np.argsort(docs_all[s:e], kind="stable")
+                seg_s, seg_e = pdoc_offs[s:e], pdoc_offs[s + 1 : e + 1]
+                seg = pos_all[pdoc_offs[s] : pdoc_offs[e]]
+                if seg.size:
+                    pos_all[pdoc_offs[s] : pdoc_offs[e]] = np.concatenate(
+                        [pos_all[seg_s[i] : seg_e[i]] for i in order]
+                    )
+                docs_all[s:e] = docs_all[s:e][order]
+                cnts_all[s:e] = cnts_all[s:e][order]
+                dls_all[s:e] = dls_all[s:e][order]
+            np.cumsum(cnts_all, out=pdoc_offs[1:])
+        # block tiling
+        n_group = pg_ends - pg_starts
+        nblocks = (n_group + block_size - 1) // block_size
+        grp_of_block = np.repeat(np.arange(len(pg_starts), dtype=np.int64), nblocks)
+        blk_offs = np.zeros(len(pg_starts) + 1, dtype=np.int64)
+        np.cumsum(nblocks, out=blk_offs[1:])
+        n_blocks_total = int(blk_offs[-1])
+        seq = np.arange(n_blocks_total, dtype=np.int64) - np.repeat(blk_offs[:-1], nblocks)
+        b_starts = pg_starts[grp_of_block] + seq * block_size
+        b_ends = np.minimum(b_starts + block_size, pg_ends[grp_of_block])
+        gaps = np.empty_like(docs_all)
+        if total:
+            gaps[0] = 0
+            np.subtract(docs_all[1:], docs_all[:-1], out=gaps[1:])
+        gaps[b_starts] = 0
+        nonstart = np.ones(total, dtype=bool)
+        nonstart[b_starts] = False
+        if total and not np.all(gaps[nonstart] > 0):
+            raise ValueError("doc_ords must be strictly increasing within a block")
+        # position deltas: per-doc firsts absolute, rest strictly
+        # increasing (exactly encode_positions_flat's layout)
+        pdeltas = np.empty_like(pos_all)
+        if pos_all.size:
+            pdeltas[0] = pos_all[0]
+            np.subtract(pos_all[1:], pos_all[:-1], out=pdeltas[1:])
+            doc_starts = pdoc_offs[:-1][pdoc_offs[:-1] < pos_all.size]
+            pdeltas[doc_starts] = pos_all[doc_starts]
+            pnonstart = np.ones(pos_all.size, dtype=bool)
+            pnonstart[doc_starts] = False
+            if not np.all(pdeltas[pnonstart] > 0):
+                raise ValueError("positions must be strictly increasing within a doc")
+        g_idx = g_pack_starts[grp_of_block]
+        return pd.DataFrame(
+            {
+                "term": terms[g_idx],
+                "salt": salts[g_idx],
+                "block_seq": seq,
+                "n_docs": b_ends - b_starts,
+                "first_doc": docs_all[b_starts] if total else docs_all,
+                "last_doc": docs_all[b_ends - 1] if total else docs_all,
+                "gaps": encode_varbyte_segments(gaps, b_starts),
+                "pos_counts": encode_varbyte_segments(cnts_all, b_starts),
+                "dls": encode_varbyte_segments(dls_all, b_starts),
+                "positions": encode_varbyte_segments(pdeltas, pdoc_offs[b_starts]),
+                "n_pos": np.add.reduceat(cnts_all, b_starts) if total else cnts_all,
+                "term_bucket": buckets[g_idx],
+            }
+        )
 
     def encode_stream(batches):
         carry: pd.DataFrame | None = None

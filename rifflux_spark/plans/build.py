@@ -115,13 +115,17 @@ def make_build_id(pages: DataFrame, config: EngineConfig, source_fp: str | None 
     # EVERY layout knob that shapes what a stage writes must be in the
     # id: resuming 'postings_shard_1 of 4' under n_build_shards=2 would
     # silently skip half the buckets; a new embedding_dim or prefix set
-    # would keep stale tables
+    # would keep stale tables. store_positions is deliberately NOT in
+    # the id: it only gates whether the 'positions' stage runs (its own
+    # lineage row), never what any other stage writes — so enabling it
+    # on an already-built index resumes every completed stage and runs
+    # ONLY the positions build (the opt-in storage cost bench.py's
+    # stress block times), instead of a full rebuild.
     sig = (
         f"{fp}:{config.block_size}:{config.salt_range}:{config.n_term_buckets}:"
         f"{config.max_chunk_chars}:{config.min_chunk_chars}:"
         f"{config.n_build_shards}:{config.embedding_dim}:"
-        f"{','.join(map(str, config.prefix_lengths or ()))}:"
-        f"{int(config.store_positions)}"
+        f"{','.join(map(str, config.prefix_lengths or ()))}"
     )
     return hashlib.sha256(sig.encode()).hexdigest()[:16]
 
