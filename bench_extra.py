@@ -44,7 +44,7 @@ def headline(reps: int = 3) -> None:
         sec, index_dir, stages = timed_build(spark, pages)
         builds.append(round(sec, 3))
         stage_secs.append(stages)
-    print(json.dumps({"build_secs": builds, "stage_sec": stage_secs[builds.index(min(builds))]}))
+    print(json.dumps({"build_secs": builds, "stage_sec": stage_secs[builds.index(min(builds))], "stage_sec_all": stage_secs}))
 
     service = SearchService(spark, index_dir, CONFIG)
     service.search("warm up query", top_k=10, mode="hybrid")
