@@ -57,13 +57,17 @@ class EngineConfig:
     # narrow by position intersection with zero chunk-table access.
     # Storage cost ~4 bytes/occurrence — FTS5's own poslist trade.
     store_positions: bool = False
-    # opt-in posting budget for lexical top-k: impact-ordered evaluation
-    # stops after decoding this many postings. Stopword-class queries
-    # (clamped uniform idfs — provably unprunable by any bound; FTS5
-    # scans them in full too) return the impact-ordered approximation
-    # instead of growing linearly with the corpus. 0 = exact (default,
-    # FTS5 rank-parity at any cost).
-    lexical_budget_postings: int = 0
+    # posting budget for lexical top-k: impact-ordered evaluation stops
+    # after decoding this many postings. Stopword-class queries (clamped
+    # uniform idfs — provably unprunable by any bound; FTS5 scans them
+    # in full too) return the impact-ordered range-closure approximation
+    # (every returned doc scored EXACTLY; coverage is the trade) instead
+    # of growing linearly with the corpus. Default ON at 1M postings —
+    # any query under the budget is bit-identical to exact mode (tested),
+    # so the default only changes behavior for df≈100% terms on corpora
+    # past ~1M postings, where unbounded exactness is the scale-killer
+    # (round-5 verdict item #2). 0 = exact at any cost (opt-in).
+    lexical_budget_postings: int = 1_000_000
     # encode-shuffle key is (term_bucket, salt % n_bucket_splits): splits > 1
     # spread a hot term's salted runs over that many tasks while keeping the
     # postings table at ≤ buckets × splits files regardless of cluster size
@@ -110,7 +114,7 @@ class EngineConfig:
                 if x.strip()
             ),
             store_positions=_env("STORE_POSITIONS", "0") in ("1", "true", "True"),
-            lexical_budget_postings=int(_env("LEXICAL_BUDGET_POSTINGS", "0")),
+            lexical_budget_postings=int(_env("LEXICAL_BUDGET_POSTINGS", "1000000")),
             salt_range=int(_env("SALT_RANGE", str(1 << 20))),
             n_term_buckets=int(_env("N_TERM_BUCKETS", "32")),
             n_build_shards=int(_env("N_BUILD_SHARDS", "4")),

@@ -269,9 +269,10 @@ def bm25_topk_local(
     ``config.lexical_budget_postings > 0`` additionally caps the decoded
     posting count: stopword-class queries (clamped uniform idfs — no
     bound can prune them, the FTS5 engine scans them in full too) stop
-    at the budget and return the impact-ordered approximation — an
-    explicit opt-in accuracy/latency trade; 0 (default) keeps the exact
-    FTS5-parity behavior at any cost."""
+    at the budget and return the impact-ordered approximation. Default
+    ON (config.py): under-budget queries are bit-identical to exact
+    mode, so only df≈100% queries past ~1M postings see the coverage
+    trade; 0 opts back into exact FTS5-parity behavior at any cost."""
     config = config or EngineConfig()
     terms = compile_query(query)
     if not terms:

@@ -119,6 +119,28 @@ def test_budgeted_scores_are_exact_and_paths_agree(spark, store) -> None:
     assert all(abs(a[1] - b[1]) < 1e-12 for a, b in zip(spark_got, got))
 
 
+def test_default_config_budget_is_on_and_under_budget_exact(spark, store) -> None:
+    """Round-5 verdict #2: the budget mode is the DEFAULT. The default
+    engages only past the posting budget, so every query on a corpus
+    under it (all oracle SFs, all rank-identity suites) stays bit-
+    identical to explicit exact mode; 0 opts back into exact-at-any-cost
+    and the two agree wherever both are exact."""
+    from rifflux_spark.operators.local_exec import bm25_topk_local, local_df
+
+    default = EngineConfig()
+    assert default.lexical_budget_postings > 0
+    exact = dataclasses.replace(CONFIG, lexical_budget_postings=0)
+    for q in (_stopword_query(spark, store), _rare_query(spark, store)):
+        # this corpus is far under the default budget → identical to exact
+        assert (
+            sum(local_df(store, sorted(set(q.split()))).values())
+            <= default.lexical_budget_postings
+        )
+        assert bm25_topk_local(store, q, top_k=10, config=CONFIG) == bm25_topk_local(
+            store, q, top_k=10, config=exact
+        )
+
+
 def test_budget_ranges_caps_decoded_postings() -> None:
     from rifflux_spark.operators import wand
 
