@@ -458,10 +458,16 @@ def build_index(
         # in the commit→lineage-mark window leaves a resume that can
         # tell "published, only the mark was lost" (adopt) from "never
         # published" (run) — a blind re-append would double marker tf
+        # the stamp carries source_fp too: a caller-supplied build_id
+        # reused on a DIFFERENT corpus re-runs the posting shards (the
+        # completed_stages guard), so the prefix stage must republish as
+        # well — a build_id-only stamp would wrongly 'adopt' the old
+        # corpus's markers (round-5 advice, medium)
+        stamp = f"{build_id}:{source_fp}:{want}"
         published = (
             store.exists("prefix_meta")
             and store.count_rows("prefix_meta") > 0
-            and _read_prefix_meta(store) == f"{build_id}:{want}"
+            and _read_prefix_meta(store) == stamp
         )
         if not published:
             thin = prefix_thin_postings(
@@ -475,9 +481,7 @@ def build_index(
                 store.write_postings(blocks, mode="append")
                 _merge_term_stats(spark, store, prefix_term_deltas(thin))
                 store.write_small(
-                    spark.createDataFrame(
-                        [(f"{build_id}:{want}",)], "stamp string"
-                    ),
+                    spark.createDataFrame([(stamp,)], "stamp string"),
                     "prefix_meta",
                 )
         store.meta_set("layout.prefix_lengths", want)

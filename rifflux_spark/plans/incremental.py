@@ -468,7 +468,11 @@ def apply_from_iceberg(
         )
         full_snapshot = False
         fallback = None
-    except ValueError as e:
+    except (ValueError, KeyError) as e:
+        # KeyError: the stored cursor is no longer an ancestor of the
+        # current snapshot (input table rebuilt in place at the same
+        # location) — without this, watch_iceberg's daemon loop would
+        # log and retry forever, silently stalling CDC (round-5 advice)
         pages = read_iceberg(spark, location, snapshot_id=cur)
         full_snapshot = True
         fallback = f"full-snapshot re-diff ({e})"
