@@ -58,9 +58,16 @@ def minhash_signatures(
     n_hashes: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, sig: array<string> of n_hashes minhashes)."""
+    """(id, sig: array<string> of n_hashes minhashes).
+
+    The shingle array is let-bound (``_let``) so the tokenize+n-gram
+    tree is evaluated ONCE per row, not once per hash seed — higher-
+    order functions are CodegenFallback and get no common-subexpression
+    elimination (same fix as the Gopher rules; values bit-identical)."""
+    from rifflux_spark.functions.text_analysis import _let
+
     grams = shingles(F.col(text_col), shingle_n)
-    sig = F.array(*[_minhash_col(grams, s) for s in range(n_hashes)])
+    sig = _let(grams, lambda g: F.array(*[_minhash_col(g, s) for s in range(n_hashes)]))
     return df.select(F.col(id_col).alias("id"), sig.alias("sig")).filter(F.size("sig") > 0)
 
 
@@ -520,6 +527,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs → ``(id, component)``
     where ``component`` is the smallest node id in the component.
@@ -539,7 +547,13 @@ def connected_components(
     O(log² n) rounds — no per-node driver state, no O(diameter) naive
     propagation. Lineage is cut per round with an eager
     ``localCheckpoint`` (bounded by ``max_iter``); convergence is a
-    single count+checksum aggregate, not an EXCEPT anti-join."""
+    single count+checksum aggregate, not an EXCEPT anti-join.
+
+    Edge sets of ≤ ``driver_max_edges`` (counted off the materialized
+    edge table, so the decision is size-adaptive, not config-pinned)
+    close on the driver instead: a vectorized min-label propagation over
+    one numpy array, identical labels, none of the per-round fixed job
+    cost. Web-scale dedup graphs route to the star rounds unchanged."""
     e = (
         pairs.select(
             F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
@@ -547,8 +561,48 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    if not e.take(1):
-        return e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    # materialize the deduped edge set ONCE (it feeds the count, the
+    # driver fast path, and every star round) and size-route like the
+    # build's driver_agg_max_bytes aggregations: below the threshold the
+    # closure is a vectorized min-label propagation on the driver — the
+    # distributed version pays ~2 jobs x 4 exchanges of fixed overhead
+    # PER ROUND x O(log² n) rounds, pure Amdahl serial fraction for an
+    # edge set that fits one numpy array. Above it the star rounds run
+    # unchanged (the 100-TB shape). Identical labels by construction:
+    # component = min node id either way.
+    canon = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = canon.count()
+    if n_edges == 0:
+        return canon.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    if n_edges <= driver_max_edges:
+        import numpy as np
+        import pandas as pd
+
+        pdf = canon.toPandas()
+        u = pdf["u"].to_numpy(np.int64)
+        v = pdf["v"].to_numpy(np.int64)
+        nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        ui, vi = inv[: len(u)], inv[len(u) :]
+        # Shiloach–Vishkin-style min-label propagation with pointer
+        # doubling: monotone decreasing, fixpoint = component minimum
+        # (nodes is sorted, so min index == min id), O(log n) rounds,
+        # every round fully vectorized.
+        lbl = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            prev = lbl.copy()
+            em = np.minimum(lbl[ui], lbl[vi])
+            np.minimum.at(lbl, ui, em)
+            np.minimum.at(lbl, vi, em)
+            lbl = np.minimum(lbl, lbl[lbl])
+            lbl = np.minimum(lbl, lbl[lbl])
+            if np.array_equal(lbl, prev):
+                break
+        out = pd.DataFrame({"id": nodes, "component": nodes[lbl]})
+        return pairs.sparkSession.createDataFrame(out, schema="id long, component long")
 
     def _sym(d: DataFrame) -> DataFrame:
         return d.unionAll(d.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -560,12 +614,9 @@ def connected_components(
         ).collect()[0]
         return int(row["n"]), int(row["h"])
 
-    # canonical direction: u > v (each undirected edge once)
-    edges = (
-        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # canonical direction: u > v (each undirected edge once) — already
+    # materialized above
+    edges = canon
     fp = _fingerprint(edges)
     converged = False
     for _ in range(max_iter):

@@ -78,6 +78,21 @@ def test_empty_pairs(spark) -> None:
     assert connected_components(df).collect() == []
 
 
+def test_driver_and_star_paths_agree(spark) -> None:
+    """The size-adaptive driver closure (default for ≤ driver_max_edges)
+    and the distributed star rounds (forced with driver_max_edges=0)
+    must label identically on every shape above — same min-id contract."""
+    shapes = [
+        [(i, i + 1) for i in range(40)],
+        [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        + [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+        + [(100, 200)],
+        [(2, 1), (1, 2), (2, 1), (3, 2), (7, 9)],
+    ]
+    for edges in shapes:
+        assert _labels(spark, edges) == _labels(spark, edges, driver_max_edges=0)
+
+
 def test_dedup_clusters_flags_one_canonical_per_cluster(spark) -> None:
     base = "the quick brown fox jumps over the lazy dog again and again " * 5
     rows = [
