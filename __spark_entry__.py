@@ -804,14 +804,22 @@ def q_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram totals) so the ratio is order-independent under Spark's partial
     aggregation. ONE shuffle on a low-cardinality key, map-side combine."""
     docs = _docs(spark, sf_dir)
-    grams = TA.ngram_strings(F.col("text"), 2)
+    # two-step select so the gram array materializes ONCE per row (it
+    # was referenced 3×, and HOF trees get no CSE; CollapseProject does
+    # not re-inline a non-cheap expression referenced more than once)
     per_doc = docs.select(
         "source",
         "lang",
         "n_chars",
         TA.token_count(F.col("text")).alias("n_tokens"),
-        F.size(grams).alias("n_2grams"),
-        (F.size(grams) - F.size(F.array_distinct(grams))).alias("n_dup_2grams"),
+        TA.ngram_strings(F.col("text"), 2).alias("_g2"),
+    ).select(
+        "source",
+        "lang",
+        "n_chars",
+        "n_tokens",
+        F.size("_g2").alias("n_2grams"),
+        (F.size("_g2") - F.size(F.array_distinct("_g2"))).alias("n_dup_2grams"),
     )
     return (
         per_doc.groupBy("source")

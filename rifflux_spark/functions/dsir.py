@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from rifflux_spark.functions.text_analysis import ascii_tokens, ngram_strings
+from rifflux_spark.functions.text_analysis import ascii_tokens
 
 
 def gram_buckets(text: Column, n_buckets: int = 1024) -> Column:
@@ -50,7 +50,14 @@ def gram_buckets(text: Column, n_buckets: int = 1024) -> Column:
     mod ``n_buckets``. md5 keeps the bucket function engine-portable
     (DuckDB: ``('0x' || substr(md5(g), 1, 8))::UBIGINT % B``).
     """
-    grams = F.concat(ascii_tokens(text), ngram_strings(text, 2))
+    from rifflux_spark.functions.text_analysis import _let, ngrams_from_tokens
+
+    # bind the token array once: unbound, ascii_tokens(text) was
+    # evaluated twice per row (directly and inside ngram_strings) —
+    # higher-order functions get no CSE (values bit-identical)
+    grams = _let(
+        ascii_tokens(text), lambda t: F.concat(t, ngrams_from_tokens(t, 2))
+    )
     return F.transform(
         grams,
         lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")

@@ -48,16 +48,20 @@ def bpe_ish_token_count(text: Column) -> Column:
 
 
 def mean_word_len(text: Column) -> Column:
-    toks = ascii_tokens(text)
-    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
-    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+    # token array let-bound: unbound it was evaluated 3x per row
+    # (aggregate + both size() references) — HOFs get no CSE
+    return _let(ascii_tokens(text), _mwl_from)
 
 
 def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
     stopwords = stopwords or EN_STOPWORDS
-    toks = ascii_tokens(text)
-    hits = F.size(F.filter(toks, lambda t: t.isin(stopwords)))
-    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+    def from_toks(toks: Column) -> Column:
+        hits = F.size(F.filter(toks, lambda t: t.isin(stopwords)))
+        return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+    # token array let-bound (was evaluated 3x per row)
+    return _let(ascii_tokens(text), from_toks)
 
 
 def punct_ratio(text: Column) -> Column:
@@ -118,16 +122,23 @@ def ngrams_from_tokens(toks: Column, n: int) -> Column:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as strings."""
-    return F.array_distinct(ngrams_from_tokens(ascii_tokens(text), n))
+    """Distinct word n-gram shingles as strings. The token array is
+    let-bound: :func:`ngrams_from_tokens` references its input ~8× (the
+    zip_with chain + size guards), and higher-order functions get no CSE
+    — unbound, the whole tokenize split ran ~8× per row."""
+    return _let(ascii_tokens(text), lambda t: F.array_distinct(ngrams_from_tokens(t, n)))
 
 
 def fingerprint(text: Column, n: int = 5) -> Column:
     """Min-hash document fingerprint: lexicographic min of md5(shingle) —
-    robust to reordering-free edits, cheap to compare (winnowing k=1)."""
-    grams = shingles(text, n)
-    hashed = F.transform(grams, lambda g: F.md5(g))
-    return F.when(F.size(grams) > 0, F.array_min(hashed)).otherwise(F.md5(F.coalesce(text, F.lit(""))))
+    robust to reordering-free edits, cheap to compare (winnowing k=1).
+    Shingle array let-bound (was evaluated twice per row)."""
+    return _let(
+        shingles(text, n),
+        lambda grams: F.when(
+            F.size(grams) > 0, F.array_min(F.transform(grams, lambda g: F.md5(g)))
+        ).otherwise(F.md5(F.coalesce(text, F.lit("")))),
+    )
 
 
 def _hash_order_token_cumsum(df, text_col: str, id_col: str):
@@ -234,8 +245,9 @@ def pack_sequences(
 
 def ngram_strings(text: Column, n: int) -> Column:
     """ALL word n-grams (with repeats — the repetition signal), in order.
-    Same strings as :func:`shingles` minus the distinct."""
-    return ngrams_from_tokens(ascii_tokens(text), n)
+    Same strings as :func:`shingles` minus the distinct. Token array
+    let-bound for the same ~8×-evaluation reason as :func:`shingles`."""
+    return _let(ascii_tokens(text), lambda t: ngrams_from_tokens(t, n))
 
 
 def dup_ngram_fraction(text: Column, n: int) -> Column:
@@ -244,22 +256,16 @@ def dup_ngram_fraction(text: Column, n: int) -> Column:
     expression (array_distinct), NO shuffle: at corpus scale this is a
     map-only quality column, unlike mode-count formulations that need an
     explode + two aggregations."""
-    grams = ngram_strings(text, n)
-    total = F.size(grams)
-    return F.when(
-        total > 0,
-        F.round(1.0 - F.size(F.array_distinct(grams)) / total, 6),
-    ).otherwise(F.lit(0.0))
+    # gram array let-bound (was evaluated 3x per row: size twice +
+    # array_distinct; the gram tree re-tokenizes the text each time)
+    return _let(ngram_strings(text, n), _dup_frac_from)
 
 
 def alpha_token_fraction(text: Column) -> Column:
     """Fraction of whitespace tokens containing at least one ASCII
-    letter (Gopher: "80% of words contain an alphabetic character")."""
-    raw = F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
-    alpha = F.filter(raw, lambda t: t.rlike("[A-Za-z]"))
-    return F.when(
-        F.size(raw) > 0, F.round(F.size(alpha) / F.size(raw), 6)
-    ).otherwise(F.lit(0.0))
+    letter (Gopher: "80% of words contain an alphabetic character").
+    Whitespace-token array let-bound (was evaluated 3x per row)."""
+    return _alpha_frac(text)
 
 
 def source_mix_sample(

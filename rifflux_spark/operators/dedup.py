@@ -300,11 +300,21 @@ def token_segments(text: Column, seg_len: int = 10) -> Column:
     CCNet-style corpus-level boilerplate removal — coarser than a shingle,
     cheap to hash, and aligned so a ``seg_len``-multiple boilerplate
     prefix segments identically in every document that carries it."""
-    toks = ascii_tokens(text)
-    n_full = F.floor(F.size(toks) / seg_len).cast("int")
-    idx = F.sequence(F.lit(0), n_full - 1)
-    segs = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i * seg_len + 1, seg_len)))
-    return F.when(n_full > 0, segs).otherwise(F.array().cast("array<string>"))
+    from rifflux_spark.functions.text_analysis import _let
+
+    # the token array MUST be let-bound: unbound, the `transform` lambda
+    # body re-evaluates the whole ascii_tokens split once per SEGMENT
+    # (O(n_tokens) work × n_segments per row — the dominant cost of the
+    # boilerplate pass); bound, the slice reads one materialized array
+    def from_toks(toks: Column) -> Column:
+        n_full = F.floor(F.size(toks) / seg_len).cast("int")
+        idx = F.sequence(F.lit(0), n_full - 1)
+        segs = F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i * seg_len + 1, seg_len))
+        )
+        return F.when(n_full > 0, segs).otherwise(F.array().cast("array<string>"))
+
+    return _let(ascii_tokens(text), from_toks)
 
 
 def line_dedup(
@@ -708,13 +718,28 @@ def dedup_clusters(
 def _pair_cosine(va: Column, vb: Column) -> Column:
     """Exact cosine between two ``array<float>`` columns as a Catalyst
     expression tree (zip_with + aggregate — JVM-side, no Python UDF on
-    the verify path). Zero-norm vectors score 0.0."""
-    a = F.transform(va, lambda x: x.cast("double"))
-    b = F.transform(vb, lambda x: x.cast("double"))
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.zip_with(a, a, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.zip_with(b, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x))
-    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+    the verify path). Zero-norm vectors score 0.0.
+
+    Every shared subexpression is let-bound (``_let``): unbound, the
+    cast-transform of each vector appeared 3× and each norm aggregate 2×
+    (once in the ``when`` guard, once in the division) — higher-order
+    functions are CodegenFallback, so nothing de-duplicated them.
+    Values are bit-identical; only the evaluation count changes."""
+    from rifflux_spark.functions.text_analysis import _let
+
+    def _dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    return _let(F.transform(va, lambda x: x.cast("double")), lambda a:
+        _let(F.transform(vb, lambda x: x.cast("double")), lambda b:
+            _let(_dot(a, b), lambda dot:
+                _let(F.sqrt(_dot(a, a)), lambda na:
+                    _let(F.sqrt(_dot(b, b)), lambda nb:
+                        F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(
+                            F.lit(0.0)
+                        ))))))
 
 
 def semdedup_pairs(
